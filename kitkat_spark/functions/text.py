@@ -1,0 +1,144 @@
+"""Text-analysis column expressions: tokens, shingles, minhash, fingerprints.
+
+Everything here is built-in-function composition (JVM-side, codegen'd) — no
+Python UDFs. MinHash signatures use one xxhash64 pass per shingle plus k
+universal-hash remixes ((a*h + b) mod p), computed with ``transform`` over a
+constant (a, b) array — O(shingles + k) per doc, not O(shingles * k) hash
+calls, which is what you want at 100 TB.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Deterministic universal-hash parameters (fixed seeds; public technique from
+# Broder's minhash paper). p is the Mersenne prime 2^31-1: small enough that
+# a*h + b < 2^62 never overflows int64 (Spark 4 runs ANSI mode by default,
+# where long overflow is an error, not a wrap).
+MINHASH_PRIME = (1 << 31) - 1
+
+
+def minhash_params(k: int, seed: int = 42) -> list[tuple[int, int]]:
+    """k (a, b) pairs from a deterministic LCG (no RNG dependency)."""
+    params = []
+    x = seed
+    for _ in range(k):
+        x = (6364136223846793005 * x + 1442695040888963407) % (1 << 63)
+        a = (x | 1) % MINHASH_PRIME
+        x = (6364136223846793005 * x + 1442695040888963407) % (1 << 63)
+        b = x % MINHASH_PRIME
+        params.append((a, b))
+    return params
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokens. Fixture text is single-space separated."""
+    return F.split(text, " ", -1)
+
+
+def word_shingles(toks: Column, n: int = 3) -> Column:
+    """Distinct n-word shingles; empty array when the doc has < n tokens."""
+    joined = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(n)]),
+    )
+    return F.array_distinct(F.when(F.size(toks) >= n, joined).otherwise(F.array()))
+
+
+def shingle_hashes(shingles: Column) -> Column:
+    """One xxhash64 (mod p) per shingle — compute ONCE, then feed
+    minhash_from_hashes. Keeping this a separate column stops Catalyst from
+    inlining the hash pass into each of the k signature remixes (which would
+    blow up the codegen'd expression tree k-fold)."""
+    return F.transform(shingles, lambda s: F.pmod(F.xxhash64(s), F.lit(MINHASH_PRIME)))
+
+
+def minhash_from_hashes(base: Column, k: int = 32, seed: int = 42) -> Column:
+    """Array of k minhash values from a precomputed shingle-hash array.
+
+    Each of the k permutations is a cheap affine remix (a*h + b) mod p of the
+    base hash. Built as ONE nested transform over a literal (a, b) parameter
+    array, so the expression tree is O(1) in k — k separate array_min
+    expressions would each re-inline the base subtree after Catalyst's
+    projection collapse, exploding codegen size (observed: 13 MB task
+    binaries and ~60 s of compile time at 500 docs).
+    Empty shingle set -> array of p (sentinel max).
+    """
+    params = F.array(
+        *[
+            F.struct(F.lit(a).alias("a"), F.lit(b).alias("b"))
+            for a, b in minhash_params(k, seed)
+        ]
+    )
+    return F.transform(
+        params,
+        lambda p: F.coalesce(
+            F.array_min(
+                F.transform(base, lambda h: F.pmod(p["a"] * h + p["b"], F.lit(MINHASH_PRIME)))
+            ),
+            F.lit(MINHASH_PRIME),
+        ),
+    )
+
+
+def minhash_signature(shingles: Column, k: int = 32, seed: int = 42) -> Column:
+    """Convenience one-shot: shingle_hashes + minhash_from_hashes. Prefer the
+    staged form (separate select for the hash array) in operators."""
+    return minhash_from_hashes(shingle_hashes(shingles), k, seed)
+
+
+def make_minhash_udf(k: int = 32, seed: int = 42):
+    """Arrow-batched minhash: numpy (a*h+b) mod p min-reduce over the JVM-side
+    shingle-hash array.
+
+    Why a pandas UDF when a pure-expression form exists above: the nested
+    higher-order-function tree (transform inside array_min inside transform)
+    drops Spark to interpreted per-element evaluation — measured 330 s for
+    500 docs — while this UDF is one Arrow hop + a vectorized matmul-shaped
+    reduce (~2 s). The expensive text hashing still happens JVM-side in
+    shingle_hashes; only the k-permutation remix crosses to Python. The UDF
+    output is a materialized attribute, so downstream band expressions
+    reference a column, not a re-inlined subtree.
+    """
+    params = minhash_params(k, seed)
+    A = np.array([a for a, _ in params], dtype=np.int64)[:, None]
+    B = np.array([b for _, b in params], dtype=np.int64)[:, None]
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def minhash_udf(hashes: pd.Series) -> pd.Series:
+        empty = np.full(k, MINHASH_PRIME, dtype=np.int64)
+
+        def one(h) -> list[int]:
+            if h is None or len(h) == 0:
+                return empty.tolist()
+            hv = np.asarray(h, dtype=np.int64)[None, :]
+            # a*h < 2^62: safe in int64 because a, h < 2^31 (MINHASH_PRIME)
+            return ((A * hv + B) % MINHASH_PRIME).min(axis=1).tolist()
+
+        return hashes.map(one)
+
+    return minhash_udf
+
+
+def band_hashes(signature: Column, bands: int, rows: int) -> Column:
+    """Split a k=bands*rows signature into per-band hashes for LSH bucketing.
+
+    One transform + slice + xxhash64(array<long>) — compact expression tree
+    (see minhash_from_hashes note)."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.xxhash64(F.slice(signature, b * rows + 1, rows)),
+    )
+
+
+def simhash64(token_hashes_exploded: None = None) -> None:  # pragma: no cover
+    raise NotImplementedError("simhash is assembled in operators/dedup.py (needs an aggregation)")
+
+
+def fingerprint_md5(text: Column) -> Column:
+    """Whitespace-normalized md5 fingerprint (matches DuckDB md5())."""
+    return F.md5(F.lower(F.regexp_replace(text, r"\s+", " ")))

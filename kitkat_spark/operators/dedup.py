@@ -1,0 +1,224 @@
+"""Near-duplicate detection over documents (SURVEY.md §2.B, M4).
+
+Three families, all shuffle-disciplined for 100 TB:
+
+- q_ngram_jaccard: EXACT shingle-set Jaccard via an inverted-index self-join
+  (explode shingles -> join on shingle -> count common). Distributed-native:
+  the join key is the shingle, so only docs *sharing* a shingle ever meet —
+  no O(N^2) pair enumeration. DuckDB-oracled.
+- q_near_dedup: MinHash + LSH banding. Signatures are computed in one
+  codegen'd pass (functions/text.py), candidate pairs come from a self-join on
+  (band_id, band_hash) — at 100 TB this is THE layout: band buckets are the
+  shuffle key, candidates per bucket are tiny. Verified pairs get exact
+  Jaccard. Rows-only check (xxhash64 has no DuckDB twin).
+- q_simhash: 64-bit SimHash per doc via bit-vote aggregation; near-dup pairs
+  by Hamming distance <= 3 found with the 4-band pigeonhole trick (one 16-bit
+  band must match exactly), again a band-bucket self-join. Rows-only.
+
+Common hygiene: pairs are emitted once (doc_a < doc_b), exploded inverted
+index drops stop-shingles with document frequency > DF_CAP (a hot-key guard:
+at scale a boilerplate shingle would otherwise create a quadratic bucket).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kitkat_spark.functions.text import (
+    band_hashes,
+    make_minhash_udf,
+    shingle_hashes,
+    tokens,
+    word_shingles,
+)
+from kitkat_spark.sources import load_table
+
+SHINGLE_N = 3
+JACCARD_THRESHOLD = 0.8
+MINHASH_K = 32
+LSH_BANDS = 8
+LSH_ROWS = 4
+SIMHASH_MAX_HAMMING = 3
+# Drop shingles appearing in more than this many docs (hot-key guard). Chosen
+# high enough that the fixture's real near-dups all survive.
+DF_CAP = 50
+
+
+def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", word_shingles(tokens(F.col("text")), SHINGLE_N).alias("shingles")
+    ).filter(F.size("shingles") > 0)
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard pairs >= 0.8 via inverted-index join (no N^2)."""
+    sh = _shingled(spark, sf_dir)
+    counts = sh.select("doc_id", F.size("shingles").alias("n_sh"))
+    inv = sh.select("doc_id", F.explode("shingles").alias("s"))
+    # hot-shingle guard: document frequency cap
+    hot = inv.groupBy("s").agg(F.count("*").alias("df")).filter(F.col("df") > DF_CAP)
+    inv = inv.join(F.broadcast(hot), "s", "left_anti")
+    a, b = inv.alias("a"), inv.alias("b")
+    common = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    ca, cb = counts.alias("ca"), counts.alias("cb")
+    jac = (
+        common.join(ca, F.col("doc_a") == F.col("ca.doc_id"))
+        .join(cb, F.col("doc_b") == F.col("cb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("n_common")
+                / (F.col("ca.n_sh") + F.col("cb.n_sh") - F.col("n_common")),
+                4,
+            ).alias("jaccard"),
+        )
+    )
+    return jac.filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+
+
+def q_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(32) + LSH(8 bands x 4 rows) candidate pairs, exact-verified.
+
+    Candidate generation cost is driven by band-bucket sizes, not corpus
+    size^2; the verify join re-reads only candidate docs' shingle sets.
+    """
+    sh = _shingled(spark, sf_dir)
+    # staged: JVM xxhash64 pass -> Arrow-batched numpy remix (materialized
+    # attribute) -> per-band hashes referencing that attribute
+    minhash_udf = make_minhash_udf(MINHASH_K)
+    sig = (
+        sh.select("doc_id", "shingles", shingle_hashes(F.col("shingles")).alias("hbase"))
+        .select("doc_id", "shingles", minhash_udf(F.col("hbase")).alias("sig"))
+        .select("doc_id", "shingles", band_hashes(F.col("sig"), LSH_BANDS, LSH_ROWS).alias("bands"))
+    )
+    banded = sig.select(
+        "doc_id", F.posexplode("bands").alias("band_id", "band_hash")
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    verified = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b")),
+                4,
+            ).alias("jaccard"),
+        )
+    )
+    return verified.filter(F.col("jaccard") >= JACCARD_THRESHOLD).select(
+        "doc_a", "doc_b", "jaccard"
+    )
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash64 near-dup pairs with Hamming <= 3 via 4x16-bit band join.
+
+    Bit votes: distinct tokens hashed once (xxhash64); per bit i the vote is
+    +-1; sign of the summed vote is bit i of the fingerprint. The vote
+    aggregation is a single groupBy(doc_id) over codegen'd array math.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.array_distinct(tokens(F.col("text")))).alias("tok")
+    ).withColumn("h", F.xxhash64("tok"))
+    # per-token vote vector: array[64] of +-1 from the hash bits
+    votes = toks.select(
+        "doc_id",
+        F.expr(
+            "transform(sequence(0, 63), i -> CAST(shiftright(h, i) & 1L AS INT) * 2 - 1)"
+        ).alias("v"),
+    )
+    summed = (
+        votes.select("doc_id", F.posexplode("v").alias("bit", "vote"))
+        .groupBy("doc_id", "bit")
+        .agg(F.sum("vote").alias("total"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(F.col("total") > 0, F.expr("shiftleft(1L, bit)"))
+                .otherwise(F.lit(0).cast("long"))
+            ).alias("simhash")
+        )
+    )
+    bands = summed.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("simhash"), 16 * i).bitwiseAND(F.lit(0xFFFF))
+                    for i in range(4)
+                ]
+            )
+        ).alias("band_id", "band_val"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+    )
+    return pairs.filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+
+
+ORACLE: dict[str, str] = {
+    "q_ngram_jaccard": """
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        ), sh AS (
+            SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+            FROM toks, UNNEST(generate_series(1, len(w) - 2)) AS t(i)
+            WHERE len(w) >= 3
+        ), filtered AS (
+            SELECT * FROM sh WHERE s NOT IN (
+                SELECT s FROM sh GROUP BY s HAVING count(*) > 50
+            )
+        ), counts AS (
+            SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+        ), pairs AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+            FROM filtered a JOIN filtered b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b,
+               round(n_common * 1.0 / (ca.n_sh + cb.n_sh - n_common), 4) AS jaccard
+        FROM pairs
+        JOIN counts ca ON doc_a = ca.doc_id
+        JOIN counts cb ON doc_b = cb.doc_id
+        WHERE n_common * 1.0 / (ca.n_sh + cb.n_sh - n_common) >= 0.8
+    """,
+    # q_near_dedup / q_simhash: rows-only (xxhash64-based, no DuckDB twin)
+}

@@ -1,0 +1,111 @@
+"""Payload-format operators: KPL deaggregation + zlib decode as batch queries
+(SURVEY.md §2.A X1/P5 rebuilt on DataFrames; fixtures per FIXTURES.md §B).
+
+q_kpl_deagg synthesizes KPL aggregate blobs from the events table (5 events
+per blob, partition keys dictionary-encoded from user_id — mirroring the
+reference's test builder consumer_test.go:346-377), then runs the engine's
+deaggregation path: magic-prefix predicate -> pandas-UDF decode ->
+explode -> dictionary-decoded keys. One corrupt blob is injected and must
+yield 0 rows (consumer.go:177-179). Rows-only check (protobuf has no DuckDB
+twin) — but the expected row count equals count(events), which the driver's
+rows-only gate still pins.
+
+q_zlib compresses documents.text, runs the graceful-decompress UDF
+(consumer.go:211-224 semantics), and returns per-doc recovered lengths —
+oracle-checkable against plain length(text).
+
+Scale: both are narrow map pipelines (no shuffle except the final blob
+grouping in fixture synthesis, which is test-only).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kitkat_spark.functions.compression import zlib_compress_udf, zlib_decompress_udf
+from kitkat_spark.functions.kpl import (
+    aggregate_records,
+    is_aggregated_col,
+    kpl_deaggregate_udf,
+)
+from kitkat_spark.sources import load_table
+
+BLOB_SIZE = 5
+
+
+def build_kpl_blobs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic KPL fixture: events grouped 5-per-blob by event_id.
+
+    Built distributed (applyInPandas per blob group), not on the driver —
+    the fixture synthesis itself follows the 100 TB discipline.
+    """
+    events = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+
+    import pandas as pd  # local import: executor-side dependency only
+
+    def make_blob(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("event_id")
+        pk_table = sorted({f"user-{u}" for u in pdf["user_id"]})
+        idx = {k: i for i, k in enumerate(pk_table)}
+        recs = [
+            {
+                "partition_key_index": idx[f"user-{r.user_id}"],
+                "data": f"{r.event_id}|{r.value}".encode(),
+                "tags": [("src", "events")],
+            }
+            for r in pdf.itertuples()
+        ]
+        blob_id = int(pdf["blob_id"].iloc[0])
+        blob = aggregate_records(pk_table, recs)
+        if blob_id == 0:  # one corrupt blob: flip a payload byte -> md5 mismatch
+            blob = blob[: len(blob) - 17] + b"\x00" + blob[len(blob) - 16 :]
+        return pd.DataFrame({"blob_id": [blob_id], "blob": [blob]})
+
+    return (
+        events.withColumn("blob_id", (F.col("event_id") / BLOB_SIZE).cast("long"))
+        .groupBy("blob_id")
+        .applyInPandas(make_blob, schema="blob_id long, blob binary")
+    )
+
+
+def q_kpl_deagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KPL deaggregation: predicate -> decode UDF -> explode (the UDTF shape)."""
+    blobs = build_kpl_blobs(spark, sf_dir)
+    decoded = (
+        blobs.filter(is_aggregated_col(F.col("blob")))
+        .select("blob_id", F.explode(kpl_deaggregate_udf(F.col("blob"))).alias("rec"))
+        .select(
+            "blob_id",
+            F.col("rec.partition_key").alias("partition_key"),
+            F.col("rec.data").cast("string").alias("payload"),
+            F.element_at(F.col("rec.tags"), "src").alias("tag_src"),
+        )
+    )
+    return decoded.select(
+        "blob_id",
+        "partition_key",
+        F.split(F.col("payload"), r"\|").getItem(0).cast("long").alias("event_id"),
+        "tag_src",
+    )
+
+
+def q_zlib(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """zlib round-trip with graceful passthrough, verified by length parity."""
+    docs = load_table(spark, sf_dir, "documents")
+    compressed = docs.select(
+        "doc_id", zlib_compress_udf(F.col("text").cast("binary")).alias("z")
+    )
+    return compressed.select(
+        "doc_id",
+        F.length(zlib_decompress_udf(F.col("z")).cast("string")).alias("n_chars_rt"),
+    )
+
+
+ORACLE: dict[str, str] = {
+    "q_zlib": """
+        SELECT doc_id, CAST(length(text) AS INT) AS n_chars_rt
+        FROM documents
+    """,
+    # q_kpl_deagg: rows-only (expected rows = count(events) - 5 corrupt-blob rows)
+}

@@ -1,0 +1,416 @@
+"""Relational operator surface (SURVEY.md §2.B, M1): scans, joins, aggregates,
+windows, set ops, sort/limit, scalar/array/JSON batteries.
+
+Every public ``q_*`` takes ``(spark, sf_dir)`` and returns a DataFrame whose
+column names match its ``ORACLE[name]`` DuckDB SQL exactly (driver contract).
+
+Scale design notes (apply to all):
+- Filters/projections are expressed declaratively so Catalyst pushes them into
+  the parquet scan (PushedFilters / ReadSchema — asserted in tests/test_plans).
+- Join strategy: fixed-cardinality dims (region/nation/supplier/part/customer)
+  get an explicit ``broadcast()`` hint; fact-fact joins go through AQE which
+  picks sort-merge + skew splitting at scale.
+- Aggregates use map-side partial aggregation automatically (HashAggregate
+  x2 in the plan); no ``collect()`` anywhere.
+- Doubles that cross the oracle boundary are rounded in BOTH engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from kitkat_spark.sources import load_table
+
+
+# ---------------------------------------------------------------------------
+# scans & filters
+# ---------------------------------------------------------------------------
+
+def q_scan_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pruned scan: both predicates and the 4-column projection reach parquet."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter((F.col("l_shipdate") < "1995-01-01") & (F.col("l_quantity") > 30))
+        .select("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice")
+    )
+
+
+def q_sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k: Spark plans TakeOrderedAndProject — a per-partition heap
+    + single k-row merge, no full sort shuffle. Ties broken deterministically."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy(F.col("l_extendedprice").desc(), "l_orderkey", "l_linenumber")
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# joins
+# ---------------------------------------------------------------------------
+
+def q_hash_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-dim equi join; aggregation after join keeps output small. AQE picks
+    broadcast at test scale and sort-merge+skew-split when customer outgrows
+    the broadcast threshold."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    return (
+        orders.join(customer, orders.o_custkey == customer.c_custkey, "inner")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )
+
+
+def q_broadcast_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two explicit broadcast hints: nation(25) and region(5) are
+    fixed-cardinality — broadcastable at ANY data scale, so no shuffle of the
+    customer side at all."""
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.avg("c_acctbal"), 2).alias("avg_acctbal"),
+        )
+    )
+
+
+def q_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS / NOT EXISTS as left-semi + left-anti (no row duplication,
+    builds only the key set of the right side)."""
+    customer = load_table(spark, sf_dir, "customer").select("c_custkey")
+    order_keys = load_table(spark, sf_dir, "orders").select("o_custkey")
+    semi = (
+        customer.join(order_keys, customer.c_custkey == order_keys.o_custkey, "left_semi")
+        .select("c_custkey", F.lit("has_order").alias("tag"))
+    )
+    anti = (
+        customer.join(order_keys, customer.c_custkey == order_keys.o_custkey, "left_anti")
+        .select("c_custkey", F.lit("no_order").alias("tag"))
+    )
+    return semi.unionByName(anti)
+
+
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band self-join done scalably: the equi key (user_id) makes this a hash
+    join with the time band as a residual filter — NOT a nested-loop cross
+    join. At 100 TB you additionally bucket by time to bound skew."""
+    e1 = load_table(spark, sf_dir, "events").alias("e1")
+    e2 = load_table(spark, sf_dir, "events").alias("e2")
+    cond = (
+        (F.col("e1.user_id") == F.col("e2.user_id"))
+        & (F.col("e2.ts") > F.col("e1.ts"))
+        & (F.col("e2.ts") <= F.col("e1.ts") + F.expr("INTERVAL 10 MINUTES"))
+    )
+    return (
+        e1.join(e2, cond)
+        .groupBy(F.col("e1.event_type").alias("event_type"))
+        .agg(F.count("*").alias("n_pairs"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# aggregation
+# ---------------------------------------------------------------------------
+
+def q_agg_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: multi-aggregate hash aggregation with partial (map-side)
+    combine; the filter pushes to the scan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact multi-column distinct aggregation (expands to per-distinct
+    aggregates; Spark rewrites via expand + two-phase agg)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+def q_rollup_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets with GROUPING() markers (null-vs-subtotal
+    disambiguation), matching DuckDB's GROUP BY ROLLUP."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping("l_returnflag").cast("int").alias("g_flag"),
+            F.grouping("l_linestatus").cast("int").alias("g_status"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.count("*").alias("n_rows"),
+        )
+        .select("l_returnflag", "l_linestatus", "g_flag", "g_status", "sum_qty", "n_rows")
+    )
+
+
+# ---------------------------------------------------------------------------
+# window functions
+# ---------------------------------------------------------------------------
+
+def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer. One shuffle on o_custkey; rank ties broken
+    by key so results are deterministic across engines."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rn"),
+            F.rank().over(w).alias("rnk"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+def q_window_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running sum + lag/lead over an explicit ROWS frame; same single
+    shuffle/sort services all three window functions."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(
+            F.sum("o_totalprice").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)), 2
+        ).alias("running_total"),
+        F.round(F.lag("o_totalprice", 1).over(w), 2).alias("prev_price"),
+        F.round(F.lead("o_totalprice", 1).over(w), 2).alias("next_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# set operations
+# ---------------------------------------------------------------------------
+
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION / INTERSECT / EXCEPT (set semantics) over customer key sets,
+    tagged so one DataFrame carries all three results."""
+    orders = load_table(spark, sf_dir, "orders")
+    a = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    b = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return (
+        a.union(b).distinct().select("o_custkey", F.lit("union").alias("op"))
+        .unionByName(a.intersect(b).select("o_custkey", F.lit("intersect").alias("op")))
+        .unionByName(a.subtract(b).select("o_custkey", F.lit("except").alias("op")))
+    )
+
+
+# ---------------------------------------------------------------------------
+# scalar / array / JSON function batteries
+# ---------------------------------------------------------------------------
+
+def q_scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String/date/math scalar battery — all codegen'd built-ins."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        F.dayofmonth("o_orderdate").alias("dom"),
+        F.upper("o_orderpriority").alias("pri_up"),
+        F.substring("o_orderpriority", 1, 3).alias("pri3"),
+        F.round("o_totalprice", 1).alias("price_r"),
+        F.round(F.abs(F.col("o_totalprice") - 100000.0), 2).alias("price_dev"),
+        F.concat(F.col("o_orderstatus"), F.lit("-"), F.year("o_orderdate").cast("string")).alias(
+            "status_tag"
+        ),
+        F.length("o_orderpriority").alias("pri_len"),
+    )
+
+
+def q_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction on events.props (schema-on-read)."""
+    events = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return events.select(
+        "event_id",
+        "event_type",
+        k.alias("k"),
+        F.pmod(k, F.lit(7)).alias("k_mod7"),
+        (k >= 50).alias("k_high"),
+    )
+
+
+def q_array_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array higher-order functions over embeddings — transform/aggregate run
+    in codegen; sums fold sequentially in double to match the oracle."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dvec = F.transform("embedding", lambda x: x.cast("double"))
+    sumsq = F.aggregate(
+        F.transform(dvec, lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+    )
+    return emb.select(
+        "vec_id",
+        "label",
+        F.size("embedding").alias("dim"),
+        F.round(F.sqrt(sumsq), 4).alias("l2_norm"),
+        F.round(F.aggregate(dvec, F.lit(0.0), lambda a, x: a + x), 4).alias("vec_sum"),
+        F.round(F.array_max("embedding").cast("double"), 4).alias("vec_max"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle twins (ANSI SQL, driver runs these at sf=0.01)
+# ---------------------------------------------------------------------------
+
+ORACLE: dict[str, str] = {
+    "q_scan_filter": """
+        SELECT l_orderkey, l_partkey, l_quantity, l_extendedprice
+        FROM lineitem
+        WHERE l_shipdate < TIMESTAMP '1995-01-01' AND l_quantity > 30
+    """,
+    "q_sort_limit": """
+        SELECT l_orderkey, l_linenumber, l_extendedprice
+        FROM lineitem
+        ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+        LIMIT 100
+    """,
+    "q_hash_join": """
+        SELECT c_mktsegment,
+               count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS total_price
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment
+    """,
+    "q_broadcast_join": """
+        SELECT r_name,
+               count(*) AS n_customers,
+               round(avg(c_acctbal), 2) AS avg_acctbal
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name
+    """,
+    "q_semi_anti_join": """
+        SELECT c_custkey, 'has_order' AS tag FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        UNION ALL
+        SELECT c_custkey, 'no_order' AS tag FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    "q_range_join": """
+        SELECT e1.event_type AS event_type, count(*) AS n_pairs
+        FROM events e1
+        JOIN events e2
+          ON e1.user_id = e2.user_id
+         AND e2.ts > e1.ts
+         AND e2.ts <= e1.ts + INTERVAL 10 MINUTE
+        GROUP BY e1.event_type
+    """,
+    "q_agg_group": """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               round(sum(l_extendedprice), 2) AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+               round(avg(l_quantity), 4) AS avg_qty,
+               round(avg(l_discount), 4) AS avg_disc,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "q_agg_distinct": """
+        SELECT l_returnflag,
+               count(DISTINCT l_partkey) AS n_parts,
+               count(DISTINCT l_suppkey) AS n_supps,
+               count(*) AS n_rows
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    "q_rollup_cube": """
+        SELECT l_returnflag, l_linestatus,
+               CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+               CAST(GROUPING(l_linestatus) AS INT) AS g_status,
+               round(sum(l_quantity), 2) AS sum_qty,
+               count(*) AS n_rows
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    "q_window_rank": """
+        SELECT * FROM (
+            SELECT o_custkey, o_orderkey, o_totalprice,
+                   row_number() OVER w AS rn,
+                   rank() OVER w AS rnk
+            FROM orders
+            WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+        ) WHERE rn <= 3
+    """,
+    "q_window_frame": """
+        SELECT o_custkey, o_orderkey,
+               round(sum(o_totalprice) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total,
+               round(lag(o_totalprice, 1) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), 2) AS prev_price,
+               round(lead(o_totalprice, 1) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), 2) AS next_price
+        FROM orders
+    """,
+    "q_set_ops": """
+        WITH a AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'),
+             b AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+        SELECT o_custkey, 'union' AS op FROM (SELECT o_custkey FROM a UNION SELECT o_custkey FROM b)
+        UNION ALL
+        SELECT o_custkey, 'intersect' AS op FROM (SELECT o_custkey FROM a INTERSECT SELECT o_custkey FROM b)
+        UNION ALL
+        SELECT o_custkey, 'except' AS op FROM (SELECT o_custkey FROM a EXCEPT SELECT o_custkey FROM b)
+    """,
+    "q_scalar_funcs": """
+        SELECT o_orderkey,
+               CAST(year(o_orderdate) AS INT) AS yr,
+               CAST(month(o_orderdate) AS INT) AS mo,
+               CAST(day(o_orderdate) AS INT) AS dom,
+               upper(o_orderpriority) AS pri_up,
+               substring(o_orderpriority, 1, 3) AS pri3,
+               round(o_totalprice, 1) AS price_r,
+               round(abs(o_totalprice - 100000.0), 2) AS price_dev,
+               o_orderstatus || '-' || CAST(year(o_orderdate) AS VARCHAR) AS status_tag,
+               CAST(length(o_orderpriority) AS INT) AS pri_len
+        FROM orders
+    """,
+    "q_json_funcs": """
+        SELECT event_id, event_type,
+               CAST(json_extract_string(props, '$.k') AS INT) AS k,
+               CAST(json_extract_string(props, '$.k') AS INT) % 7 AS k_mod7,
+               CAST(json_extract_string(props, '$.k') AS INT) >= 50 AS k_high
+        FROM events
+    """,
+    "q_array_map_funcs": """
+        SELECT vec_id, label,
+               CAST(len(embedding) AS INT) AS dim,
+               round(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 4) AS l2_norm,
+               round(list_sum(embedding::DOUBLE[]), 4) AS vec_sum,
+               round(CAST(list_max(embedding) AS DOUBLE), 4) AS vec_max
+        FROM embeddings
+    """,
+}

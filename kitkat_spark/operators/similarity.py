@@ -1,0 +1,191 @@
+"""Embedding similarity search (SURVEY.md §2.B, M4).
+
+- q_similarity_search: brute-force cosine top-k for a small query set.
+  Normalize-once: each side's L2 norm is computed once per vector, the join
+  carries only (id, vec, norm). Queries are broadcast (tiny side), so the
+  big side is NEVER shuffled — at 100 TB this is a single map-side pass over
+  the embedding table. Per-query top-k via window rank.
+- q_embedding_near_dup: all-pairs cosine >= threshold with *blocking* on the
+  label column — the join key is (label), so candidate pairs only form within
+  a block. This is the IVF idea: at 100 TB, label is replaced by a coarse
+  quantizer cell id (q_ann_ivf below uses a random-hyperplane LSH bucket).
+- q_ann_ivf: LSH-bucketed ANN — sign-bit bucket from fixed random hyperplanes
+  (deterministic seed), probe = query's own bucket. Rows-only check
+  (bucketing is engine-specific); recall is traded for a bucket-local join.
+
+All vector math is codegen'd higher-order functions (functions/vectors.py);
+doubles all the way so the DuckDB oracle matches bit-for-bit after round().
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from kitkat_spark.functions.vectors import dot, norm2
+from kitkat_spark.sources import load_table
+
+TOP_K = 10
+N_QUERIES = 5
+NEAR_DUP_COSINE = 0.35
+LSH_PLANES = 8
+
+
+def _with_norm(df: DataFrame) -> DataFrame:
+    return df.select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    ).withColumn("nrm", norm2(F.col("v")))
+
+
+def q_similarity_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 cosine neighbors for query vectors vec_id < 5 (excluding self)."""
+    emb = _with_norm(load_table(spark, sf_dir, "embeddings"))
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
+    )
+    cand = emb.select(F.col("vec_id").alias("cand_id"), "v", "nrm")
+    scored = (
+        cand.join(F.broadcast(queries), F.col("cand_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            F.round(dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm")), 6).alias(
+                "cosine"
+            ),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), "cand_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+        .select("query_id", "cand_id", "cosine", "rk")
+    )
+
+
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked all-pairs near-dup: pairs within the same label block whose
+    cosine >= 0.35. Join key = label -> no unblocked N^2."""
+    emb = _with_norm(load_table(spark, sf_dir, "embeddings"))
+    a = emb.select(
+        F.col("label").alias("blk"), F.col("vec_id").alias("vec_a"),
+        F.col("v").alias("va"), F.col("nrm").alias("na"),
+    )
+    b = emb.select(
+        F.col("label").alias("blk"), F.col("vec_id").alias("vec_b"),
+        F.col("v").alias("vb"), F.col("nrm").alias("nb"),
+    )
+    pairs = (
+        a.join(b, ["blk"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select(
+            F.col("blk").alias("label"),
+            "vec_a",
+            "vec_b",
+            F.round(dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6).alias(
+                "cosine"
+            ),
+        )
+    )
+    return pairs.filter(F.col("cosine") >= NEAR_DUP_COSINE)
+
+
+def _lsh_bucket(v, planes: int = LSH_PLANES):
+    """Sign-bit bucket id from deterministic pseudo-random hyperplanes.
+
+    Plane p's component j is a hash-derived value in [-1, 1) — reproducible
+    on any executor with zero data movement (no fitted model to ship).
+    """
+    comps = [
+        F.aggregate(
+            F.zip_with(
+                v,
+                F.transform(
+                    F.sequence(F.lit(0), F.size(v) - 1),
+                    lambda j: (
+                        F.pmod(F.xxhash64(F.concat_ws("_", F.lit(str(p)), j.cast("string"))), F.lit(2000003))
+                        / F.lit(1000001.5)
+                        - F.lit(1.0)
+                    ),
+                ),
+                lambda x, r: x * r,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        for p in range(planes)
+    ]
+    bucket = F.lit(0).cast("long")
+    for i, c in enumerate(comps):
+        bucket = bucket + F.when(c > 0, F.lit(1 << i).cast("long")).otherwise(0)
+    return bucket
+
+
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF/LSH-bucketed ANN top-k: rank only within the query's bucket.
+
+    The bucket id is the shuffle key; each bucket's candidate list is small
+    and independent — the 100 TB layout (write embeddings partitioned by
+    bucket; queries probe 1..n_probe buckets). Rows-only check.
+    """
+    emb = _with_norm(load_table(spark, sf_dir, "embeddings")).withColumn(
+        "bucket", _lsh_bucket(F.col("v"))
+    )
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+        "bucket",
+    )
+    cand = emb.select(F.col("vec_id").alias("cand_id"), "v", "nrm", "bucket")
+    scored = (
+        cand.join(F.broadcast(queries), "bucket")
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            F.round(dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm")), 6).alias(
+                "cosine"
+            ),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), "cand_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+        .select("query_id", "cand_id", "cosine", "rk")
+    )
+
+
+ORACLE: dict[str, str] = {
+    "q_similarity_search": """
+        WITH e AS (
+            SELECT vec_id, label, embedding::DOUBLE[] AS v,
+                   sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+            FROM embeddings
+        ), scored AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+                   round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) AS cosine
+            FROM e q JOIN e c ON c.vec_id <> q.vec_id
+            WHERE q.vec_id < 5
+        )
+        SELECT query_id, cand_id, cosine, rk FROM (
+            SELECT *, CAST(row_number() OVER (
+                PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS INT) AS rk
+            FROM scored
+        ) WHERE rk <= 10
+    """,
+    "q_embedding_near_dup": """
+        WITH e AS (
+            SELECT vec_id, label, embedding::DOUBLE[] AS v,
+                   sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+            FROM embeddings
+        )
+        SELECT a.label AS label, a.vec_id AS vec_a, b.vec_id AS vec_b,
+               round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cosine
+        FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= 0.35
+    """,
+    # q_ann_ivf: rows-only (bucketing layout is engine-specific)
+}

@@ -1,0 +1,142 @@
+"""Temporal / windowed operators (SURVEY.md §2.B, M2).
+
+Batch analogs of the streaming surface so the DuckDB oracle can verify them;
+the true streaming versions (watermarks, session_window state) live in
+kitkat_spark/streaming/ and share these column expressions.
+
+Scale notes:
+- Tumbling/sliding aggregation is a single hash-agg shuffle keyed by
+  (bucket, group) — bucket count grows with time range, keeping keys
+  well-distributed. In streaming the same aggregation runs incrementally
+  against the state store.
+- Sliding windows expand each row into duration/slide buckets (4x here)
+  BEFORE the shuffle — the expansion is map-side, no extra pass.
+- Sessionization batch analog is the gap-and-island pattern: one shuffle on
+  user_id, two window passes over the same sort. Streaming equivalent:
+  session_window + watermark (state-store backed, RocksDB at scale).
+- Timestamps are truncated to seconds at the output edge only (parquet holds
+  ns; Spark reads µs — see FIXTURES.md).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from kitkat_spark.sources import load_table
+
+SESSION_GAP_MINUTES = 30
+
+
+def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour tumbling event counts per type (epoch-aligned, matches
+    date_trunc). Streaming twin: streaming/consumer.py windowed_counts."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour window sliding every 15 min: each event lands in 4 buckets."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+    )
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-and-island sessionization (30-min inactivity gap) per user.
+
+    new_session = ts - lag(ts) > gap; session_id = running sum of flags.
+    Both window passes share one shuffle+sort on (user_id, ts).
+    """
+    events = load_table(spark, sf_dir, "events")
+    order = [F.col("ts"), F.col("event_id")]
+    w = W.partitionBy("user_id").orderBy(*order)
+    gap = F.col("ts").cast("double") - F.lag(F.col("ts").cast("double"), 1).over(w)
+    flagged = events.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        F.when(gap.isNull() | (gap > SESSION_GAP_MINUTES * 60), 1).otherwise(0).alias("is_new"),
+    )
+    sessions = flagged.withColumn(
+        "session_id",
+        F.sum("is_new").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    )
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.date_trunc("second", F.min("ts")).alias("session_start"),
+        F.round(F.max(F.col("ts").cast("double")) - F.min(F.col("ts").cast("double")), 0).alias(
+            "duration_s"
+        ),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+def q_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact content dedup: group-by-content keeping min key. Streaming twin:
+    dropDuplicatesWithinWatermark (state-store backed)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("text").agg(
+        F.min("doc_id").alias("keep_id"),
+        F.count("*").alias("n_copies"),
+    ).select("keep_id", "n_copies")
+
+
+ORACLE: dict[str, str] = {
+    "q_stream_tumbling": """
+        SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+               event_type,
+               count(*) AS n_events,
+               round(sum(value), 2) AS sum_value
+        FROM events
+        GROUP BY 1, 2
+    """,
+    "q_stream_sliding": """
+        SELECT CAST(time_bucket(INTERVAL 15 MINUTE, ts) - k * INTERVAL 15 MINUTE AS TIMESTAMP)
+                   AS window_start,
+               event_type,
+               count(*) AS n_events
+        FROM events, (SELECT unnest(generate_series(0, 3)) AS k)
+        GROUP BY 1, 2
+    """,
+    "q_sessionize": """
+        WITH flagged AS (
+            SELECT user_id, ts, event_id, value,
+                   CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) IS NULL
+                         OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                        THEN 1 ELSE 0 END AS is_new
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), sessions AS (
+            SELECT *, sum(is_new) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+            FROM flagged
+        )
+        SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+               count(*) AS n_events,
+               CAST(date_trunc('second', min(ts)) AS TIMESTAMP) AS session_start,
+               round(epoch(max(ts)) - epoch(min(ts)), 0) AS duration_s,
+               round(sum(value), 2) AS sum_value
+        FROM sessions
+        GROUP BY user_id, session_id
+    """,
+    "q_dedup": """
+        SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+        FROM documents
+        GROUP BY text
+    """,
+}

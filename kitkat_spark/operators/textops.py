@@ -1,0 +1,199 @@
+"""Text-analysis operators over documents (SURVEY.md §2.B, M4).
+
+All pure column expressions (codegen'd built-ins — split/regexp/md5); zero
+Python UDFs, so these run at full JVM speed and scale as embarrassingly
+parallel map + one small aggregation. Regex patterns are chosen to mean the
+same thing in Java regex (Spark) and RE2 (DuckDB).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kitkat_spark.functions.text import fingerprint_md5, tokens
+from kitkat_spark.sources import load_table
+
+# BPE-ish word/punct tokenizer: runs of alphanumerics OR single non-space symbol
+TOKEN_RE = r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"
+STOP_RE = r"\b(the|a|of|and|is|to|in)\b"
+LANG_WORDS = {
+    "en": r"\b(the|a|of|and)\b",
+    "fr": r"\b(le|la|et|de)\b",
+    "de": r"\b(der|die|und|das)\b",
+}
+
+
+def q_text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus stats per (lang, source): doc counts, token/char averages."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    return (
+        docs.select(
+            "lang",
+            "source",
+            "n_chars",
+            F.size(toks).alias("n_tok"),
+            F.size(F.array_distinct(toks)).alias("n_uniq"),
+        )
+        .groupBy("lang", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("n_tok"), 4).alias("avg_tokens"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+            F.round(F.avg(F.col("n_uniq") / F.col("n_tok")), 4).alias("avg_ttr"),
+        )
+    )
+
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc token counts: whitespace split + BPE-ish regex tokenizer."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(tokens(F.col("text"))).alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(TOKEN_RE), F.lit(0))).alias("n_re_tokens"),
+        F.length("text").alias("n_chars_actual"),
+    )
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-hit language ID (deterministic n-gram heuristic)."""
+    docs = load_table(spark, sf_dir, "documents")
+    scores = {
+        lang: F.size(F.regexp_extract_all(F.col("text"), F.lit(pat), F.lit(0)))
+        for lang, pat in LANG_WORDS.items()
+    }
+    pred = (
+        F.when((scores["en"] >= scores["fr"]) & (scores["en"] >= scores["de"]), "en")
+        .when(scores["fr"] >= scores["de"], "fr")
+        .otherwise("de")
+    )
+    return docs.select(
+        "doc_id",
+        scores["en"].alias("score_en"),
+        scores["fr"].alias("score_fr"),
+        scores["de"].alias("score_de"),
+        pred.alias("pred_lang"),
+    )
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality: type-token ratio + stopword balance + length band."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n_tok = F.size(toks)
+    ttr = F.size(F.array_distinct(toks)) / n_tok
+    stop_ratio = F.size(F.regexp_extract_all(F.col("text"), F.lit(STOP_RE), F.lit(0))) / n_tok
+    len_ok = F.when((n_tok >= 20) & (n_tok <= 1000), 1.0).otherwise(0.5)
+    # NOTE: no rounding here — every value is a per-row function of integers,
+    # so Spark and DuckDB compute bit-identical doubles; round() would
+    # *introduce* mismatches (HALF_UP on shortest-repr vs C round on binary)
+    # for ratios like 0.72125 that land exactly on a half boundary.
+    return docs.select(
+        "doc_id",
+        n_tok.alias("n_tok"),
+        ttr.alias("ttr"),
+        stop_ratio.alias("stop_ratio"),
+        (F.lit(0.4) * ttr + F.lit(0.3) * (1 - stop_ratio) + F.lit(0.3) * len_ok).alias("quality"),
+    )
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace-normalized md5 content fingerprint + per-fingerprint rank."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", fingerprint_md5(F.col("text")).alias("fp"))
+
+
+def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal record assembly: text metadata + embedding joined into one
+    row (flat projection of the struct for oracle comparability)."""
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    bundle = (
+        docs.join(emb, docs.doc_id == emb.vec_id, "inner")
+        .select(
+            F.struct(
+                F.col("doc_id"),
+                F.col("lang"),
+                F.col("n_chars"),
+                F.col("label"),
+                F.size("embedding").alias("dim"),
+            ).alias("rec")
+        )
+    )
+    return bundle.select(
+        F.col("rec.doc_id").alias("doc_id"),
+        F.col("rec.lang").alias("lang"),
+        F.col("rec.n_chars").alias("n_chars"),
+        F.col("rec.label").alias("label"),
+        F.col("rec.dim").alias("dim"),
+    )
+
+
+ORACLE: dict[str, str] = {
+    "q_text_analysis": """
+        WITH d AS (
+            SELECT lang, source, n_chars,
+                   len(string_split(text, ' ')) AS n_tok,
+                   len(list_distinct(string_split(text, ' '))) AS n_uniq
+            FROM documents
+        )
+        SELECT lang, source,
+               count(*) AS n_docs,
+               round(avg(n_tok), 4) AS avg_tokens,
+               round(avg(n_chars), 4) AS avg_chars,
+               round(avg(n_uniq * 1.0 / n_tok), 4) AS avg_ttr
+        FROM d GROUP BY lang, source
+    """,
+    "q_token_count": """
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS INT) AS n_ws_tokens,
+               CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) AS INT)
+                   AS n_re_tokens,
+               CAST(length(text) AS INT) AS n_chars_actual
+        FROM documents
+    """,
+    "q_lang_id": """
+        WITH s AS (
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text, '\\b(the|a|of|and)\\b')) AS INT) AS score_en,
+                   CAST(len(regexp_extract_all(text, '\\b(le|la|et|de)\\b')) AS INT) AS score_fr,
+                   CAST(len(regexp_extract_all(text, '\\b(der|die|und|das)\\b')) AS INT) AS score_de
+            FROM documents
+        )
+        SELECT doc_id, score_en, score_fr, score_de,
+               CASE WHEN score_en >= score_fr AND score_en >= score_de THEN 'en'
+                    WHEN score_fr >= score_de THEN 'fr'
+                    ELSE 'de' END AS pred_lang
+        FROM s
+    """,
+    "q_quality_score": """
+        WITH d AS (
+            SELECT doc_id,
+                   len(string_split(text, ' ')) AS n_tok,
+                   len(list_distinct(string_split(text, ' '))) * 1.0
+                       / len(string_split(text, ' ')) AS ttr,
+                   len(regexp_extract_all(text, '\\b(the|a|of|and|is|to|in)\\b')) * 1.0
+                       / len(string_split(text, ' ')) AS stop_ratio
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(n_tok AS INT) AS n_tok,
+               ttr,
+               stop_ratio,
+               0.4 * ttr + 0.3 * (1 - stop_ratio)
+                     + 0.3 * (CASE WHEN n_tok BETWEEN 20 AND 1000 THEN 1.0 ELSE 0.5 END)
+                   AS quality
+        FROM d
+    """,
+    "q_fingerprint": """
+        SELECT doc_id, md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp
+        FROM documents
+    """,
+    "q_multimodal": """
+        SELECT doc_id, lang, n_chars, label,
+               CAST(len(embedding) AS INT) AS dim
+        FROM documents JOIN embeddings ON doc_id = vec_id
+    """,
+}
