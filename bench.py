@@ -1,0 +1,83 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Per BASELINE.md the reference publishes no numbers; the engine target is
+"within 2x of baseline at the same sf" where baseline is the driver's
+recorded envelope. We report wall seconds per query (count() to force full
+execution without driver-side result transfer dominating).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from kitkat_spark.queries import QUERIES  # noqa: E402
+from kitkat_spark.session import get_spark  # noqa: E402
+
+# Headline set: one per operator family (scan, joins, agg, window, temporal,
+# dedup families, similarity, text, payload codecs).
+HEADLINE = [
+    "q_scan_filter",
+    "q_hash_join",
+    "q_broadcast_join",
+    "q_range_join",
+    "q_agg_group",
+    "q_rollup_cube",
+    "q_window_rank",
+    "q_sort_limit",
+    "q_stream_tumbling",
+    "q_stream_sliding",
+    "q_sessionize",
+    "q_dedup",
+    "q_ngram_jaccard",
+    "q_near_dedup",
+    "q_simhash",
+    "q_similarity_search",
+    "q_ann_ivf",
+    "q_text_analysis",
+    "q_token_count",
+    "q_kpl_deagg",
+    "q_zlib",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark(app_name="kitkat_spark_bench")
+
+    # warm the JVM + parquet footers once so per-query numbers measure the
+    # query, not session startup
+    QUERIES["q_scan_filter"](spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        QUERIES[name](spark, sf_dir).count()
+        timings[name] = round(time.time() - t0, 3)
+
+    out = {
+        "metric": "headline_query_wall_seconds",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf),
+        "conf": {
+            "master": spark.sparkContext.master,
+            "shuffle_partitions": spark.conf.get("spark.sql.shuffle.partitions"),
+            "aqe": spark.conf.get("spark.sql.adaptive.enabled"),
+        },
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

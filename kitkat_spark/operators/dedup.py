@@ -40,13 +40,42 @@ MINHASH_K = 32
 LSH_BANDS = 8
 LSH_ROWS = 4
 SIMHASH_MAX_HAMMING = 3
+
+
+import numpy as np  # noqa: E402
+import pandas as pd  # noqa: E402
+from pyspark.sql import types as T  # noqa: E402
+
+
+@F.pandas_udf(T.LongType())
+def _simhash_pack_udf(token_hashes: pd.Series) -> pd.Series:
+    """64-bit SimHash from an array of token hashes: per bit i, vote +-1 by
+    hash bit i; sign of the vote sum becomes fingerprint bit i."""
+    shifts = np.arange(64, dtype=np.uint64)
+
+    def one(h) -> int:
+        if h is None or len(h) == 0:
+            return 0
+        hv = np.asarray(h, dtype=np.int64).astype(np.uint64)[:, None]
+        bits = ((hv >> shifts[None, :]) & np.uint64(1)).astype(np.int64) * 2 - 1
+        on = bits.sum(axis=0) > 0
+        packed = (on.astype(np.uint64) << shifts).sum(dtype=np.uint64)
+        v = int(packed)
+        return v - (1 << 64) if v >= (1 << 63) else v
+
+    return token_hashes.map(one)
 # Drop shingles appearing in more than this many docs (hot-key guard). Chosen
 # high enough that the fixture's real near-dups all survive.
 DF_CAP = 50
 
 
 def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    # The fixture is one parquet file -> one input partition; shingling and
+    # hashing are CPU-bound, so fan out to full parallelism first. On a real
+    # cluster the scan is already many partitions and this is a cheap no-op
+    # rebalance of the narrow map stage.
+    par = spark.sparkContext.defaultParallelism
+    docs = load_table(spark, sf_dir, "documents").repartition(par)
     return docs.select(
         "doc_id", word_shingles(tokens(F.col("text")), SHINGLE_N).alias("shingles")
     ).filter(F.size("shingles") > 0)
@@ -56,7 +85,11 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard pairs >= 0.8 via inverted-index join (no N^2)."""
     sh = _shingled(spark, sf_dir)
     counts = sh.select("doc_id", F.size("shingles").alias("n_sh"))
-    inv = sh.select("doc_id", F.explode("shingles").alias("s"))
+    # inverted index hash-partitioned on the shingle: the self-join and the
+    # DF-cap aggregation both key on s, so they reuse this one shuffle
+    inv = sh.select("doc_id", F.explode("shingles").alias("s")).repartition(
+        spark.sparkContext.defaultParallelism, "s"
+    )
     # hot-shingle guard: document frequency cap
     hot = inv.groupBy("s").agg(F.count("*").alias("df")).filter(F.col("df") > DF_CAP)
     inv = inv.join(F.broadcast(hot), "s", "left_anti")
@@ -139,29 +172,19 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     +-1; sign of the summed vote is bit i of the fingerprint. The vote
     aggregation is a single groupBy(doc_id) over codegen'd array math.
     """
-    docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id", F.explode(F.array_distinct(tokens(F.col("text")))).alias("tok")
-    ).withColumn("h", F.xxhash64("tok"))
-    # per-token vote vector: array[64] of +-1 from the hash bits
-    votes = toks.select(
+    par = spark.sparkContext.defaultParallelism
+    docs = load_table(spark, sf_dir, "documents").repartition(par)
+    # token hashing stays JVM-side; the 64-bit vote/pack is a vectorized
+    # numpy pandas-UDF per doc (an exploded groupBy(doc_id, bit) equivalent
+    # benchmarked 8 s at sf0.1 for pure shuffle overhead; this is <1 s and
+    # shuffle-free — simhash becomes a narrow map)
+    hashed = docs.select(
         "doc_id",
-        F.expr(
-            "transform(sequence(0, 63), i -> CAST(shiftright(h, i) & 1L AS INT) * 2 - 1)"
-        ).alias("v"),
+        F.transform(
+            F.array_distinct(tokens(F.col("text"))), lambda t: F.xxhash64(t)
+        ).alias("th"),
     )
-    summed = (
-        votes.select("doc_id", F.posexplode("v").alias("bit", "vote"))
-        .groupBy("doc_id", "bit")
-        .agg(F.sum("vote").alias("total"))
-        .groupBy("doc_id")
-        .agg(
-            F.sum(
-                F.when(F.col("total") > 0, F.expr("shiftleft(1L, bit)"))
-                .otherwise(F.lit(0).cast("long"))
-            ).alias("simhash")
-        )
-    )
+    summed = hashed.select("doc_id", _simhash_pack_udf(F.col("th")).alias("simhash"))
     bands = summed.select(
         "doc_id",
         "simhash",

@@ -91,35 +91,31 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.filter(F.col("cosine") >= NEAR_DUP_COSINE)
 
 
-def _lsh_bucket(v, planes: int = LSH_PLANES):
-    """Sign-bit bucket id from deterministic pseudo-random hyperplanes.
+import numpy as np  # noqa: E402
+import pandas as pd  # noqa: E402
+from pyspark.sql import types as T  # noqa: E402
 
-    Plane p's component j is a hash-derived value in [-1, 1) — reproducible
-    on any executor with zero data movement (no fitted model to ship).
-    """
-    comps = [
-        F.aggregate(
-            F.zip_with(
-                v,
-                F.transform(
-                    F.sequence(F.lit(0), F.size(v) - 1),
-                    lambda j: (
-                        F.pmod(F.xxhash64(F.concat_ws("_", F.lit(str(p)), j.cast("string"))), F.lit(2000003))
-                        / F.lit(1000001.5)
-                        - F.lit(1.0)
-                    ),
-                ),
-                lambda x, r: x * r,
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        for p in range(planes)
-    ]
-    bucket = F.lit(0).cast("long")
-    for i, c in enumerate(comps):
-        bucket = bucket + F.when(c > 0, F.lit(1 << i).cast("long")).otherwise(0)
-    return bucket
+
+@F.pandas_udf(T.LongType())
+def _lsh_bucket_udf(vectors: pd.Series) -> pd.Series:
+    """Sign-bit bucket id from deterministic random hyperplanes (seeded numpy;
+    identical on every executor — no fitted model to ship). Vectorized over
+    the Arrow batch: one matmul per batch."""
+    state: dict[int, np.ndarray] = {}
+
+    def planes_for(dim: int) -> np.ndarray:
+        if dim not in state:
+            state[dim] = np.random.default_rng(2024).standard_normal((dim, LSH_PLANES))
+        return state[dim]
+
+    def one(v) -> int:
+        if v is None or len(v) == 0:
+            return 0
+        arr = np.asarray(v, dtype=np.float64)
+        signs = (arr @ planes_for(len(arr))) > 0
+        return int((signs.astype(np.uint64) << np.arange(LSH_PLANES, dtype=np.uint64)).sum())
+
+    return vectors.map(one)
 
 
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -130,7 +126,7 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket; queries probe 1..n_probe buckets). Rows-only check.
     """
     emb = _with_norm(load_table(spark, sf_dir, "embeddings")).withColumn(
-        "bucket", _lsh_bucket(F.col("v"))
+        "bucket", _lsh_bucket_udf(F.col("v"))
     )
     queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
