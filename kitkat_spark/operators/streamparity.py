@@ -1,0 +1,145 @@
+"""Batch-analog queries for the kitkat streaming-parity surface (§2.A).
+
+The streaming module (kitkat_spark/streaming/) is pure transforms, so the
+SAME pipeline code runs here over batch record fixtures and gets oracle- or
+rows-only-checked by the driver:
+
+- q_consume_plain: plain-record consume (P2 ts-format + P3 single-newline
+  trim + P4 verbose projection) — fully SQL-expressible, DuckDB-oracled.
+- q_consume_pipeline: the full EP2 dataflow over a mixed stream of KPL
+  aggregates and plain records (X1 deagg + F2 predicate + inheritance +
+  render). Protobuf has no DuckDB twin -> rows-only; expected rows =
+  2*count(events) - 5 (one corrupt blob drops its 5 inner records).
+- q_shard_status: A1 conditional aggregation over a shard fixture derived
+  from events (active vs closed shard counts) — oracled.
+
+Scale: fixtures are narrow maps over events; the consume pipeline itself is
+shuffle-free (see streaming/pipeline.py docstring).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kitkat_spark.operators.payloads import build_kpl_blobs
+from kitkat_spark.sources import load_table
+from kitkat_spark.streaming.consumer import ConsumeOptions, consume
+from kitkat_spark.streaming.pipeline import consume_transform
+
+N_SHARD_BUCKETS = 16
+STREAM = "events-replay"
+
+
+def build_plain_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events -> record-schema rows; payload carries a trailing newline so
+    the P3 trim-exactly-one semantics are actually exercised."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        F.concat(F.col("event_type"), F.lit(":"), F.col("event_id").cast("string"), F.lit("\n"))
+        .cast("binary")
+        .alias("data"),
+        F.concat(F.lit("user-"), F.col("user_id").cast("string")).alias("partitionKey"),
+        F.col("event_id").cast("string").alias("sequenceNumber"),
+        F.col("ts").alias("approximateArrivalTimestamp"),
+        F.concat(
+            F.lit("shardId-"),
+            F.lpad(F.pmod(F.col("user_id"), F.lit(8)).cast("string"), 12, "0"),
+        ).alias("shardId"),
+        F.lit(STREAM).alias("streamName"),
+        F.lit("NONE").alias("encryptionType"),
+    )
+
+
+def build_kpl_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KPL blobs wrapped as outer records (what the wire actually carries);
+    outer metadata is deterministic per blob so inheritance is testable."""
+    blobs = build_kpl_blobs(spark, sf_dir)
+    return blobs.select(
+        F.col("blob").alias("data"),
+        F.concat(F.lit("agg-"), F.col("blob_id").cast("string")).alias("partitionKey"),
+        F.concat(F.lit("seq-"), F.col("blob_id").cast("string")).alias("sequenceNumber"),
+        F.expr("timestamp_micros(cast(1500000000000000 + blob_id * 1000000 as long))").alias(
+            "approximateArrivalTimestamp"
+        ),
+        F.concat(
+            F.lit("shardId-"),
+            F.lpad(F.pmod(F.col("blob_id"), F.lit(8)).cast("string"), 12, "0"),
+        ).alias("shardId"),
+        F.lit(STREAM).alias("streamName"),
+        F.lit("NONE").alias("encryptionType"),
+    )
+
+
+def q_consume_plain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plain-record consume pipeline, verbose projection (P2+P3+P4)."""
+    recs = build_plain_records(spark, sf_dir)
+    return consume([recs], ConsumeOptions(position="trim_horizon", verbose=True))
+
+
+def q_consume_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full EP2: mixed KPL + plain stream, deagg + render (rows-only)."""
+    mixed = [build_kpl_records(spark, sf_dir), build_plain_records(spark, sf_dir)]
+    return consume(mixed, ConsumeOptions(position="trim_horizon", verbose=True))
+
+
+def q_consume_since(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3/F4 AT_TIMESTAMP positioning on replay: event-time lower bound."""
+    recs = build_plain_records(spark, sf_dir)
+    return consume(
+        [recs],
+        ConsumeOptions(position="at_timestamp", since="2024-03-01T00:00:00Z", verbose=False),
+    )
+
+
+def build_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard fixture: one shard per user-id bucket; odd buckets are closed
+    (non-null ending sequence number), mirroring resharded-stream state."""
+    ev = load_table(spark, sf_dir, "events")
+    buckets = ev.select(F.pmod(F.col("user_id"), F.lit(N_SHARD_BUCKETS)).alias("bucket")).distinct()
+    return buckets.select(
+        F.concat(F.lit("shardId-"), F.lpad(F.col("bucket").cast("string"), 12, "0")).alias(
+            "shard_id"
+        ),
+        F.lit("0").alias("starting_sequence_number"),
+        F.when(F.pmod(F.col("bucket"), F.lit(2)) == 1, F.concat(F.lit("end-"), F.col("bucket").cast("string")))
+        .otherwise(F.lit(None).cast("string"))
+        .alias("ending_sequence_number"),
+    )
+
+
+def q_shard_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1: active/closed shard counts via conditional aggregation."""
+    shards = build_shards(spark, sf_dir)
+    return shards.agg(
+        F.sum(F.when(F.col("ending_sequence_number").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("active_shards"),
+        F.sum(F.when(F.col("ending_sequence_number").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("closed_shards"),
+    )
+
+
+ORACLE: dict[str, str] = {
+    "q_consume_plain": f"""
+        SELECT strftime(ts, '%Y-%m-%d %H:%M:%S') AS timestamp,
+               '{STREAM}' AS stream,
+               'shardId-' || lpad(CAST(user_id % 8 AS VARCHAR), 12, '0') AS shard_id,
+               CAST(event_id AS VARCHAR) AS sequence_number,
+               event_type || ':' || CAST(event_id AS VARCHAR) AS message
+        FROM events
+    """,
+    "q_consume_since": """
+        SELECT strftime(ts, '%Y-%m-%d %H:%M:%S') AS timestamp,
+               event_type || ':' || CAST(event_id AS VARCHAR) AS message
+        FROM events
+        WHERE ts >= TIMESTAMP '2024-03-01 00:00:00'
+    """,
+    "q_shard_status": f"""
+        SELECT CAST(sum(CASE WHEN bucket % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS active_shards,
+               CAST(sum(CASE WHEN bucket % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS closed_shards
+        FROM (SELECT DISTINCT user_id % {N_SHARD_BUCKETS} AS bucket FROM events)
+    """,
+    # q_consume_pipeline: rows-only (protobuf deagg has no DuckDB twin)
+}

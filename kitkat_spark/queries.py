@@ -18,11 +18,21 @@ from kitkat_spark.operators import (
     payloads,
     relational,
     similarity,
+    streamparity,
     temporal,
     textops,
 )
 
-_MODULES = (relational, temporal, dedup, similarity, textops, payloads, multimodal)
+_MODULES = (
+    relational,
+    temporal,
+    dedup,
+    similarity,
+    textops,
+    payloads,
+    multimodal,
+    streamparity,
+)
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}

@@ -1,0 +1,130 @@
+"""Producer entry point: line stream -> keyed records -> Kinesis-style sink.
+
+Rebuilds ``kitkat produce`` (EP1, SURVEY.md §3) on Structured Streaming:
+
+- stdin line source (S1, producer/producer.go:30-36) ->
+  ``readStream.format("text")`` (one row per line); batch analog ``read.text``
+- partition-key assignment (P1, producer.go:54-71) -> constant ``--key`` or a
+  random 32-hex-char key per record (the reference draws 16 random bytes and
+  hex-encodes them; ``uuid()`` minus dashes is the same 16-byte entropy,
+  generated JVM-side with no Python hop)
+- Kinesis sink (K1, producer.go:38-52) -> ``foreachBatch`` handing each
+  micro-batch to a ``put_records`` callable: boto3 in production, an
+  injectable fake in tests (the same seam the reference's mockKinesis
+  provides, consumer_test.go:20-37)
+- per-record error skip (E1, producer.go:44-46) and ack projection
+  (E2, producer.go:47-50) live inside the sink callable
+
+Scale: key assignment is a narrow JVM-side projection. The sink batches
+per-partition (foreachPartition inside foreachBatch) — unlike the reference's
+one synchronous PutRecord per line, each task ships up-to-500-record
+PutRecords calls, the public API's max batch size.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Iterable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+PUT_BATCH_MAX = 500  # public PutRecords limit
+
+
+def line_source(spark: SparkSession, path: str) -> DataFrame:
+    """S1: newline-delimited text, one record per line."""
+    return spark.readStream.format("text").load(path)
+
+
+def assign_partition_key(df: DataFrame, key: str | None = None, line_col: str = "value") -> DataFrame:
+    """P1: constant key if given, else random 16-byte hex per record."""
+    key_col = F.lit(key) if key is not None else F.expr("replace(uuid(), '-', '')")
+    return df.select(F.col(line_col).alias("line"), key_col.alias("partitionKey"))
+
+
+# put_records callable contract: [(partition_key, data_bytes)] -> [(shard_id,
+# sequence_number)] acks. Exceptions per batch are logged and skipped (E1).
+PutRecordsFn = Callable[[list[tuple[str, bytes]]], list[tuple[str, str]]]
+
+
+def kinesis_put_records(stream_name: str, region: str | None = None) -> PutRecordsFn:
+    """Production sink callable, gated on boto3 (absent in this container)."""
+    try:
+        import boto3  # type: ignore[import-not-found]
+    except ImportError as exc:  # pragma: no cover
+        raise NotImplementedError(
+            "boto3 unavailable; inject your own PutRecordsFn (tests do)"
+        ) from exc
+    client = boto3.client("kinesis", region_name=region)  # pragma: no cover
+
+    def put(batch: list[tuple[str, bytes]]) -> list[tuple[str, str]]:  # pragma: no cover
+        resp = client.put_records(
+            StreamName=stream_name,
+            Records=[{"PartitionKey": k, "Data": d} for k, d in batch],
+        )
+        return [
+            (r.get("ShardId", ""), r.get("SequenceNumber", ""))
+            for r in resp["Records"]
+        ]
+
+    return put
+
+
+def _sink_batch(pdf_iter: Iterable, put: PutRecordsFn, verbose: bool) -> list[tuple[str, str]]:
+    """Ship one partition's rows in <=500-record batches; E1: an error in one
+    batch is swallowed (logged) and the loop continues; E2: acks returned."""
+    acks: list[tuple[str, str]] = []
+    batch: list[tuple[str, bytes]] = []
+
+    def flush() -> None:
+        if not batch:
+            return
+        try:
+            result = put(list(batch))
+            if verbose:
+                acks.extend(result)
+        except Exception as exc:  # noqa: BLE001 - E1 semantics: log + continue
+            print(f"put_records failed ({len(batch)} records): {exc}")
+        batch.clear()
+
+    for row in pdf_iter:
+        batch.append((row.partitionKey, row.line.encode()))
+        if len(batch) >= PUT_BATCH_MAX:
+            flush()
+    flush()
+    return acks
+
+
+def produce(
+    lines: DataFrame,
+    put: PutRecordsFn,
+    key: str | None = None,
+    verbose: bool = False,
+    checkpoint: str | None = None,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """EP1 end-to-end: key assignment then foreachBatch sink.
+
+    ``put`` executes on the DRIVER per micro-batch here (collect of the batch)
+    would not scale — instead each partition ships its own batches via
+    ``foreachPartition``, so sink parallelism equals source partitioning.
+    """
+    keyed = assign_partition_key(lines, key)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.rdd.foreachPartition(lambda rows: _sink_batch(rows, put, verbose))
+
+    writer = keyed.writeStream.foreachBatch(sink).outputMode("append")
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()
+
+
+def produce_batch(lines: DataFrame, put: PutRecordsFn, key: str | None = None, verbose: bool = False) -> list[tuple[str, str]]:
+    """Batch analog of EP1 for tests/oracle: returns collected acks."""
+    keyed = assign_partition_key(lines, key)
+    acks_rdd = keyed.rdd.mapPartitions(lambda rows: _sink_batch(rows, put, verbose))
+    return [tuple(a) for a in acks_rdd.collect()]

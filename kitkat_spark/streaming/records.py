@@ -1,0 +1,117 @@
+"""Record/shard schemas + replay sources for the kitkat streaming surface.
+
+The unit of data is the Kinesis record (SURVEY.md §1.1): an opaque binary
+payload plus routing/ordering metadata. The schema below is exactly the one
+the Spark Kinesis connector exposes, so production swaps the replay source
+for ``spark.readStream.format("aws-kinesis")`` with zero transform changes
+(reference fields: /root/reference/consumer/consumer.go:183-188,202-205).
+
+Shards (stream partitions) carry lifecycle metadata: a shard with a non-null
+``ending_sequence_number`` is closed and must be skipped
+(consumer.go:116-118,121-123).
+
+Scale: 1 shard -> 1 source partition -> 1 task. The replay source reads a
+parquet directory; at 100 TB the directory is a partitioned table and the
+same ``readStream`` call fans out across every executor.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# One row per Kinesis record — connector-shaped (SURVEY.md §1.3 mapping table).
+RECORD_SCHEMA = T.StructType(
+    [
+        T.StructField("data", T.BinaryType()),
+        T.StructField("partitionKey", T.StringType()),
+        T.StructField("sequenceNumber", T.StringType()),
+        T.StructField("approximateArrivalTimestamp", T.TimestampType()),
+        T.StructField("shardId", T.StringType()),
+        T.StructField("streamName", T.StringType()),
+        T.StructField("encryptionType", T.StringType()),
+    ]
+)
+
+# DescribeStream shard entry (consumer.go:101-108).
+SHARD_SCHEMA = T.StructType(
+    [
+        T.StructField("shard_id", T.StringType()),
+        T.StructField("starting_sequence_number", T.StringType()),
+        T.StructField("ending_sequence_number", T.StringType()),  # null = open
+    ]
+)
+
+# DescribeStream stream-level metadata (consumer.go:75-81, 88-114).
+STREAM_META_SCHEMA = T.StructType(
+    [
+        T.StructField("stream_name", T.StringType()),
+        T.StructField("created_at", T.TimestampType()),
+        T.StructField("encryption_type", T.StringType()),
+        T.StructField("retention_hours", T.IntegerType()),
+    ]
+)
+
+
+def replay_stream(spark: SparkSession, path: str, max_files_per_trigger: int | None = None) -> DataFrame:
+    """Streaming scan of a record-parquet directory (the test substitute for
+    the Kinesis connector; SURVEY.md §2.A S2). ``maxFilesPerTrigger`` is the
+    replay analog of the reference's ``--limit`` fetch batching
+    (command/consume.go:26)."""
+    reader = spark.readStream.schema(RECORD_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.parquet(path)
+
+
+def batch_records(spark: SparkSession, path: str) -> DataFrame:
+    """Batch scan of the same record directory (oracle/bench path)."""
+    return spark.read.schema(RECORD_SCHEMA).parquet(path)
+
+
+def describe_stream_df(spark: SparkSession, stream_name: str, region: str | None = None) -> tuple[DataFrame, DataFrame]:
+    """S3: live Kinesis ``DescribeStream`` surfaced as (meta_df, shards_df).
+
+    Gated behind boto3 (not in this container); tests build the same-schema
+    DataFrames from fixtures instead.
+    """
+    try:
+        import boto3  # type: ignore[import-not-found]
+    except ImportError as exc:  # pragma: no cover - container has no boto3
+        raise NotImplementedError(
+            "boto3 is unavailable; construct meta/shard DataFrames with "
+            "SHARD_SCHEMA/STREAM_META_SCHEMA from your own DescribeStream call"
+        ) from exc
+    client = boto3.client("kinesis", region_name=region)  # pragma: no cover
+    desc = client.describe_stream(StreamName=stream_name)["StreamDescription"]
+    meta = spark.createDataFrame(
+        [
+            (
+                desc["StreamName"],
+                desc["StreamCreationTimestamp"],
+                desc.get("EncryptionType", "NONE"),
+                desc["RetentionPeriodHours"],
+            )
+        ],
+        STREAM_META_SCHEMA,
+    )
+    shards = spark.createDataFrame(
+        [
+            (
+                s["ShardId"],
+                s["SequenceNumberRange"]["StartingSequenceNumber"],
+                s["SequenceNumberRange"].get("EndingSequenceNumber"),
+            )
+            for s in desc["Shards"]
+        ],
+        SHARD_SCHEMA,
+    )
+    return meta, shards
+
+
+def open_shards(shards: DataFrame) -> DataFrame:
+    """F1 closed-shard filter: keep shards still accepting reads
+    (consumer.go:121-123). On the real connector this is source-level shard
+    management; expressed relationally it is a null-predicate partition prune."""
+    return shards.filter(F.col("ending_sequence_number").isNull())
