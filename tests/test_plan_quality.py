@@ -1,0 +1,91 @@
+"""Physical-plan assertions: the 100 TB checklist, enforced in CI.
+
+Correctness tests prove the small-SF answer; these prove the PLAN is the one
+you'd want on a 1000-executor cluster — filters reach the parquet scan,
+small dimensions broadcast, column pruning holds, and narrow pipelines pay
+zero shuffles. A regression here is a performance bug even if results match.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from kitkat_spark.plans import (
+    broadcast_join_count,
+    has_pushed_filters,
+    plan_facts,
+    shuffle_count,
+    wholestage_codegen_count,
+)
+from kitkat_spark.plans.explain import read_schema_columns
+from kitkat_spark.queries import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_scan_filter_pushdown_and_pruning(spark):
+    df = QUERIES["q_scan_filter"](spark, SF)
+    assert has_pushed_filters(df, "l_shipdate", "l_quantity")
+    # column pruning: the scan must not read all 16 lineitem columns
+    (cols,) = read_schema_columns(df)
+    assert len(cols) <= 6, f"scan reads too many columns: {cols}"
+    assert shuffle_count(df) == 0  # narrow pipeline: scan->filter->project
+
+
+def test_broadcast_join_uses_broadcast(spark):
+    df = QUERIES["q_broadcast_join"](spark, SF)
+    assert broadcast_join_count(df) >= 1
+    facts = plan_facts(df)
+    assert facts["sortmerge_joins"] == 0, "dim joins must not sort-merge"
+
+
+def test_hash_join_pushes_join_filters(spark):
+    df = QUERIES["q_hash_join"](spark, SF)
+    facts = plan_facts(df)
+    # orders⋈customer keys: IsNotNull pushed to both scans
+    assert any("custkey" in p.lower() for p in facts["pushed_filters"])
+
+
+def test_consume_pipeline_is_shuffle_free(spark):
+    """EP2 parity path: deagg+decompress+render must stay a narrow map —
+    1 shard -> 1 task with zero data movement (streaming/pipeline.py)."""
+    from kitkat_spark.streaming import ConsumeOptions, consume
+    from tests.test_streaming import _mk_records, _plain
+
+    records = _mk_records(spark, [_plain(b"x\n", seq="1")])
+    out = consume([records], ConsumeOptions(position="trim_horizon", verbose=True))
+    assert shuffle_count(out) == 0
+
+
+def test_agg_group_partial_aggregation(spark):
+    """Map-side combine: exactly one shuffle for a single groupBy, with
+    partial aggregation below the Exchange (the bit that makes a 100 TB
+    groupBy shuffle only one pre-aggregated row per key per task)."""
+    from kitkat_spark.plans.explain import explain_str
+
+    df = QUERIES["q_agg_group"](spark, SF)
+    assert shuffle_count(df) <= 1
+    assert "partial_sum" in explain_str(df, "simple")
+
+
+def test_window_rank_single_shuffle(spark):
+    df = QUERIES["q_window_rank"](spark, SF)
+    # partitionBy shuffle only; no extra exchanges from sloppy composition
+    assert shuffle_count(df) <= 2
+
+
+def test_sort_limit_is_topk_not_global_sort(spark):
+    """orderBy().limit(k) must compile to TakeOrderedAndProject — a per-
+    partition top-k + single merge, not a full global sort (which would
+    range-shuffle 100 TB)."""
+    from kitkat_spark.plans.explain import explain_str
+
+    df = QUERIES["q_sort_limit"](spark, SF)
+    assert "TakeOrderedAndProject" in explain_str(df, "simple")
+
+
+def test_text_analysis_zero_shuffle_scan(spark):
+    """Per-doc text stats are a narrow map; only the final stats agg may
+    shuffle (and only once)."""
+    df = QUERIES["q_text_analysis"](spark, SF)
+    assert shuffle_count(df) <= 1
