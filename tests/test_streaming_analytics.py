@@ -1,0 +1,94 @@
+"""Streaming-vs-batch equivalence: replay events through a real streaming
+query and assert the result matches the batch analog computed on the same
+data — the exactly-once contract of the watermarked operators.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kitkat_spark.sources import load_table
+from kitkat_spark.streaming.analytics import (
+    session_counts,
+    sliding_counts,
+    stream_dedup,
+    tumbling_counts,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def events_stream_path(spark, tmp_path_factory):
+    """events with micro-ts re-written so readStream needs no legacy conf."""
+    p = str(tmp_path_factory.mktemp("stream") / "events")
+    load_table(spark, SF, "events").write.parquet(p)
+    return p
+
+
+def _replay(spark, path):
+    schema = spark.read.parquet(path).schema
+    return spark.readStream.schema(schema).parquet(path)
+
+
+def _run_complete(df, spark, name):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+def _rows(df, *order):
+    return [tuple(r) for r in df.orderBy(*order).collect()]
+
+
+def test_streaming_tumbling_equals_batch(spark, events_stream_path):
+    batch = tumbling_counts(spark.read.parquet(events_stream_path))
+    stream = tumbling_counts(_replay(spark, events_stream_path))
+    got = _run_complete(stream, spark, "t_tumbling")
+    assert _rows(got, "window_start", "event_type") == _rows(
+        batch, "window_start", "event_type"
+    )
+
+
+def test_streaming_sliding_equals_batch(spark, events_stream_path):
+    batch = sliding_counts(spark.read.parquet(events_stream_path))
+    stream = sliding_counts(_replay(spark, events_stream_path))
+    got = _run_complete(stream, spark, "t_sliding")
+    assert _rows(got, "window_start", "event_type") == _rows(
+        batch, "window_start", "event_type"
+    )
+
+
+def test_streaming_sessions_equal_batch(spark, events_stream_path):
+    batch = session_counts(spark.read.parquet(events_stream_path))
+    stream = session_counts(_replay(spark, events_stream_path))
+    got = _run_complete(stream, spark, "t_sessions")
+    assert _rows(got, "user_id", "session_start") == _rows(
+        batch, "user_id", "session_start"
+    )
+
+
+def test_streaming_dedup_drops_watermarked_duplicates(spark, tmp_path):
+    src = str(tmp_path / "dups")
+    ev = load_table(spark, SF, "events").limit(200)
+    ev.union(ev).write.parquet(src)  # every event twice
+    schema = spark.read.parquet(src).schema
+    stream = stream_dedup(spark.readStream.schema(schema).parquet(src))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("t_dedup")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.sql("SELECT count(*) AS n, count(DISTINCT event_id) AS d FROM t_dedup").collect()[0]
+    assert got.n == got.d == 200
