@@ -40,11 +40,23 @@ def tokens(text: Column) -> Column:
     return F.split(text, " ", -1)
 
 
+def _zipped_ngrams(toks: Column, n: int) -> Column:
+    """array<struct<0,1,..,n-1>> of n consecutive tokens per position.
+
+    Built from arrays_zip over n shifted slices so the downstream transform
+    lambda touches ONLY its argument. The naive form — transform(sequence,
+    i -> f(element_at(toks, i+j))) — re-evaluates the ``toks`` subtree (the
+    split of the full text) on every element_at call in interpreted HOF
+    eval: measured 3.2 s vs 0.9 s for 5 000 docs at sf0.1."""
+    m = F.size(toks) - (n - 1)
+    return F.arrays_zip(*[F.slice(toks, j + 1, m) for j in range(n)])
+
+
 def word_shingles(toks: Column, n: int = 3) -> Column:
     """Distinct n-word shingles; empty array when the doc has < n tokens."""
     joined = F.transform(
-        F.sequence(F.lit(0), F.size(toks) - n),
-        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(n)]),
+        _zipped_ngrams(toks, n),
+        lambda s: F.concat_ws(" ", *[s[str(j)] for j in range(n)]),
     )
     return F.array_distinct(F.when(F.size(toks) >= n, joined).otherwise(F.array()))
 
@@ -55,6 +67,23 @@ def shingle_hashes(shingles: Column) -> Column:
     inlining the hash pass into each of the k signature remixes (which would
     blow up the codegen'd expression tree k-fold)."""
     return F.transform(shingles, lambda s: F.pmod(F.xxhash64(s), F.lit(MINHASH_PRIME)))
+
+
+def shingle_hashes_from_tokens(toks: Column, n: int = 3) -> Column:
+    """Distinct n-gram hashes straight from the token array: xxhash64 over
+    the n token columns per position — never materializes shingle STRINGS.
+    For hash-consuming paths (minhash/LSH) this skips a concat allocation
+    per shingle and dedups longs instead of strings. Jaccard on these equals
+    string-shingle Jaccard up to xxhash64 collisions (~2^-64/pair)."""
+    hashed = F.transform(
+        _zipped_ngrams(toks, n),
+        lambda s: F.pmod(
+            F.xxhash64(*[s[str(j)] for j in range(n)]), F.lit(MINHASH_PRIME)
+        ),
+    )
+    return F.array_distinct(
+        F.when(F.size(toks) >= n, hashed).otherwise(F.array().cast("array<bigint>"))
+    )
 
 
 def minhash_from_hashes(base: Column, k: int = 32, seed: int = 42) -> Column:
@@ -110,16 +139,23 @@ def make_minhash_udf(k: int = 32, seed: int = 42):
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def minhash_udf(hashes: pd.Series) -> pd.Series:
-        empty = np.full(k, MINHASH_PRIME, dtype=np.int64)
-
-        def one(h) -> list[int]:
-            if h is None or len(h) == 0:
-                return empty.tolist()
-            hv = np.asarray(h, dtype=np.int64)[None, :]
-            # a*h < 2^62: safe in int64 because a, h < 2^31 (MINHASH_PRIME)
-            return ((A * hv + B) % MINHASH_PRIME).min(axis=1).tolist()
-
-        return hashes.map(one)
+        # Fully vectorized across the Arrow batch: flatten every doc's hash
+        # array into ONE (k x N) remix matrix, then segment-min per doc with
+        # np.minimum.reduceat — zero per-row Python. ~10x over a per-row map.
+        lens = hashes.map(lambda h: 0 if h is None else len(h)).to_numpy(dtype=np.int64)
+        n_rows = len(lens)
+        out = np.full((n_rows, k), MINHASH_PRIME, dtype=np.int64)
+        nonempty = lens > 0
+        if nonempty.any():
+            flat = np.concatenate(
+                [np.asarray(h, dtype=np.int64) for h in hashes[nonempty]]
+            )[None, :]
+            # a*h < 2^62: safe in int64 because a, h < MINHASH_PRIME < 2^31
+            remix = (A * flat + B) % MINHASH_PRIME  # (k, N)
+            starts = np.zeros(int(nonempty.sum()), dtype=np.int64)
+            np.cumsum(lens[nonempty][:-1], out=starts[1:])
+            out[nonempty] = np.minimum.reduceat(remix, starts, axis=1).T
+        return pd.Series(list(out))
 
     return minhash_udf
 

@@ -29,6 +29,7 @@ from kitkat_spark.functions.text import (
     band_hashes,
     make_minhash_udf,
     shingle_hashes,
+    shingle_hashes_from_tokens,
     tokens,
     word_shingles,
 )
@@ -50,20 +51,27 @@ from pyspark.sql import types as T  # noqa: E402
 @F.pandas_udf(T.LongType())
 def _simhash_pack_udf(token_hashes: pd.Series) -> pd.Series:
     """64-bit SimHash from an array of token hashes: per bit i, vote +-1 by
-    hash bit i; sign of the vote sum becomes fingerprint bit i."""
+    hash bit i; sign of the vote sum becomes fingerprint bit i.
+
+    Vectorized across the Arrow batch: one flattened (N x 64) bit matrix and
+    a segment-sum (np.add.reduceat) per doc — zero per-row Python."""
     shifts = np.arange(64, dtype=np.uint64)
-
-    def one(h) -> int:
-        if h is None or len(h) == 0:
-            return 0
-        hv = np.asarray(h, dtype=np.int64).astype(np.uint64)[:, None]
-        bits = ((hv >> shifts[None, :]) & np.uint64(1)).astype(np.int64) * 2 - 1
-        on = bits.sum(axis=0) > 0
-        packed = (on.astype(np.uint64) << shifts).sum(dtype=np.uint64)
-        v = int(packed)
-        return v - (1 << 64) if v >= (1 << 63) else v
-
-    return token_hashes.map(one)
+    lens = token_hashes.map(lambda h: 0 if h is None else len(h)).to_numpy(dtype=np.int64)
+    out = np.zeros(len(lens), dtype=np.int64)
+    nonempty = lens > 0
+    if nonempty.any():
+        flat = np.concatenate(
+            [np.asarray(h, dtype=np.int64) for h in token_hashes[nonempty]]
+        ).astype(np.uint64)[:, None]
+        bits = ((flat >> shifts[None, :]) & np.uint64(1)).astype(np.int64) * 2 - 1
+        starts = np.zeros(int(nonempty.sum()), dtype=np.int64)
+        np.cumsum(lens[nonempty][:-1], out=starts[1:])
+        votes = np.add.reduceat(bits, starts, axis=0)  # (n_docs, 64)
+        packed = ((votes > 0).astype(np.uint64) << shifts[None, :]).sum(
+            axis=1, dtype=np.uint64
+        )
+        out[nonempty] = packed.astype(np.int64)  # two's-complement reinterpret
+    return pd.Series(out)
 # Drop shingles appearing in more than this many docs (hot-key guard). Chosen
 # high enough that the fixture's real near-dups all survive.
 DF_CAP = 50
@@ -82,8 +90,14 @@ def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact n-gram Jaccard pairs >= 0.8 via inverted-index join (no N^2)."""
-    sh = _shingled(spark, sf_dir)
+    """Exact n-gram Jaccard pairs >= 0.8 via inverted-index join (no N^2).
+
+    The shingled table is persisted: it feeds the per-doc size lookup AND the
+    inverted index, and the index self-joins against itself — without reuse
+    the shingling pipeline runs 4x (string shingles here, because the DuckDB
+    oracle verifies exact string-level Jaccard).
+    """
+    sh = _shingled(spark, sf_dir).persist()
     counts = sh.select("doc_id", F.size("shingles").alias("n_sh"))
     # inverted index hash-partitioned on the shingle: the self-join and the
     # DF-cap aggregation both key on s, so they reuse this one shuffle
@@ -92,7 +106,7 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # hot-shingle guard: document frequency cap
     hot = inv.groupBy("s").agg(F.count("*").alias("df")).filter(F.col("df") > DF_CAP)
-    inv = inv.join(F.broadcast(hot), "s", "left_anti")
+    inv = inv.join(F.broadcast(hot), "s", "left_anti").persist()
     a, b = inv.alias("a"), inv.alias("b")
     common = (
         a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
@@ -121,19 +135,33 @@ def q_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Candidate generation cost is driven by band-bucket sizes, not corpus
     size^2; the verify join re-reads only candidate docs' shingle sets.
+
+    Two deliberate scale moves:
+    - shingles live as HASHES from the first pass (shingle_hashes_from_tokens)
+      — minhash, banding, and the exact-Jaccard verify all run on longs;
+      shingle strings are never materialized.
+    - the signature table is persisted: it feeds the band self-join (twice)
+      and the verify join (twice); without reuse Spark recomputes the
+      shingle+minhash pipeline 4x (measured: 75% of query wall time). At
+      100 TB this materialization is the standard "signature table" layout —
+      tiny relative to the corpus (k longs + shingle hashes per doc).
     """
-    sh = _shingled(spark, sf_dir)
-    # staged: JVM xxhash64 pass -> Arrow-batched numpy remix (materialized
-    # attribute) -> per-band hashes referencing that attribute
+    par = spark.sparkContext.defaultParallelism
+    docs = load_table(spark, sf_dir, "documents").repartition(par)
     minhash_udf = make_minhash_udf(MINHASH_K)
     sig = (
-        sh.select("doc_id", "shingles", shingle_hashes(F.col("shingles")).alias("hbase"))
-        .select("doc_id", "shingles", minhash_udf(F.col("hbase")).alias("sig"))
-        .select("doc_id", "shingles", band_hashes(F.col("sig"), LSH_BANDS, LSH_ROWS).alias("bands"))
+        docs.select(
+            "doc_id",
+            shingle_hashes_from_tokens(tokens(F.col("text")), SHINGLE_N).alias("sh"),
+        )
+        .filter(F.size("sh") > 0)
+        .select("doc_id", "sh", minhash_udf(F.col("sh")).alias("sig"))
+        .select(
+            "doc_id", "sh", band_hashes(F.col("sig"), LSH_BANDS, LSH_ROWS).alias("bands")
+        )
+        .persist()
     )
-    banded = sig.select(
-        "doc_id", F.posexplode("bands").alias("band_id", "band_hash")
-    )
+    banded = sig.select("doc_id", F.posexplode("bands").alias("band_id", "band_hash"))
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(
@@ -145,8 +173,8 @@ def q_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
-    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     verified = (
         cand.join(sa, "doc_a")
         .join(sb, "doc_b")
@@ -184,7 +212,11 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_distinct(tokens(F.col("text"))), lambda t: F.xxhash64(t)
         ).alias("th"),
     )
-    summed = hashed.select("doc_id", _simhash_pack_udf(F.col("th")).alias("simhash"))
+    # persisted: the band self-join reads it twice; without reuse the token
+    # hashing + pack UDF run on both sides (16 bytes/doc — trivially cached)
+    summed = hashed.select(
+        "doc_id", _simhash_pack_udf(F.col("th")).alias("simhash")
+    ).persist()
     bands = summed.select(
         "doc_id",
         "simhash",

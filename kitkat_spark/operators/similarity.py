@@ -99,23 +99,18 @@ from pyspark.sql import types as T  # noqa: E402
 @F.pandas_udf(T.LongType())
 def _lsh_bucket_udf(vectors: pd.Series) -> pd.Series:
     """Sign-bit bucket id from deterministic random hyperplanes (seeded numpy;
-    identical on every executor — no fitted model to ship). Vectorized over
-    the Arrow batch: one matmul per batch."""
-    state: dict[int, np.ndarray] = {}
-
-    def planes_for(dim: int) -> np.ndarray:
-        if dim not in state:
-            state[dim] = np.random.default_rng(2024).standard_normal((dim, LSH_PLANES))
-        return state[dim]
-
-    def one(v) -> int:
-        if v is None or len(v) == 0:
-            return 0
-        arr = np.asarray(v, dtype=np.float64)
-        signs = (arr @ planes_for(len(arr))) > 0
-        return int((signs.astype(np.uint64) << np.arange(LSH_PLANES, dtype=np.uint64)).sum())
-
-    return vectors.map(one)
+    identical on every executor — no fitted model to ship). Embedding dim is
+    constant per table, so the whole Arrow batch stacks into ONE (batch x dim)
+    matrix and a single matmul produces every bucket id."""
+    good = vectors.map(lambda v: v is not None and len(v) > 0)
+    out = np.zeros(len(vectors), dtype=np.int64)
+    if good.any():
+        mat = np.stack([np.asarray(v, dtype=np.float64) for v in vectors[good]])
+        planes = np.random.default_rng(2024).standard_normal((mat.shape[1], LSH_PLANES))
+        signs = (mat @ planes) > 0
+        buckets = (signs.astype(np.uint64) << np.arange(LSH_PLANES, dtype=np.uint64)).sum(axis=1)
+        out[np.asarray(good)] = buckets.astype(np.int64)
+    return pd.Series(out)
 
 
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
