@@ -100,6 +100,58 @@ def extract_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
+RESIZE_SCHEMA = "media_id long, width int, height int, content binary"
+FRAME_SCHEMA = "media_id long, frame_idx int, frame bytes".replace("bytes", "binary")
+
+
+def resize_images(media: DataFrame, width: int = 224, height: int = 224) -> DataFrame:
+    """Resize stage (images only): mapInPandas with a STUBBED resampler.
+
+    The stub 'resizes' by deterministic byte subsampling so output size
+    tracks the target dims; swap the inner function for PIL's
+    ``Image.resize`` — batching, schema, and partitioning are unchanged."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        target = width * height // 64  # stub: bytes proportional to area
+        for pdf in batches:
+            imgs = pdf[pdf["media_type"] == "image"]
+            if not len(imgs):
+                continue
+            yield pd.DataFrame(
+                {
+                    "media_id": imgs["media_id"].values,
+                    "width": width,
+                    "height": height,
+                    "content": [
+                        bytes((c or b"")[: max(1, target)]) for c in imgs["content"]
+                    ],
+                }
+            )
+
+    return media.mapInPandas(run, schema=RESIZE_SCHEMA)
+
+
+def sample_frames(media: DataFrame, every_n_bytes: int = 256, max_frames: int = 8) -> DataFrame:
+    """Frame-sampling stage (videos only): one output row per sampled frame —
+    the mapInPandas 1->N fan-out shape. Stub frames are fixed-size byte
+    windows; a real deployment decodes with ffmpeg at the same seam."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            vids = pdf[pdf["media_type"] == "video"]
+            ids, idxs, frames = [], [], []
+            for mid, c in zip(vids["media_id"], vids["content"]):
+                c = c or b""
+                for k in range(min(max_frames, max(1, len(c) // every_n_bytes))):
+                    ids.append(mid)
+                    idxs.append(k)
+                    frames.append(bytes(c[k * every_n_bytes : (k + 1) * every_n_bytes]))
+            if ids:
+                yield pd.DataFrame({"media_id": ids, "frame_idx": idxs, "frame": frames})
+
+    return media.mapInPandas(run, schema=FRAME_SCHEMA)
+
+
 def synthesize_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic media fixture: documents' utf-8 bytes as fake payloads."""
     docs = load_table(spark, sf_dir, "documents")
@@ -124,7 +176,36 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select("media_id", "media_type", "n_bytes", "magic")
 
 
+def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize plumbing: dims + output payload size are oracle-checkable."""
+    out = resize_images(synthesize_media(spark, sf_dir))
+    return out.select(
+        "media_id", "width", "height", F.octet_length("content").alias("n_out")
+    )
+
+
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling 1->N fan-out: per-frame sizes are oracle-checkable."""
+    out = sample_frames(synthesize_media(spark, sf_dir))
+    return out.select("media_id", "frame_idx", F.octet_length("frame").alias("n_frame"))
+
+
 ORACLE: dict[str, str] = {
+    "q_media_resize": """
+        SELECT doc_id AS media_id,
+               224 AS width, 224 AS height,
+               CAST(least(octet_length(text::BLOB), 784) AS INT) AS n_out
+        FROM documents WHERE doc_id % 4 = 0
+    """,
+    "q_frame_sample": """
+        SELECT doc_id AS media_id,
+               CAST(k AS INT) AS frame_idx,
+               CAST(least(octet_length(text::BLOB) - k * 256, 256) AS INT) AS n_frame
+        FROM documents,
+             UNNEST(generate_series(0, CAST(least(8, greatest(1,
+                 octet_length(text::BLOB) // 256)) AS BIGINT) - 1)) AS t(k)
+        WHERE doc_id % 4 = 2
+    """,
     "q_multimodal_decode": """
         SELECT doc_id AS media_id,
                CASE doc_id % 4 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'

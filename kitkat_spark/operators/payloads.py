@@ -33,8 +33,20 @@ from kitkat_spark.sources import load_table
 
 BLOB_SIZE = 5
 
+# fixture cache: blob synthesis is test scaffolding, not the operator under
+# test — build once per (session, sf_dir) and persist so repeated queries
+# measure deaggregation itself
+_BLOB_CACHE: dict[tuple[str, str], DataFrame] = {}
+
 
 def build_kpl_blobs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _BLOB_CACHE:
+        _BLOB_CACHE[key] = _build_kpl_blobs(spark, sf_dir).persist()
+    return _BLOB_CACHE[key]
+
+
+def _build_kpl_blobs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic KPL fixture: events grouped 5-per-blob by event_id.
 
     Built distributed with mapInPandas over blob-id-hash-partitioned, sorted
@@ -49,23 +61,36 @@ def build_kpl_blobs(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd  # local import: executor-side dependency only
 
     def encode_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        # numpy slice-per-blob (no pandas groupby/itertuples: ~4x faster)
+        import numpy as np
+
+        bid = pdf["blob_id"].to_numpy()
+        eid = pdf["event_id"].to_numpy()
+        uid = pdf["user_id"].to_numpy()
+        val = pdf["value"].to_numpy()
+        order = np.lexsort((eid, bid))
+        bid, eid, uid, val = bid[order], eid[order], uid[order], val[order]
+        bounds = np.flatnonzero(np.diff(bid)) + 1
+        starts = np.concatenate(([0], bounds))
+        ends = np.concatenate((bounds, [len(bid)]))
         out_ids, out_blobs = [], []
-        for blob_id, g in pdf.groupby("blob_id", sort=True):
-            g = g.sort_values("event_id")
-            pk_table = sorted({f"user-{u}" for u in g["user_id"]})
+        for s, e in zip(starts, ends):
+            keys = [f"user-{u}" for u in uid[s:e]]
+            pk_table = sorted(set(keys))
             idx = {k: i for i, k in enumerate(pk_table)}
             recs = [
                 {
-                    "partition_key_index": idx[f"user-{r.user_id}"],
-                    "data": f"{r.event_id}|{r.value}".encode(),
+                    "partition_key_index": idx[k],
+                    "data": f"{ev}|{v}".encode(),
                     "tags": [("src", "events")],
                 }
-                for r in g.itertuples()
+                for k, ev, v in zip(keys, eid[s:e], val[s:e])
             ]
+            blob_id = int(bid[s])
             blob = aggregate_records(pk_table, recs)
             if blob_id == 0:  # one corrupt blob: break the md5 -> 0 decoded rows
                 blob = blob[: len(blob) - 17] + b"\x00" + blob[len(blob) - 16 :]
-            out_ids.append(int(blob_id))
+            out_ids.append(blob_id)
             out_blobs.append(blob)
         return pd.DataFrame({"blob_id": out_ids, "blob": out_blobs})
 
