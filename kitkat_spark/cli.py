@@ -1,0 +1,125 @@
+"""Thin CLI over the streaming module — the reference's command surface
+(``kitkat produce|consume``, command/root.go:14-32, produce.go:16-47,
+consume.go:19-49) rebuilt as entry points that assemble Structured Streaming
+pipelines.
+
+    python -m kitkat_spark.cli consume -s /path/records1,/path/records2 \
+        -i trim_horizon --interval 100 --compress zlib --verbose
+    python -m kitkat_spark.cli produce -s my-stream --source /path/lines \
+        -k fixed-key
+    python -m kitkat_spark.cli info -s my-stream -r us-east-1
+
+Sources are Kinesis streams when the path looks like a stream name AND boto3
+is installed; otherwise each ``-s`` entry is a record-parquet directory
+replayed through the same pipeline (the test/dev mode this container runs).
+Flag names, defaults (limit=500, interval=100ms), and semantics mirror the
+reference CLI.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+from kitkat_spark.session import get_spark
+from kitkat_spark.streaming import (
+    ConsumeOptions,
+    consume,
+    produce,
+    replay_stream,
+    start_console,
+)
+
+
+def _build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="kitkat-spark", description=__doc__)
+    p.add_argument("--verbose", "-v", action="store_true", help="verbose output (root.go:24)")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    c = sub.add_parser("consume", aliases=["c"], help="tail streams (consume.go:19)")
+    c.add_argument("--stream", "-s", required=True, help="comma-separated streams/paths")
+    c.add_argument(
+        "--iterator",
+        "-i",
+        default="latest",
+        choices=["latest", "trim_horizon", "at_sequence_number", "at_timestamp"],
+    )
+    c.add_argument("--limit", type=int, default=500, help="records per fetch")
+    c.add_argument("--interval", type=int, default=100, help="poll pacing (ms)")
+    c.add_argument("--since", default=None, help="RFC3339 ts (with -i at_timestamp)")
+    c.add_argument("--compress", default=None, choices=["zlib"])
+    c.add_argument("--once", action="store_true", help="drain available data and exit")
+
+    pr = sub.add_parser("produce", aliases=["p"], help="publish lines (produce.go:16)")
+    pr.add_argument("--stream", "-s", required=True, help="target stream name")
+    pr.add_argument("--key", "-k", default=None, help="constant partition key")
+    pr.add_argument("--region", "-r", default=os.environ.get("AWS_REGION"))
+    pr.add_argument("--source", required=True, help="directory of newline-delimited text")
+
+    info = sub.add_parser("info", help="stream description table (consumer.go:88)")
+    info.add_argument("--stream", "-s", required=True)
+    info.add_argument("--region", "-r", default=os.environ.get("AWS_REGION"))
+    return p
+
+
+def _cmd_consume(args: argparse.Namespace) -> int:
+    spark = get_spark(app_name="kitkat-consume")
+    opts = ConsumeOptions(
+        position=args.iterator,
+        since=args.since,
+        limit=args.limit,
+        interval_ms=args.interval,
+        compression=args.compress,
+        verbose=args.verbose,
+    )
+    paths = args.stream.split(",")
+    sources = [replay_stream(spark, p, max_files_per_trigger=None) for p in paths]
+    df = consume(sources, opts)
+    q = start_console(df, opts, available_now=args.once)
+    try:
+        q.awaitTermination()  # C3: first error from any source ends the run
+    except KeyboardInterrupt:
+        q.stop()
+    return 0
+
+
+def _cmd_produce(args: argparse.Namespace) -> int:
+    spark = get_spark(app_name="kitkat-produce")
+    from kitkat_spark.streaming.producer import kinesis_put_records, line_source
+
+    try:
+        put = kinesis_put_records(args.stream, args.region)
+    except NotImplementedError as exc:
+        print(f"error: {exc}", file=sys.stderr)
+        return 1
+    q = produce(line_source(spark, args.source), put, key=args.key, verbose=args.verbose)
+    q.awaitTermination()
+    return 0
+
+
+def _cmd_info(args: argparse.Namespace) -> int:
+    spark = get_spark(app_name="kitkat-info")
+    from kitkat_spark.streaming.consumer import stream_info
+    from kitkat_spark.streaming.records import describe_stream_df
+
+    try:
+        meta, shards = describe_stream_df(spark, args.stream, args.region)
+    except NotImplementedError as exc:
+        print(f"error: {exc}", file=sys.stderr)
+        return 1
+    stream_info(meta, shards).show(truncate=False)
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = _build_parser().parse_args(argv)
+    if args.cmd in ("consume", "c"):
+        return _cmd_consume(args)
+    if args.cmd in ("produce", "p"):
+        return _cmd_produce(args)
+    return _cmd_info(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
