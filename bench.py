@@ -46,6 +46,10 @@ HEADLINE = [
     "q_token_count",
     "q_kpl_deagg",
     "q_zlib",
+    "q_consume_plain",
+    "q_consume_pipeline",
+    "q_multimodal_decode",
+    "q_frame_sample",
 ]
 
 
