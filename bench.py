@@ -29,6 +29,7 @@ HEADLINE = [
     "q_hash_join",
     "q_broadcast_join",
     "q_range_join",
+    "q_asof_join",
     "q_agg_group",
     "q_rollup_cube",
     "q_window_rank",

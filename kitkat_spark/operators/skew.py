@@ -1,0 +1,40 @@
+"""Skew-resistant join: explicit key salting (SURVEY.md §4 / north-star
+scale discipline).
+
+AQE's skew-join splitting (enabled in session.py) handles most skew at
+runtime by splitting oversized partitions, but it only works for sort-merge
+joins and after the skewed shuffle already materialized. Explicit salting
+bounds the partition size *before* the shuffle: the hot side scatters each
+key across ``n_salts`` sub-keys, the other side replicates each row
+``n_salts`` times. Use when one key holds >~1/shuffle_partitions of all rows
+(the null-key or celebrity-user shape).
+
+Cost model: replicated side grows n_salts-fold — pick the SMALLER side to
+replicate and a salt count ~= (hot key rows / target partition rows).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    skewed: DataFrame,
+    other: DataFrame,
+    on: str,
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join ``skewed ⋈ other`` on column ``on`` with salt fan-out.
+
+    The skewed side gets a uniform random salt in [0, n_salts); the other
+    side is exploded to every salt value, so (key, salt) pairs still meet
+    exactly once. Result equals the plain join row-for-row.
+    """
+    salted_l = skewed.withColumn("_salt", (F.rand(seed=7) * n_salts).cast("int"))
+    salted_r = other.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    out = salted_l.join(salted_r, [on, "_salt"], how)
+    return out.drop("_salt")

@@ -95,7 +95,56 @@ def q_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("keep_id", "n_copies")
 
 
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each event matched to the most recent order (by order
+    date, ties broken by highest order key) of the same customer at-or-before
+    the event time.
+
+    Implemented with the UNION-MERGE pattern, not a band join: tag both
+    tables, union, window-sort once per key, and propagate the latest order
+    attributes with last(ignorenulls) — ONE shuffle on the join key, zero
+    pair explosion. A banded theta join would emit |orders-in-range| rows per
+    event before picking the max; this emits nothing extra, which is the
+    difference between O(rows) and O(rows x band) at 100 TB. Skewed keys
+    split fine because the window is per-key and AQE handles partition skew.
+    """
+    events = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").alias("k"),
+        F.col("ts").alias("t"),
+        "event_id",
+        F.lit(None).cast("long").alias("o_orderkey"),
+        F.lit(1).alias("is_event"),
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("k"),
+        F.col("o_orderdate").alias("t"),
+        F.lit(None).cast("long").alias("event_id"),
+        "o_orderkey",
+        F.lit(0).alias("is_event"),
+    )
+    u = events.unionByName(orders)
+    # orders sort before events at equal t (<= semantics); among same-date
+    # orders the highest orderkey wins (deterministic tie-break)
+    w = (
+        W.partitionBy("k")
+        .orderBy("t", "is_event", F.col("o_orderkey").asc_nulls_last())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    filled = u.withColumn("asof_orderkey", F.last("o_orderkey", ignorenulls=True).over(w))
+    return filled.filter(F.col("is_event") == 1).select(
+        "event_id", F.col("k").alias("user_id"), "asof_orderkey"
+    )
+
+
 ORACLE: dict[str, str] = {
+    "q_asof_join": """
+        SELECT e.event_id, e.user_id,
+               (SELECT o.o_orderkey FROM orders o
+                WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+                ORDER BY o.o_orderdate DESC, o.o_orderkey DESC LIMIT 1)
+                   AS asof_orderkey
+        FROM events e
+    """,
     "q_stream_tumbling": """
         SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
                event_type,

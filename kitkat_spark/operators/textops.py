@@ -105,6 +105,54 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", fingerprint_md5(F.col("text")).alias("fp"))
 
 
+WINNOW_K = 3  # k-gram size for the rolling hashes
+WINNOW_W = 4  # winnowing window: one fingerprint kept per w consecutive hashes
+
+
+def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al., MOSS): rolling
+    k-gram hashes, then the minimum hash of every w-hash window, dedup'd —
+    a position-robust fingerprint set whose size is ~2/(w+1) of the hash
+    stream. Guarantees any shared substring of length >= w+k-1 contributes a
+    shared fingerprint.
+
+    All JVM-side: the rolling hashes are the shingle-hash expression and the
+    per-window minimum is a transform over zipped window slices (no UDF, no
+    shuffle until the final per-doc count). Rows-only check (xxhash64 has no
+    DuckDB twin); the companion assertions live in tests.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    with_f = docs.select(
+        "doc_id", winnow_fingerprints(F.col("text")).alias("fps"), "text"
+    ).filter(F.size("fps") > 0)
+    return with_f.select(
+        "doc_id",
+        F.size("fps").alias("n_fingerprints"),
+        (F.size(tokens(F.col("text"))) - (WINNOW_K - 1)).alias("n_hashes"),
+    )
+
+
+def winnow_fingerprints(text: F.Column, k: int = WINNOW_K, w: int = WINNOW_W) -> F.Column:
+    """Winnowed fingerprint set of a text column (empty array if the rolling
+    hash stream is shorter than the window)."""
+    from kitkat_spark.functions.text import MINHASH_PRIME, _zipped_ngrams
+
+    toks = tokens(text)
+    # positional (NOT distinct) rolling hash stream — winnowing is order-aware
+    hashes = F.transform(
+        _zipped_ngrams(toks, k),
+        lambda s: F.pmod(F.xxhash64(*[s[str(j)] for j in range(k)]), F.lit(MINHASH_PRIME)),
+    )
+    mins = F.array_distinct(
+        F.transform(
+            _zipped_ngrams(hashes, w),
+            lambda s: F.least(*[s[str(j)] for j in range(w)]),
+        )
+    )
+    n_hashes = F.size(toks) - (k - 1)
+    return F.when(n_hashes >= w, mins).otherwise(F.array().cast("array<bigint>"))
+
+
 def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal record assembly: text metadata + embedding joined into one
     row (flat projection of the struct for oracle comparability)."""

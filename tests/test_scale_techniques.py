@@ -1,0 +1,44 @@
+"""Scale-technique correctness + plan shape: salted skew join equals the
+plain join; bucketed join plans with zero Exchange on the bucketed sides."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kitkat_spark.operators.skew import salted_join
+from kitkat_spark.plans import shuffle_count
+from kitkat_spark.sources import load_table
+from kitkat_spark.sources.bucketed import bucketed_join
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_salted_join_equals_plain_join(spark):
+    orders = load_table(spark, SF, "orders").select("o_orderkey", "o_custkey")
+    lineitem = load_table(spark, SF, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_quantity"
+    )
+    plain = orders.join(lineitem, "o_orderkey")
+    salted = salted_join(lineitem, orders, "o_orderkey")
+    assert salted.count() == plain.count()
+    p = plain.groupBy("o_custkey").agg(F.sum("l_quantity").alias("q"))
+    s = salted.groupBy("o_custkey").agg(F.sum("l_quantity").alias("q"))
+    assert sorted(map(tuple, p.collect())) == sorted(map(tuple, s.collect()))
+
+
+def test_bucketed_join_is_shuffle_free(spark, tmp_path):
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ path
+    try:
+        df = bucketed_join(
+            spark, SF, "orders", "customer", "o_custkey", "c_custkey", n_buckets=4
+        )
+        assert shuffle_count(df) == 0, "bucketed join must not shuffle"
+        # and it still answers correctly
+        plain = load_table(spark, SF, "orders").join(
+            load_table(spark, SF, "customer"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        assert df.count() == plain.count()
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
