@@ -121,7 +121,27 @@ def q_shard_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stateful_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch analog of the applyInPandasWithState running user profile
+    (streaming/stateful.py): cumulative counts/sums + max inter-event gap."""
+    from kitkat_spark.streaming.stateful import user_profiles
+
+    return user_profiles(load_table(spark, sf_dir, "events"))
+
+
 ORACLE: dict[str, str] = {
+    "q_stateful_profile": """
+        WITH gaps AS (
+            SELECT user_id, value,
+                   epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts))
+                       AS gap_s
+            FROM events
+        )
+        SELECT user_id, count(*) AS n_events,
+               round(sum(value), 2) AS sum_value,
+               round(coalesce(max(gap_s), 0.0), 1) AS max_gap_s
+        FROM gaps GROUP BY user_id
+    """,
     "q_consume_plain": f"""
         SELECT strftime(ts, '%Y-%m-%d %H:%M:%S') AS timestamp,
                '{STREAM}' AS stream,

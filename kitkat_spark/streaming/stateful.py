@@ -1,0 +1,123 @@
+"""Custom stateful streaming operator via applyInPandasWithState.
+
+Spark's built-in stateful ops (windowed agg, session_window, streaming
+dedup) cover the declarative cases; this module shows the escape hatch for
+semantics they can't express: a per-user RUNNING PROFILE that emits an
+updated row per micro-batch — cumulative event count, value sum, and the
+longest gap ever observed between consecutive events (gap tracking needs
+the previous event's timestamp carried across batches: genuinely custom
+state).
+
+State contract (100 TB discipline):
+- state per key is FIXED SIZE (4 scalars) — no per-event growth, so key
+  cardinality alone bounds the store; 1e8 users ~= a few GB across the
+  cluster, RocksDB-backed if heap-shy.
+- GroupStateTimeout.ProcessingTimeTimeout expires idle keys: an inactive
+  user's state is dropped after IDLE_TIMEOUT_MS, the streaming analog of
+  watermark eviction.
+- output is per-batch incremental (Update mode), so the sink sees a compact
+  changelog, not a re-emission of all keys.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql import types as T
+
+STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n_events", T.LongType()),
+        T.StructField("sum_value", T.DoubleType()),
+        T.StructField("last_ts_us", T.LongType()),
+        T.StructField("max_gap_s", T.DoubleType()),
+    ]
+)
+
+OUTPUT_SCHEMA = (
+    "user_id long, n_events long, sum_value double, max_gap_s double"
+)
+
+IDLE_TIMEOUT_MS = 30 * 60 * 1000  # drop state for users idle > 30 min
+
+
+def _make_update_profile(idle_timeout_ms: int | None):
+    def update_profile(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        n, total, last_us, max_gap = (
+            state.get if state.exists else (0, 0.0, None, 0.0)
+        )
+        for pdf in pdfs:
+            pdf = pdf.sort_values("ts")
+            ts_us = (pdf["ts"].astype("int64") // 1000).tolist()  # ns -> us
+            for t in ts_us:
+                if last_us is not None:
+                    max_gap = max(max_gap, (t - last_us) / 1e6)
+                last_us = t
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total, last_us, max_gap))
+        if idle_timeout_ms is not None:
+            state.setTimeoutDuration(idle_timeout_ms)
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "sum_value": [round(total, 2)],
+                "max_gap_s": [round(max_gap, 1)],
+            }
+        )
+
+    return update_profile
+
+
+def user_profiles(events: DataFrame, idle_timeout_ms: int | None = None) -> DataFrame:
+    """Per-user running profile; works on a streaming events DataFrame
+    (update output mode) and on a batch one (degenerate single 'batch').
+
+    ``idle_timeout_ms`` enables processing-time state eviction for
+    long-running production tails (e.g. IDLE_TIMEOUT_MS). Leave None for
+    drain-and-stop (availableNow) runs: with a timeout configured, the
+    micro-batch engine keeps scheduling timeout-check batches after the
+    source is exhausted, so the query never terminates on its own.
+    """
+    if events.isStreaming:
+        timeout = (
+            GroupStateTimeout.NoTimeout
+            if idle_timeout_ms is None
+            else GroupStateTimeout.ProcessingTimeTimeout
+        )
+        return (
+            events.select("user_id", "ts", "value")
+            .groupBy("user_id")
+            .applyInPandasWithState(
+                _make_update_profile(idle_timeout_ms),
+                outputStructType=OUTPUT_SCHEMA,
+                stateStructType=STATE_SCHEMA,
+                outputMode="update",
+                timeoutConf=timeout,
+            )
+        )
+    # batch analog (oracle-checkable): same semantics in one pass
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    w = W.partitionBy("user_id").orderBy("ts")
+    gaps = events.withColumn(
+        "gap_s",
+        (F.col("ts").cast("double") - F.lag("ts").over(w).cast("double")),
+    )
+    return gaps.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+        F.round(F.coalesce(F.max("gap_s"), F.lit(0.0)), 1).alias("max_gap_s"),
+    )
