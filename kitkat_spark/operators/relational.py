@@ -170,6 +170,35 @@ def q_rollup_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregate battery: sample stddev/variance, correlation,
+    covariance. Single map-side-combinable shuffle (all are algebraic
+    aggregates with O(1) partial state)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+        F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_discount"), 4).alias("covar_qty_disc"),
+        F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+        F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+    )
+
+
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (Spark `percentile` == DuckDB
+    quantile_cont) plus the approx sketch the 100 TB path would use
+    (approx_percentile / t-digest-style — not oracle-compared, exact twin
+    only; at scale you'd ONLY run the sketch)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pct = F.percentile("l_extendedprice", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)))
+    return li.groupBy("l_linestatus").agg(
+        F.round(F.element_at(pct, 1), 4).alias("p25"),
+        F.round(F.element_at(pct, 2), 4).alias("p50"),
+        F.round(F.element_at(pct, 3), 4).alias("p75"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # window functions
 # ---------------------------------------------------------------------------
@@ -325,6 +354,23 @@ ORACLE: dict[str, str] = {
          AND e2.ts > e1.ts
          AND e2.ts <= e1.ts + INTERVAL 10 MINUTE
         GROUP BY e1.event_type
+    """,
+    "q_stats_agg": """
+        SELECT l_returnflag,
+               round(stddev_samp(l_quantity), 4) AS sd_qty,
+               round(var_samp(l_quantity), 4) AS var_qty,
+               round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+               round(covar_samp(l_quantity, l_discount), 4) AS covar_qty_disc,
+               round(min(l_extendedprice), 2) AS min_price,
+               round(max(l_extendedprice), 2) AS max_price
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    "q_percentiles": """
+        SELECT l_linestatus,
+               round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+               round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+               round(quantile_cont(l_extendedprice, 0.75), 4) AS p75
+        FROM lineitem GROUP BY l_linestatus
     """,
     "q_agg_group": """
         SELECT l_returnflag, l_linestatus,
