@@ -185,6 +185,22 @@ def q_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (wide aggregation): order counts + total price per priority,
+    one column group per order status. Spark plans this as a single
+    conditional aggregation when the pivot values are enumerated (always
+    enumerate at scale — value discovery costs an extra pass)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )
+
+
 def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles (Spark `percentile` == DuckDB
     quantile_cont) plus the approx sketch the 100 TB path would use
@@ -354,6 +370,16 @@ ORACLE: dict[str, str] = {
          AND e2.ts > e1.ts
          AND e2.ts <= e1.ts + INTERVAL 10 MINUTE
         GROUP BY e1.event_type
+    """,
+    "q_pivot": """
+        SELECT o_orderpriority,
+               count(*) FILTER (o_orderstatus = 'F') AS "F_n",
+               round(sum(o_totalprice) FILTER (o_orderstatus = 'F'), 2) AS "F_total",
+               count(*) FILTER (o_orderstatus = 'O') AS "O_n",
+               round(sum(o_totalprice) FILTER (o_orderstatus = 'O'), 2) AS "O_total",
+               count(*) FILTER (o_orderstatus = 'P') AS "P_n",
+               round(sum(o_totalprice) FILTER (o_orderstatus = 'P'), 2) AS "P_total"
+        FROM orders GROUP BY o_orderpriority
     """,
     "q_stats_agg": """
         SELECT l_returnflag,
