@@ -120,8 +120,13 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     and independent — the 100 TB layout (write embeddings partitioned by
     bucket; queries probe 1..n_probe buckets). Rows-only check.
     """
-    emb = _with_norm(load_table(spark, sf_dir, "embeddings")).withColumn(
-        "bucket", _lsh_bucket_udf(F.col("v"))
+    # persisted: the bucketed table feeds both the (broadcast) query side and
+    # the candidate side — without reuse the bucket UDF + norm run twice; at
+    # scale this IS the IVF index build you'd write out partitioned by bucket
+    emb = (
+        _with_norm(load_table(spark, sf_dir, "embeddings"))
+        .withColumn("bucket", _lsh_bucket_udf(F.col("v")))
+        .persist()
     )
     queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
