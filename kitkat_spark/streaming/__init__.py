@@ -21,6 +21,7 @@ from kitkat_spark.streaming.producer import (
     produce,
     produce_batch,
 )
+from kitkat_spark.streaming.sinks import classify_records, consume_with_dlq
 from kitkat_spark.streaming.records import (
     RECORD_SCHEMA,
     SHARD_SCHEMA,
@@ -31,6 +32,8 @@ from kitkat_spark.streaming.records import (
 )
 
 __all__ = [
+    "classify_records",
+    "consume_with_dlq",
     "ConsumeOptions",
     "consume",
     "consume_replay",
