@@ -1,0 +1,83 @@
+"""Property-based tests (hypothesis) for the pure-Python codec layer —
+the reference's round-trip gem (consumer_test.go:325-344) generalized to
+arbitrary inputs. No SparkSession needed: these cover the functions the
+Arrow UDFs call per batch.
+"""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from kitkat_spark.functions.kpl import (
+    KPL_MAGIC,
+    aggregate_records,
+    deaggregate_blob,
+)
+
+keys = st.text(min_size=1, max_size=20).filter(lambda s: "\x00" not in s)
+payloads = st.binary(min_size=0, max_size=200)
+
+
+@st.composite
+def kpl_tables(draw):
+    pk_table = draw(st.lists(keys, min_size=1, max_size=5, unique=True))
+    n = len(pk_table)
+    recs = draw(
+        st.lists(
+            st.fixed_dictionaries(
+                {
+                    "partition_key_index": st.integers(min_value=0, max_value=n - 1),
+                    "data": payloads,
+                }
+            ),
+            min_size=1,
+            max_size=8,
+        )
+    )
+    return pk_table, recs
+
+
+@given(kpl_tables())
+@settings(max_examples=200, deadline=None)
+def test_kpl_roundtrip_property(table_recs):
+    pk_table, recs = table_recs
+    blob = aggregate_records(pk_table, recs)
+    assert blob.startswith(KPL_MAGIC)
+    out = deaggregate_blob(blob)
+    assert len(out) == len(recs)
+    for got, want in zip(out, recs):
+        assert got["partition_key"] == pk_table[want["partition_key_index"]]
+        assert got["data"] == want["data"]
+
+
+@given(st.binary(min_size=0, max_size=300))
+@settings(max_examples=300, deadline=None)
+def test_deaggregate_never_raises_on_garbage(blob):
+    """Decode failure semantics: arbitrary bytes -> [] or valid records,
+    never an exception (consumer.go:177-179)."""
+    out = deaggregate_blob(blob)
+    assert isinstance(out, list)
+
+
+@given(kpl_tables(), st.integers(min_value=0, max_value=15))
+@settings(max_examples=100, deadline=None)
+def test_md5_tamper_always_rejected(table_recs, flip_at):
+    pk_table, recs = table_recs
+    blob = aggregate_records(pk_table, recs)
+    # flip one bit inside the md5 trailer -> must reject
+    i = len(blob) - 16 + flip_at
+    tampered = blob[:i] + bytes([blob[i] ^ 0x01]) + blob[i + 1 :]
+    assert deaggregate_blob(tampered) == []
+
+
+@given(st.binary(min_size=0, max_size=500))
+@settings(max_examples=200, deadline=None)
+def test_zlib_roundtrip_and_passthrough(data):
+    import zlib as z
+
+    from kitkat_spark.functions.compression import _decompress_one
+
+    assert _decompress_one(z.compress(data)) == data  # roundtrip
+    if not data.startswith(b"\x78"):
+        assert _decompress_one(data) == data  # graceful passthrough
