@@ -92,21 +92,18 @@ def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard pairs >= 0.8 via inverted-index join (no N^2).
 
-    The shingled table is persisted: it feeds the per-doc size lookup AND the
-    inverted index, and the index self-joins against itself — without reuse
-    the shingling pipeline runs 4x (string shingles here, because the DuckDB
-    oracle verifies exact string-level Jaccard).
+    No explicit persist/repartition: both sides of the inverted-index
+    self-join canonicalize to the same subplan, so Catalyst's ReusedExchange
+    computes the index once (measured: explicit persist+repartition was 2x
+    SLOWER cold — materialization cost without a second reader). String
+    shingles here because the DuckDB oracle verifies string-level Jaccard.
     """
-    sh = _shingled(spark, sf_dir).persist()
+    sh = _shingled(spark, sf_dir)
     counts = sh.select("doc_id", F.size("shingles").alias("n_sh"))
-    # inverted index hash-partitioned on the shingle: the self-join and the
-    # DF-cap aggregation both key on s, so they reuse this one shuffle
-    inv = sh.select("doc_id", F.explode("shingles").alias("s")).repartition(
-        spark.sparkContext.defaultParallelism, "s"
-    )
+    inv = sh.select("doc_id", F.explode("shingles").alias("s"))
     # hot-shingle guard: document frequency cap
     hot = inv.groupBy("s").agg(F.count("*").alias("df")).filter(F.col("df") > DF_CAP)
-    inv = inv.join(F.broadcast(hot), "s", "left_anti").persist()
+    inv = inv.join(F.broadcast(hot), "s", "left_anti")
     a, b = inv.alias("a"), inv.alias("b")
     common = (
         a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
