@@ -185,6 +185,24 @@ def q_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation per group (collect_list -> array_sort ->
+    array_join): deterministic across engines because the list is sorted
+    before concatenation. collect_list is single-shuffle but its per-group
+    state is O(group size) — cap grouped cardinality at scale (here: nations
+    per region, bounded by the schema)."""
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations"),
+            F.count("*").alias("n_nations"),
+        )
+    )
+
+
 def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot (wide aggregation): order counts + total price per priority,
     one column group per order status. Spark plans this as a single
@@ -370,6 +388,13 @@ ORACLE: dict[str, str] = {
          AND e2.ts > e1.ts
          AND e2.ts <= e1.ts + INTERVAL 10 MINUTE
         GROUP BY e1.event_type
+    """,
+    "q_string_agg": """
+        SELECT r_name,
+               string_agg(n_name, ',' ORDER BY n_name) AS nations,
+               count(*) AS n_nations
+        FROM nation JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name
     """,
     "q_pivot": """
         SELECT o_orderpriority,
