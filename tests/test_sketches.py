@@ -1,0 +1,30 @@
+"""Sketch accuracy: the approximate aggregates the 100 TB path would run
+instead of their exact forms must land within their documented error bounds
+on the fixture data (exact twins computed side-by-side)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kitkat_spark.sources import load_table
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_approx_percentile_within_tolerance(spark):
+    li = load_table(spark, SF, "lineitem")
+    row = li.agg(
+        F.expr("approx_percentile(l_extendedprice, array(0.25, 0.5, 0.75), 1000)").alias("ap"),
+        F.expr("percentile(l_extendedprice, array(0.25, 0.5, 0.75))").alias("ex"),
+    ).collect()[0]
+    for approx, exact in zip(row.ap, row.ex):
+        assert abs(approx - exact) / exact < 0.02, (approx, exact)
+
+
+def test_approx_count_distinct_within_rsd(spark):
+    li = load_table(spark, SF, "lineitem")
+    row = li.agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("ap"),
+        F.countDistinct("l_partkey").alias("ex"),
+    ).collect()[0]
+    assert abs(row.ap - row.ex) / row.ex < 0.06  # ~3 sigma of rsd=0.02
