@@ -1,0 +1,303 @@
+"""Composed analytic queries (SURVEY.md §2.B widening): multi-join TPC-H-shaped
+pipelines, correlated-subquery shapes, datetime/conditional scalar batteries,
+distribution windows, and kNN classification over embeddings.
+
+The reference has no relational surface at all (SURVEY §2.A "deliberately
+absent" list — /root/reference/consumer/consumer.go implements only a
+streaming decode pipeline), so everything here is north-star extension
+surface expressed Spark-first.
+
+Scale notes:
+- Multi-join queries put the fixed-cardinality dims (nation 25 / region 5)
+  behind explicit ``broadcast()`` and leave fact-fact joins to AQE
+  (sort-merge + skew split at 100 TB; broadcast at test scale).
+- The correlated-subquery shape is rewritten as a window aggregate — one
+  shuffle on the correlation key instead of a per-row subquery; Catalyst
+  would do the same de-correlation for the SQL form.
+- kNN classification broadcasts the (small) query set against the corpus,
+  so the corpus is never shuffled; at 100 TB the corpus side stays
+  partition-local and only top-k per (query, partition) would need a
+  secondary merge (documented in similarity.py's IVF variant).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from kitkat_spark.functions.vectors import dot, norm2
+from kitkat_spark.sources import load_table
+
+CUTOFF = "1998-06-01"
+
+
+def q_mjoin_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: unshipped-revenue top-10 over customer⋈orders⋈lineitem.
+
+    Both date filters and the segment filter are pushed to the parquet scans
+    (asserted in tests/test_plan_quality.py); the final top-10 plans as
+    TakeOrderedAndProject, not a global sort.
+    """
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < CUTOFF)
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > CUTOFF)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+    )
+
+
+def q_mjoin_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: local-supplier revenue by nation over a 6-table join.
+
+    customer⋈orders⋈lineitem⋈supplier with the c/s nation-equality predicate,
+    dims (nation, region) broadcast — at any scale only the two fact joins
+    shuffle, and both shuffle on keys they already need for the join.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .filter(cust.c_nationkey == supp.s_nationkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .select("n_name", "revenue")
+    )
+
+
+def q_subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery shape: customers with above-nation-average
+    balance. Expressed as a window aggregate — one hash shuffle on the
+    correlation key (c_nationkey) instead of N subquery probes; this is the
+    de-correlated plan Catalyst produces for the SQL form too.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    w = W.partitionBy("c_nationkey")
+    # The average itself is filter-only, not an output column: double partial
+    # aggregation order differs between engines, so a rounded copy of it would
+    # flap at rounding boundaries (driver hashes exact values).
+    return (
+        cust.withColumn("nation_avg", F.avg("c_acctbal").over(w))
+        .filter(F.col("c_acctbal") > F.col("nation_avg"))
+        .select(
+            "c_custkey",
+            "c_nationkey",
+            F.round(F.col("c_acctbal"), 2).alias("acctbal"),
+        )
+    )
+
+
+def q_datetime_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datetime scalar battery on orders: extraction, truncation, day
+    difference, month arithmetic, month-end — all JVM expressions inside one
+    whole-stage-codegen span (no shuffle at all; embarrassingly parallel)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("o_year"),
+        F.quarter("o_orderdate").alias("o_quarter"),
+        F.month("o_orderdate").alias("o_month"),
+        F.dayofmonth("o_orderdate").alias("o_day"),
+        F.to_date(F.date_trunc("month", F.col("o_orderdate"))).alias("month_start"),
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01")).alias("days_since_epoch95"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 3 MONTHS")).alias("plus_3m"),
+        F.last_day("o_orderdate").alias("month_end"),
+    )
+
+
+def q_conditional_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional scalar battery on lineitem: CASE bands, NULLIF/COALESCE,
+    GREATEST/LEAST. Pure codegen expressions, no shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.when(F.col("l_quantity") < 10, "low")
+        .when(F.col("l_quantity") < 30, "mid")
+        .otherwise("high")
+        .alias("qty_band"),
+        F.coalesce(F.nullif(F.col("l_returnflag"), F.lit("N")), F.lit("none")).alias(
+            "flag"
+        ),
+        F.round(F.greatest(F.col("l_extendedprice"), F.col("l_quantity") * 1000), 2).alias(
+            "bigger"
+        ),
+        F.round(F.least(F.col("l_tax"), F.col("l_discount")), 4).alias("smaller"),
+    )
+
+
+def q_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution windows per market segment: quartile bucket, percent_rank,
+    cume_dist over account balance. One shuffle on the partition key."""
+    cust = load_table(spark, sf_dir, "customer")
+    w = W.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.round(F.col("c_acctbal"), 2).alias("acctbal"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cum_dist"),
+    )
+
+
+N_CLASSIFY = 20
+K_VOTES = 5
+
+
+def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN label vote: predicted label for each query vector (vec_id <
+    N_CLASSIFY) = majority label among its K_VOTES cosine-nearest neighbors.
+
+    The query set is broadcast, so the corpus never shuffles for the join;
+    the per-query top-k is a window over (query_id) — at scale this becomes
+    partial top-k per partition then a k·P-row merge (similarity.py notes).
+    Ties in the vote break toward the smaller label for determinism.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").alias("v")
+    )
+    emb = emb.withColumn("nrm", norm2(F.col("v")))
+    queries = emb.filter(F.col("vec_id") < N_CLASSIFY).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
+    )
+    cand = emb.select(F.col("vec_id").alias("cand_id"), F.col("label"), "v", "nrm")
+    scored = cand.join(F.broadcast(queries), F.col("cand_id") != F.col("query_id")).select(
+        "query_id",
+        "cand_id",
+        "label",
+        (dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm"))).alias("cos"),
+    )
+    w_top = W.partitionBy("query_id").orderBy(F.col("cos").desc(), "cand_id")
+    topk = scored.withColumn("rk", F.row_number().over(w_top)).filter(
+        F.col("rk") <= K_VOTES
+    )
+    votes = topk.groupBy("query_id", "label").agg(F.count("*").alias("votes"))
+    w_vote = W.partitionBy("query_id").orderBy(F.col("votes").desc(), "label")
+    return (
+        votes.withColumn("r", F.row_number().over(w_vote))
+        .filter(F.col("r") == 1)
+        .select("query_id", F.col("label").alias("pred_label"), "votes")
+    )
+
+
+ORACLE: dict[str, str] = {
+    "q_mjoin_revenue": f"""
+        SELECT l_orderkey,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               o_orderdate, o_orderpriority
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '{CUTOFF}'
+          AND l_shipdate > TIMESTAMP '{CUTOFF}'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, l_orderkey
+        LIMIT 10
+    """,
+    "q_mjoin_region_revenue": """
+        SELECT n_name,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE c_nationkey = s_nationkey
+          AND r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1998-01-01'
+        GROUP BY n_name
+    """,
+    "q_subquery_scalar": """
+        SELECT c_custkey, c_nationkey, round(c_acctbal, 2) AS acctbal
+        FROM customer c
+        WHERE c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer c2
+                           WHERE c2.c_nationkey = c.c_nationkey)
+    """,
+    "q_datetime_funcs": """
+        SELECT o_orderkey,
+               year(o_orderdate) AS o_year,
+               quarter(o_orderdate) AS o_quarter,
+               month(o_orderdate) AS o_month,
+               day(o_orderdate) AS o_day,
+               date_trunc('month', o_orderdate) AS month_start,
+               date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+                   AS days_since_epoch95,
+               o_orderdate + INTERVAL 3 MONTH AS plus_3m,
+               last_day(CAST(o_orderdate AS DATE)) AS month_end
+        FROM orders
+    """,
+    "q_conditional_funcs": """
+        SELECT l_orderkey, l_linenumber,
+               CASE WHEN l_quantity < 10 THEN 'low'
+                    WHEN l_quantity < 30 THEN 'mid'
+                    ELSE 'high' END AS qty_band,
+               coalesce(nullif(l_returnflag, 'N'), 'none') AS flag,
+               round(greatest(l_extendedprice, l_quantity * 1000), 2) AS bigger,
+               round(least(l_tax, l_discount), 4) AS smaller
+        FROM lineitem
+    """,
+    "q_window_ntile": """
+        SELECT c_custkey, c_mktsegment,
+               round(c_acctbal, 2) AS acctbal,
+               ntile(4) OVER w AS quartile,
+               round(percent_rank() OVER w, 6) AS pct_rank,
+               round(cume_dist() OVER w, 6) AS cum_dist
+        FROM customer
+        WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+    """,
+    "q_knn_classify": f"""
+        WITH scored AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS cand_id, c.label,
+                   list_cosine_similarity(q.embedding, c.embedding) AS cos
+            FROM embeddings q, embeddings c
+            WHERE q.vec_id < {N_CLASSIFY} AND c.vec_id <> q.vec_id
+        ), topk AS (
+            SELECT query_id, label
+            FROM (
+                SELECT query_id, label,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY cos DESC, cand_id) AS rk
+                FROM scored
+            )
+            WHERE rk <= {K_VOTES}
+        )
+        SELECT query_id, label AS pred_label, votes
+        FROM (
+            SELECT query_id, label, count(*) AS votes,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY count(*) DESC, label) AS r
+            FROM topk
+            GROUP BY query_id, label
+        )
+        WHERE r = 1
+    """,
+}

@@ -13,6 +13,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from kitkat_spark.operators import (
+    analytic,
     dedup,
     multimodal,
     payloads,
@@ -25,6 +26,7 @@ from kitkat_spark.operators import (
 
 _MODULES = (
     relational,
+    analytic,
     temporal,
     dedup,
     similarity,

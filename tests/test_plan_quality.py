@@ -89,3 +89,36 @@ def test_text_analysis_zero_shuffle_scan(spark):
     shuffle (and only once)."""
     df = QUERIES["q_text_analysis"](spark, SF)
     assert shuffle_count(df) <= 1
+
+
+def test_mjoin_revenue_pushdown_and_topk(spark):
+    """TPC-H Q3 shape: all three filters reach their scans; top-10 must plan
+    as TakeOrderedAndProject (per-partition heap), never a global sort."""
+    from kitkat_spark.plans.explain import explain_str
+
+    df = QUERIES["q_mjoin_revenue"](spark, SF)
+    assert has_pushed_filters(df, "c_mktsegment", "o_orderdate", "l_shipdate")
+    plan = explain_str(df)
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_mjoin_region_revenue_broadcasts_dims(spark):
+    """TPC-H Q5 shape: nation/region joins must broadcast at every scale."""
+    df = QUERIES["q_mjoin_region_revenue"](spark, SF)
+    assert broadcast_join_count(df) >= 2
+    assert has_pushed_filters(df, "o_orderdate", "r_name")
+
+
+def test_scalar_batteries_are_shuffle_free(spark):
+    """Datetime + conditional batteries are pure codegen map pipelines."""
+    for name in ("q_datetime_funcs", "q_conditional_funcs"):
+        df = QUERIES[name](spark, SF)
+        assert shuffle_count(df) == 0, name
+        assert wholestage_codegen_count(df) >= 1, name
+
+
+def test_knn_classify_corpus_never_shuffled_for_join(spark):
+    """The query set is broadcast: no exchange below the join on the corpus
+    side (shuffles appear only for the two windows/vote aggregation)."""
+    df = QUERIES["q_knn_classify"](spark, SF)
+    assert broadcast_join_count(df) >= 1
