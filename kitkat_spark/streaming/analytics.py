@@ -104,3 +104,47 @@ def stream_dedup(
         events = events.withWatermark(ts_col, watermark)
         return events.dropDuplicatesWithinWatermark(keys)
     return events.dropDuplicates(keys)
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    gap: str = "10 minutes",
+    watermark: str = DEFAULT_WATERMARK,
+) -> DataFrame:
+    """Stream-stream inner interval join: pair each left event with right
+    events of the SAME user arriving in [left.ts, left.ts + gap].
+
+    Streaming semantics (the reference has no join at all — SURVEY §2.A
+    "deliberately absent"; this is north-star surface): both sides carry a
+    watermark and the join condition carries the time band, so each side's
+    buffered state is evicted once the other side's watermark passes
+    ts + gap — state is O(rows per watermark horizon), not O(stream).
+    Without the band the state would be unbounded and Spark rejects the
+    plan (UnsupportedOperationChecker), which is exactly the 100 TB-safe
+    default.
+
+    Batch form of the same call is the banded range join family
+    (operators/relational.py q_range_join discusses the bucketed layout).
+    """
+    l = left.select(
+        "user_id",
+        F.col("event_id").alias("l_id"),
+        F.col("ts").alias("l_ts"),
+    )
+    r = right.select(
+        F.col("user_id").alias("r_user"),
+        F.col("event_id").alias("r_id"),
+        F.col("ts").alias("r_ts"),
+    )
+    if l.isStreaming:
+        l = l.withWatermark("l_ts", watermark)
+    if r.isStreaming:
+        r = r.withWatermark("r_ts", watermark)
+    cond = (
+        (F.col("user_id") == F.col("r_user"))
+        & (F.col("r_ts") >= F.col("l_ts"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {gap}"))
+        & (F.col("l_id") != F.col("r_id"))
+    )
+    return l.join(r, cond).select("user_id", "l_id", "r_id", "l_ts", "r_ts")

@@ -92,3 +92,30 @@ def test_streaming_dedup_drops_watermarked_duplicates(spark, tmp_path):
     q.awaitTermination(180)
     got = spark.sql("SELECT count(*) AS n, count(DISTINCT event_id) AS d FROM t_dedup").collect()[0]
     assert got.n == got.d == 200
+
+
+def test_streaming_interval_join_equals_batch(spark, events_stream_path):
+    """Stream-stream watermarked interval join (view -> follow-up click by
+    the same user within 10 min) matches the identical batch join."""
+    from kitkat_spark.streaming.analytics import interval_join
+
+    views_b = spark.read.parquet(events_stream_path).filter(F.col("event_type") == "view")
+    clicks_b = spark.read.parquet(events_stream_path).filter(
+        F.col("event_type") == "click"
+    )
+    batch = interval_join(views_b, clicks_b)
+
+    views_s = _replay(spark, events_stream_path).filter(F.col("event_type") == "view")
+    clicks_s = _replay(spark, events_stream_path).filter(F.col("event_type") == "click")
+    q = (
+        interval_join(views_s, clicks_s)
+        .writeStream.format("memory")
+        .queryName("t_ivjoin")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.sql("SELECT * FROM t_ivjoin")
+    assert _rows(got, "user_id", "l_id", "r_id") == _rows(batch, "user_id", "l_id", "r_id")
+    assert got.count() > 0
