@@ -28,6 +28,8 @@ HEADLINE = [
     "q_scan_filter",
     "q_hash_join",
     "q_broadcast_join",
+    "q_mjoin_revenue",
+    "q_mjoin_region_revenue",
     "q_range_join",
     "q_asof_join",
     "q_agg_group",
@@ -43,6 +45,7 @@ HEADLINE = [
     "q_simhash",
     "q_similarity_search",
     "q_ann_ivf",
+    "q_knn_classify",
     "q_text_analysis",
     "q_token_count",
     "q_kpl_deagg",
