@@ -166,6 +166,39 @@ def q_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — two independent single-column groupings in
+    one pass (not expressible as rollup/cube). Spark expands to one Expand
+    node + one hash aggregate: a single shuffle covers both groupings."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("gs_lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               grouping(l_returnflag) AS g_flag,
+               grouping(l_linestatus) AS g_status,
+               round(sum(l_extendedprice), 2) AS sum_price,
+               count(*) AS n_rows
+        FROM gs_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        """
+    )
+
+
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of order totals: bin arithmetic stays in codegen
+    (no UDF), then one hash aggregate — the standard distributed-histogram
+    layout (map-side partial counts, tiny reduce)."""
+    orders = load_table(spark, sf_dir, "orders")
+    bin_w = 20000
+    return (
+        orders.select(
+            (F.floor(F.col("o_totalprice") / bin_w) * bin_w).cast("long").alias("bin_lo")
+        )
+        .groupBy("bin_lo")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
 N_CLASSIFY = 20
 K_VOTES = 5
 
@@ -273,6 +306,21 @@ ORACLE: dict[str, str] = {
                round(cume_dist() OVER w, 6) AS cum_dist
         FROM customer
         WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+    """,
+    "q_grouping_sets": """
+        SELECT l_returnflag, l_linestatus,
+               grouping(l_returnflag) AS g_flag,
+               grouping(l_linestatus) AS g_status,
+               round(sum(l_extendedprice), 2) AS sum_price,
+               count(*) AS n_rows
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+    """,
+    "q_histogram": """
+        SELECT CAST(floor(o_totalprice / 20000) * 20000 AS BIGINT) AS bin_lo,
+               count(*) AS n_orders
+        FROM orders
+        GROUP BY 1
     """,
     "q_knn_classify": f"""
         WITH scored AS (
