@@ -101,6 +101,54 @@ def q_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semi.unionByName(anti)
 
 
+def q_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join with unmatched rows on BOTH sides (customers with a
+    positive balance vs per-customer order rollups), tagged by match side.
+    The order side is pre-aggregated to 1 row/key BEFORE the join — at scale
+    this is the difference between joining 15x fewer rows and exploding the
+    fact table through a wide outer join. Full outer cannot broadcast; AQE
+    plans sort-merge, which is the right call at any scale."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = customer.filter(F.col("c_acctbal") > 0).select("c_custkey", "c_mktsegment")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("order_total"),
+    )
+    joined = cust.join(per_cust, cust.c_custkey == per_cust.o_custkey, "full_outer")
+    return joined.select(
+        F.coalesce("c_custkey", "o_custkey").alias("custkey"),
+        "c_mktsegment",
+        "n_orders",
+        "order_total",
+        F.when(F.col("c_custkey").isNull(), "order_only")
+        .when(F.col("o_custkey").isNull(), "customer_only")
+        .otherwise("both")
+        .alias("side"),
+    )
+
+
+def q_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """arg-max/arg-min aggregation: each customer's most/least expensive order
+    in ONE hash-aggregate pass — no self-join, no window sort. The ordering
+    key packs (cents, orderkey) into a single int64 so ties on price break
+    deterministically and identically in both engines. At scale this replaces
+    the row_number()=1 pattern (shuffle+sort) with a map-side-combinable
+    aggregate (shuffle only, O(1) state per key)."""
+    orders = load_table(spark, sf_dir, "orders")
+    ordkey = (
+        F.round(F.col("o_totalprice") * 100).cast("long") * F.lit(100_000_000)
+        + F.col("o_orderkey")
+    )
+    return orders.groupBy("o_custkey").agg(
+        F.max_by("o_orderkey", ordkey).alias("best_order"),
+        F.round(F.max("o_totalprice"), 2).alias("best_price"),
+        F.min_by("o_orderkey", ordkey).alias("worst_order"),
+        F.round(F.min("o_totalprice"), 2).alias("worst_price"),
+        F.count("*").alias("n_orders"),
+    )
+
+
 def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded range self-join: pairs of events by the same user within a
     10-minute forward window.
@@ -398,6 +446,30 @@ ORACLE: dict[str, str] = {
         UNION ALL
         SELECT c_custkey, 'no_order' AS tag FROM customer c
         WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    "q_outer_join": """
+        WITH cust AS (
+            SELECT c_custkey, c_mktsegment FROM customer WHERE c_acctbal > 0
+        ), per_cust AS (
+            SELECT o_custkey, count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS order_total
+            FROM orders GROUP BY o_custkey
+        )
+        SELECT coalesce(c_custkey, o_custkey) AS custkey,
+               c_mktsegment, n_orders, order_total,
+               CASE WHEN c_custkey IS NULL THEN 'order_only'
+                    WHEN o_custkey IS NULL THEN 'customer_only'
+                    ELSE 'both' END AS side
+        FROM cust FULL OUTER JOIN per_cust ON c_custkey = o_custkey
+    """,
+    "q_minmax_by": """
+        SELECT o_custkey,
+               arg_max(o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) * 100000000 + o_orderkey) AS best_order,
+               round(max(o_totalprice), 2) AS best_price,
+               arg_min(o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) * 100000000 + o_orderkey) AS worst_order,
+               round(min(o_totalprice), 2) AS worst_price,
+               count(*) AS n_orders
+        FROM orders GROUP BY o_custkey
     """,
     "q_range_join": """
         SELECT e1.event_type AS event_type, count(*) AS n_pairs

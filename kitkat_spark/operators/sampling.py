@@ -1,0 +1,117 @@
+"""Deterministic sampling / dataset-split operators (SURVEY.md §2.B extension
+surface: training-data pipeline ops beyond the reference's streaming set —
+the reference has no sampling at all, confirmed by the exhaustive read in
+SURVEY §2.A / /root/reference/consumer/consumer.go).
+
+Why NOT ``df.sample()``/``TABLESAMPLE``: those are seeded per-partition RNG —
+results change with partitioning/cluster layout, which (a) breaks the DuckDB
+oracle and (b) is exactly what you don't want for a reproducible 100 TB
+training corpus. Instead every row gets a *content-deterministic* bucket via
+Knuth multiplicative hashing on its key:
+
+    bucket = ((key * 2654435761) mod 2^32) mod 100
+
+Pure int64 arithmetic, codegen'd JVM-side, bit-identical in any engine, no
+shuffle, no RNG state. Splits are stable under repartitioning, retries, and
+incremental appends — a new row's split membership never depends on which
+executor sees it. This is the standard layout for train/test splits at scale
+(hash-mod bucketing, as used by every large dedup/split pipeline).
+
+Scale notes: both operators are a single pruned parquet scan + (for the
+aggregate) one map-side-combinable shuffle. No join, no window, no UDF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kitkat_spark.sources import load_table
+
+# Knuth's multiplicative constant (golden-ratio scaling for 32-bit hashing).
+_KNUTH = 2654435761
+_MOD32 = 4294967296
+
+
+def hash_bucket(key: Column, n_buckets: int = 100) -> Column:
+    """Deterministic bucket in [0, n_buckets) from an integer key column.
+
+    int64-safe for keys < ~3.4e9 (doc_id/custkey/orderkey fixture ranges are
+    far below); at larger key domains split the multiply with pmod first.
+    """
+    return F.pmod(F.pmod(key * F.lit(_KNUTH), F.lit(_MOD32)), F.lit(n_buckets))
+
+
+def split_column(key: Column, train_pct: int = 80, valid_pct: int = 10) -> Column:
+    """'train' / 'valid' / 'test' assignment from the deterministic bucket."""
+    b = hash_bucket(key)
+    return (
+        F.when(b < train_pct, F.lit("train"))
+        .when(b < train_pct + valid_pct, F.lit("valid"))
+        .otherwise(F.lit("test"))
+    )
+
+
+def q_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """80/10/10 train/valid/test split of `documents`, summarized per
+    (lang, split): deterministic hash-mod bucketing, one scan + one agg."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("split", split_column(F.col("doc_id")))
+        .groupBy("lang", "split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+        )
+    )
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum deterministic downsample: different keep-rates per document
+    source ('web' 10%, 'wiki' 50%, else 25%) — the up/down-weighting move every
+    corpus-mix pipeline needs. The bucket predicate is a codegen'd filter on
+    the scan; no RNG, so the sample is reproducible and oracle-checkable."""
+    docs = load_table(spark, sf_dir, "documents")
+    rate = (
+        F.when(F.col("source") == "web", F.lit(10))
+        .when(F.col("source") == "wiki", F.lit(50))
+        .otherwise(F.lit(25))
+    )
+    return (
+        docs.withColumn("bucket", hash_bucket(F.col("doc_id")))
+        .filter(F.col("bucket") < rate)
+        .select("doc_id", "lang", "source", "n_chars", "bucket")
+    )
+
+
+ORACLE: dict[str, str] = {
+    "q_sample_split": """
+        WITH b AS (
+            SELECT lang, n_chars,
+                   ((doc_id * 2654435761) % 4294967296) % 100 AS bucket
+            FROM documents
+        )
+        SELECT lang,
+               CASE WHEN bucket < 80 THEN 'train'
+                    WHEN bucket < 90 THEN 'valid'
+                    ELSE 'test' END AS split,
+               count(*) AS n_docs,
+               sum(n_chars) AS total_chars,
+               round(avg(n_chars), 2) AS avg_chars
+        FROM b
+        GROUP BY 1, 2
+    """,
+    "q_stratified_sample": """
+        WITH b AS (
+            SELECT doc_id, lang, source, n_chars,
+                   ((doc_id * 2654435761) % 4294967296) % 100 AS bucket,
+                   CASE WHEN source = 'web' THEN 10
+                        WHEN source = 'wiki' THEN 50
+                        ELSE 25 END AS rate
+            FROM documents
+        )
+        SELECT doc_id, lang, source, n_chars, bucket
+        FROM b WHERE bucket < rate
+    """,
+}

@@ -18,6 +18,7 @@ from kitkat_spark.operators import (
     multimodal,
     payloads,
     relational,
+    sampling,
     similarity,
     streamparity,
     temporal,
@@ -26,6 +27,7 @@ from kitkat_spark.operators import (
 
 _MODULES = (
     relational,
+    sampling,
     analytic,
     temporal,
     dedup,
