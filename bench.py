@@ -28,6 +28,10 @@ HEADLINE = [
     "q_scan_filter",
     "q_hash_join",
     "q_broadcast_join",
+    "q_outer_join",
+    "q_minmax_by",
+    "q_sample_split",
+    "q_stratified_sample",
     "q_mjoin_revenue",
     "q_mjoin_region_revenue",
     "q_range_join",

@@ -337,6 +337,39 @@ def q_window_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-navigation windows: first/last/second order per customer from one
+    shuffle+sort (all three functions share the window). last_value needs the
+    explicit unbounded-following frame — the default frame ends at CURRENT ROW
+    and silently returns the current row's value."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wfull = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.first_value("o_orderkey").over(w).alias("first_order"),
+        F.last_value("o_orderkey").over(wfull).alias("last_order"),
+        F.nth_value("o_orderkey", 2).over(wfull).alias("second_order"),
+    )
+
+
+def q_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lateral explode with ordinality: the first 4 embedding components as
+    (vec_id, pos, val) rows. Generate runs inside whole-stage codegen — no
+    shuffle; slicing BEFORE exploding bounds the fan-out (slice-then-explode
+    is the scale rule: explode-then-filter materializes the full blowup)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.select("vec_id", F.posexplode(F.slice("embedding", 1, 4)))
+        .select(
+            "vec_id",
+            F.col("pos").cast("int").alias("pos"),
+            F.round(F.col("col").cast("double"), 4).alias("val"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # set operations
 # ---------------------------------------------------------------------------
@@ -563,6 +596,24 @@ ORACLE: dict[str, str] = {
                round(lead(o_totalprice, 1) OVER (
                    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), 2) AS next_price
         FROM orders
+    """,
+    "q_first_last": """
+        SELECT o_custkey, o_orderkey,
+               first_value(o_orderkey) OVER w AS first_order,
+               last_value(o_orderkey) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_order,
+               nth_value(o_orderkey, 2) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_order
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    "q_posexplode": """
+        SELECT vec_id,
+               CAST(i - 1 AS INT) AS pos,
+               round(CAST(embedding[i] AS DOUBLE), 4) AS val
+        FROM embeddings, range(1, 5) t(i)
     """,
     "q_set_ops": """
         WITH a AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'),
