@@ -166,6 +166,28 @@ def q_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_window_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE window frame: each order's trailing-7-day revenue and order
+    count per customer. RANGE (value-based) frames differ from ROWS frames
+    when timestamps gap or tie — the frame is [ts - 7d, ts], not "previous k
+    rows". Spark's rangeBetween needs a numeric order key, so the frame is
+    expressed over epoch seconds; one shuffle+sort on the partition key
+    serves both aggregates."""
+    orders = load_table(spark, sf_dir, "orders")
+    epoch = F.unix_timestamp("o_orderdate")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy(epoch)
+        .rangeBetween(-7 * 86400, 0)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("rev_7d"),
+        F.count("*").over(w).alias("n_7d"),
+    )
+
+
 def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit GROUPING SETS — two independent single-column groupings in
     one pass (not expressible as rollup/cube). Spark expands to one Expand
@@ -306,6 +328,14 @@ ORACLE: dict[str, str] = {
                round(cume_dist() OVER w, 6) AS cum_dist
         FROM customer
         WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+    """,
+    "q_window_range": """
+        SELECT o_custkey, o_orderkey,
+               round(sum(o_totalprice) OVER w, 2) AS rev_7d,
+               count(*) OVER w AS n_7d
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
+                     RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW)
     """,
     "q_grouping_sets": """
         SELECT l_returnflag, l_linestatus,
