@@ -39,6 +39,9 @@ HEADLINE = [
     "q_agg_group",
     "q_rollup_cube",
     "q_window_rank",
+    "q_window_range",
+    "q_first_last",
+    "q_posexplode",
     "q_sort_limit",
     "q_stream_tumbling",
     "q_stream_sliding",
