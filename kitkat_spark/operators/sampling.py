@@ -85,7 +85,47 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test contamination audit: exact-duplicate documents (by
+    whitespace-normalized md5 fingerprint) whose copies land in DIFFERENT
+    splits — each such fingerprint is an eval-set leak. Composes the
+    fingerprint and split operators; one scan + one hash-agg on the
+    fingerprint, so it runs at corpus scale as a single shuffle. The
+    fingerprint is the md5 of the first 200 normalized chars — a cheap
+    prefix-dup detector that catches the fixture's near-dup families; at
+    100 TB the same shape extends to full near-dup leakage by swapping the
+    fingerprint for MinHash band keys."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = F.md5(F.substring(F.lower(F.regexp_replace("text", r"\s+", " ")), 1, 200))
+    return (
+        docs.select(
+            fp.alias("fp"),
+            split_column(F.col("doc_id")).alias("split"),
+        )
+        .groupBy("fp")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.size(F.collect_set("split")).alias("n_splits"),
+            F.array_join(F.array_sort(F.collect_set("split")), ",").alias("splits"),
+        )
+        .filter(F.col("n_splits") > 1)
+    )
+
+
 ORACLE: dict[str, str] = {
+    "q_split_leakage": """
+        WITH d AS (
+            SELECT md5(substr(lower(regexp_replace(text, '\\s+', ' ', 'g')), 1, 200)) AS fp,
+                   CASE WHEN ((doc_id * 2654435761) % 4294967296) % 100 < 80 THEN 'train'
+                        WHEN ((doc_id * 2654435761) % 4294967296) % 100 < 90 THEN 'valid'
+                        ELSE 'test' END AS split
+            FROM documents
+        )
+        SELECT fp, count(*) AS n_docs,
+               CAST(count(DISTINCT split) AS INT) AS n_splits,
+               string_agg(DISTINCT split, ',' ORDER BY split) AS splits
+        FROM d GROUP BY fp HAVING count(DISTINCT split) > 1
+    """,
     "q_sample_split": """
         WITH b AS (
             SELECT lang, n_chars,
