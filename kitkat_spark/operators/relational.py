@@ -31,7 +31,7 @@ def q_scan_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pruned scan: both predicates and the 4-column projection reach parquet."""
     li = load_table(spark, sf_dir, "lineitem")
     return (
-        li.filter((F.col("l_shipdate") < "1995-01-01") & (F.col("l_quantity") > 30))
+        li.filter((F.col("l_shipdate") < "1997-01-01") & (F.col("l_quantity") > 30))
         .select("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice")
     )
 
@@ -449,7 +449,7 @@ ORACLE: dict[str, str] = {
     "q_scan_filter": """
         SELECT l_orderkey, l_partkey, l_quantity, l_extendedprice
         FROM lineitem
-        WHERE l_shipdate < TIMESTAMP '1995-01-01' AND l_quantity > 30
+        WHERE l_shipdate < TIMESTAMP '1997-01-01' AND l_quantity > 30
     """,
     "q_sort_limit": """
         SELECT l_orderkey, l_linenumber, l_extendedprice

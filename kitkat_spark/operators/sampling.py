@@ -137,7 +137,7 @@ ORACLE: dict[str, str] = {
                     WHEN bucket < 90 THEN 'valid'
                     ELSE 'test' END AS split,
                count(*) AS n_docs,
-               sum(n_chars) AS total_chars,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars,
                round(avg(n_chars), 2) AS avg_chars
         FROM b
         GROUP BY 1, 2

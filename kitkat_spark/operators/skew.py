@@ -30,8 +30,17 @@ def salted_join(
 
     The skewed side gets a uniform random salt in [0, n_salts); the other
     side is exploded to every salt value, so (key, salt) pairs still meet
-    exactly once. Result equals the plain join row-for-row.
+    exactly once. Result equals the plain join row-for-row for ``inner``
+    and ``left`` (the skewed side carries ONE salt per row, so its
+    unmatched rows survive exactly once). ``right``/``full`` are rejected:
+    each unmatched row of the replicated side would surface n_salts times.
     """
+    if how not in ("inner", "left", "leftouter", "left_outer"):
+        raise ValueError(
+            f"salted_join supports how='inner'/'left' only, got {how!r}: "
+            "outer-preserving the replicated side would duplicate its "
+            "unmatched rows n_salts times"
+        )
     salted_l = skewed.withColumn("_salt", (F.rand(seed=7) * n_salts).cast("int"))
     salted_r = other.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))

@@ -81,7 +81,18 @@ def compact(
         df.coalesce(files).write.mode("overwrite").option(
             "maxRecordsPerFile", target_file_rows
         ).parquet(tmp_out)
-    # swap: read fully materialized above, so removing the source is safe
-    shutil.rmtree(path)
-    shutil.move(tmp_out, path)
+    # swap: rename the live table aside FIRST so a crash or a failed
+    # cross-filesystem move never leaves the only copy stranded in /tmp —
+    # the old data survives at ``<path>.compact-old`` until the new data
+    # is in place, and is restored if the move fails.
+    old = path.rstrip("/") + ".compact-old"
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(path, old)
+    try:
+        shutil.move(tmp_out, path)
+    except BaseException:
+        if not os.path.exists(path):
+            os.rename(old, path)
+        raise
+    shutil.rmtree(old, ignore_errors=True)
     shutil.rmtree(tmp, ignore_errors=True)

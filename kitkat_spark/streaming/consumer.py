@@ -41,7 +41,11 @@ def parse_since(since: str) -> F.Column:
         parsed = dt.datetime.fromisoformat(since.replace("Z", "+00:00"))
     except ValueError as exc:
         raise ValueError(f"--since must be RFC3339, got {since!r}") from exc
-    return F.lit(parsed.replace(tzinfo=None)).cast("timestamp")
+    if parsed.tzinfo is not None:
+        # Compare instants like the reference's time.Parse: convert the
+        # offset to UTC before dropping tzinfo, never just strip it.
+        parsed = parsed.astimezone(dt.timezone.utc).replace(tzinfo=None)
+    return F.lit(parsed).cast("timestamp")
 
 
 @dataclass
