@@ -61,6 +61,14 @@ HEADLINE = [
     "q_consume_pipeline",
     "q_multimodal_decode",
     "q_frame_sample",
+    "q_vocab",
+    "q_tfidf",
+    "q_pii_redact",
+    "q_funnel",
+    "q_cohort_retention",
+    "q_in_subquery",
+    "q_unpivot",
+    "q_cross_join_grid",
 ]
 
 

@@ -26,12 +26,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kitkat_spark.functions.text import (
+    _zipped_ngrams,
     band_hashes,
     make_minhash_udf,
-    shingle_hashes,
     shingle_hashes_from_tokens,
     tokens,
-    word_shingles,
 )
 from kitkat_spark.sources import load_table
 
@@ -82,11 +81,27 @@ def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
     # hashing are CPU-bound, so fan out to full parallelism first. On a real
     # cluster the scan is already many partitions and this is a cheap no-op
     # rebalance of the narrow map stage.
+    #
+    # Shingles are carried as FULL-RANGE xxhash64 longs, never strings: the
+    # inverted index shuffles 8-byte keys instead of ~25-byte text, and the
+    # downstream join/agg compare longs. Jaccard on hashes equals
+    # string-shingle Jaccard up to 64-bit collisions (~1M distinct shingles
+    # -> P[any collision] ~ 3e-8), far below the oracle's observable effect.
     par = spark.sparkContext.defaultParallelism
     docs = load_table(spark, sf_dir, "documents").repartition(par)
-    return docs.select(
-        "doc_id", word_shingles(tokens(F.col("text")), SHINGLE_N).alias("shingles")
-    ).filter(F.size("shingles") > 0)
+    toks = tokens(F.col("text"))
+    hashed = F.array_distinct(
+        F.when(
+            F.size(toks) >= SHINGLE_N,
+            F.transform(
+                _zipped_ngrams(toks, SHINGLE_N),
+                lambda s: F.xxhash64(*[s[str(j)] for j in range(SHINGLE_N)]),
+            ),
+        ).otherwise(F.array().cast("array<bigint>"))
+    )
+    return docs.select("doc_id", hashed.alias("shingles")).filter(
+        F.size("shingles") > 0
+    )
 
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -95,8 +110,10 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     No explicit persist/repartition: both sides of the inverted-index
     self-join canonicalize to the same subplan, so Catalyst's ReusedExchange
     computes the index once (measured: explicit persist+repartition was 2x
-    SLOWER cold — materialization cost without a second reader). String
-    shingles here because the DuckDB oracle verifies string-level Jaccard.
+    SLOWER cold — materialization cost without a second reader). The index
+    key is the xxhash64 of the shingle (see _shingled) — the DuckDB oracle
+    verifies string-level Jaccard, which these hashes reproduce exactly
+    barring 64-bit collisions.
     """
     sh = _shingled(spark, sf_dir)
     counts = sh.select("doc_id", F.size("shingles").alias("n_sh"))

@@ -1,0 +1,324 @@
+"""Training-corpus pipeline analytics (SURVEY.md §2.B north-star surface —
+new design, no reference counterpart: /root/reference has no analytics at
+all, see SURVEY §2.A).
+
+Operators a 100 TB LLM-data pipeline runs daily: vocabulary construction,
+TF-IDF term scoring, PII redaction, funnel/cohort behavioral analytics over
+the event stream, plus the relational long-tail (IN/NOT IN subqueries,
+UNPIVOT, cross-join grids with zero-fill).
+
+Scale discipline shared by all:
+- Tokenization/regex work is codegen'd JVM expressions (no Python).
+- Explodes aggregate IMMEDIATELY (explode -> groupBy fuses into one shuffle
+  of (token, partial-count) pairs; the exploded rows never persist).
+- Vocab/IDF tables are post-aggregation tiny -> broadcast back to the
+  corpus-sized side; the fact side shuffles at most once.
+- Window-based per-user derivations (cohort day) use ONE partitionBy(user)
+  shuffle instead of groupBy + self-join (two shuffles of the same data).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from kitkat_spark.functions.text import tokens
+from kitkat_spark.sources import load_table
+
+VOCAB_TOP_K = 50
+
+
+def q_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary build: top-50 tokens by document frequency with rank.
+
+    explode(array_distinct(tokens)) -> count per token is ONE shuffle with
+    map-side combine (partial counts per token). The final orderBy+limit is
+    TakeOrderedAndProject (per-partition heap, k-row merge — no full sort);
+    the rank window then runs over 50 rows, so its single-partition sort is
+    irrelevant at any corpus size. Ties break on the token itself."""
+    docs = load_table(spark, sf_dir, "documents")
+    inv = docs.select(F.explode(F.array_distinct(tokens(F.col("text")))).alias("token"))
+    vocab = inv.groupBy("token").agg(F.count("*").alias("df"))
+    top = vocab.orderBy(F.col("df").desc(), "token").limit(VOCAB_TOP_K)
+    w = W.orderBy(F.col("df").desc(), "token")
+    return top.select("token", "df", F.row_number().over(w).alias("rank"))
+
+
+def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top TF-IDF term per document (smoothed idf = ln((N+1)/(df+1))).
+
+    Term frequencies and document frequencies are two aggregations over the
+    SAME exploded token stream; Catalyst reuses the exchange. The df table
+    (vocab-sized) broadcasts back onto the tf table, so the corpus side
+    shuffles once on (doc_id, token) and once on doc_id for the window.
+    Ties on score break on the token string — deterministic cross-engine."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    dfreq = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    total = docs.agg(F.count("*").alias("n_docs"))
+    score = F.col("tf") * F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0)))
+    scored = (
+        tf.join(F.broadcast(dfreq), "token")
+        .crossJoin(F.broadcast(total))
+        .withColumn("s", score)
+    )
+    w = W.partitionBy("doc_id").orderBy(F.col("s").desc(), "token")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            F.col("token").alias("top_term"),
+            "tf",
+            "df",
+            F.round("s", 4).alias("tfidf"),
+        )
+    )
+
+
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction pass: mask digit runs in customer names, report how much
+    was redacted. Pure codegen regexp — the 100 TB shape is a narrow map with
+    zero shuffle; the same expression slots into any ingest pipeline. (The
+    synthetic corpus has no emails/phones, so the ID-number pattern is the
+    nonvacuous one — every fixture name carries a digit run.)"""
+    customer = load_table(spark, sf_dir, "customer")
+    n_digits = F.length("c_name") - F.length(F.regexp_replace("c_name", "[0-9]", ""))
+    return customer.select(
+        "c_custkey",
+        F.regexp_replace("c_name", "[0-9]+", "<ID>").alias("redacted"),
+        n_digits.alias("n_digits"),
+        (n_digits > 0).alias("had_pii"),
+    )
+
+
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event funnel: users who viewed, then clicked after first view, then
+    purchased after first click — strictly ordered by event time.
+
+    One groupBy(user) with conditional-min aggregates (O(1) state/key,
+    map-side combinable) collapses each user's history; the stage counts are
+    a second 1-row aggregate. No joins, no windows — the cheapest possible
+    funnel at any scale."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("t_purchase"),
+    )
+    clicked = F.col("t_click") > F.col("t_view")  # null-safe: NULL > x is NULL
+    purchased = clicked & (F.col("t_purchase") > F.col("t_click"))
+    return per_user.agg(
+        F.count("*").alias("n_users"),
+        F.sum(F.when(F.col("t_view").isNotNull(), 1).otherwise(0)).alias("n_view"),
+        F.sum(F.when(clicked, 1).otherwise(0)).alias("n_view_click"),
+        F.sum(F.when(purchased, 1).otherwise(0)).alias("n_full_funnel"),
+    )
+
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-activity day, distinct actives
+    per day-offset for the first week.
+
+    The cohort day comes from min(date) OVER (PARTITION BY user) — one
+    shuffle on user_id, reused by the subsequent (cohort, offset) aggregate's
+    input; the groupBy+self-join alternative shuffles the event table twice."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("d")
+    )
+    cohort = F.min("d").over(W.partitionBy("user_id"))
+    return (
+        ev.withColumn("cohort_day", cohort)
+        .withColumn("day_offset", F.datediff("d", F.col("cohort_day")))
+        .filter(F.col("day_offset") <= 7)
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+def q_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN / NOT IN subqueries through the SQL surface (Spark SQL is the
+    parser — SURVEY §7 non-goals). Catalyst rewrites IN to a left-semi and
+    NOT IN to a null-aware left-anti join; both subquery key sets here are
+    customer-sized, so AQE broadcasts them at test scale and sort-merges at
+    100 TB. Non-vacuous: ~8% of fixture customers carry a negative balance."""
+    for t in ("orders", "customer"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(f"inq_{t}")
+    return spark.sql(
+        """
+        SELECT o_orderstatus,
+               count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS total_price
+        FROM inq_orders
+        WHERE o_custkey IN (SELECT c_custkey FROM inq_customer WHERE c_acctbal < 0)
+          AND o_custkey NOT IN (
+              SELECT c_custkey FROM inq_customer WHERE c_mktsegment = 'BUILDING')
+        GROUP BY o_orderstatus
+        """
+    )
+
+
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (wide -> long melt) of a per-flag aggregate: each metric column
+    becomes a (metric, value) row. Spark plans Expand over the 5-row aggregate
+    — the melt costs nothing; do it AFTER aggregation, never on the fact
+    table (melting first would triple the shuffled rows)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    agg = li.groupBy("l_returnflag").agg(
+        F.round(F.sum("l_quantity"), 2).alias("qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("price"),
+        F.round(F.sum(disc_price), 2).alias("disc_price"),
+    )
+    return agg.unpivot("l_returnflag", ["qty", "price", "disc_price"], "metric", "value")
+
+
+def q_cross_join_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-join grid with zero-fill: every (region, order-status) cell, even
+    empty ones — the dense-matrix shape reports need. The grid is a cross join
+    of two TINY post-aggregation sides (5 x 3 rows); observed counts left-join
+    onto it and coalesce to zero. Never cross-join fact tables — build the
+    grid from dims, aggregate facts separately, join last."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    statuses = orders.select("o_orderstatus").distinct()
+    grid = region.select("r_name").crossJoin(statuses)
+    counts = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "o_orderstatus")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.round(F.sum("o_totalprice"), 2).alias("tot"),
+        )
+    )
+    return grid.join(counts, ["r_name", "o_orderstatus"], "left").select(
+        "r_name",
+        "o_orderstatus",
+        F.coalesce("cnt", F.lit(0)).alias("n_orders"),
+        F.coalesce("tot", F.lit(0.0)).alias("total_price"),
+    )
+
+
+ORACLE: dict[str, str] = {
+    "q_vocab": """
+        WITH toks AS (
+            SELECT unnest(list_distinct(string_split(text, ' '))) AS token
+            FROM documents
+        ), v AS (
+            SELECT token, count(*) AS df FROM toks GROUP BY token
+        ), top AS (
+            SELECT token, df FROM v ORDER BY df DESC, token LIMIT 50
+        )
+        SELECT token, df, row_number() OVER (ORDER BY df DESC, token) AS rank
+        FROM top
+    """,
+    "q_tfidf": """
+        WITH tok AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+        ), tf AS (
+            SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2
+        ), dfq AS (
+            SELECT token, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1
+        ), n AS (
+            SELECT count(*) AS n_docs FROM documents
+        ), scored AS (
+            SELECT doc_id, token, tf, df,
+                   tf * ln((n_docs + 1.0) / (df + 1.0)) AS s
+            FROM tf JOIN dfq USING (token) CROSS JOIN n
+        )
+        SELECT doc_id, token AS top_term, tf, df, round(s, 4) AS tfidf
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY doc_id ORDER BY s DESC, token) AS rn
+            FROM scored
+        ) WHERE rn = 1
+    """,
+    "q_pii_redact": """
+        SELECT c_custkey,
+               regexp_replace(c_name, '[0-9]+', '<ID>', 'g') AS redacted,
+               CAST(length(c_name) - length(regexp_replace(c_name, '[0-9]', '', 'g')) AS INT)
+                   AS n_digits,
+               length(c_name) - length(regexp_replace(c_name, '[0-9]', '', 'g')) > 0
+                   AS had_pii
+        FROM customer
+    """,
+    "q_funnel": """
+        WITH per_user AS (
+            SELECT user_id,
+                   min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+                   min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+                   min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+            FROM events GROUP BY user_id
+        )
+        SELECT count(*) AS n_users,
+               count(*) FILTER (t_view IS NOT NULL) AS n_view,
+               count(*) FILTER (t_click > t_view) AS n_view_click,
+               count(*) FILTER (t_click > t_view AND t_purchase > t_click)
+                   AS n_full_funnel
+        FROM per_user
+    """,
+    "q_cohort_retention": """
+        WITH e AS (
+            SELECT user_id, CAST(ts AS DATE) AS d FROM events
+        ), c AS (
+            SELECT user_id, d,
+                   min(d) OVER (PARTITION BY user_id) AS cohort_day
+            FROM e
+        )
+        SELECT cohort_day,
+               CAST(datediff('day', cohort_day, d) AS INT) AS day_offset,
+               count(DISTINCT user_id) AS n_users
+        FROM c
+        WHERE datediff('day', cohort_day, d) <= 7
+        GROUP BY 1, 2
+    """,
+    "q_in_subquery": """
+        SELECT o_orderstatus,
+               count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS total_price
+        FROM orders
+        WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal < 0)
+          AND o_custkey NOT IN (
+              SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+        GROUP BY o_orderstatus
+    """,
+    "q_unpivot": """
+        WITH a AS (
+            SELECT l_returnflag,
+                   round(sum(l_quantity), 2) AS qty,
+                   round(sum(l_extendedprice), 2) AS price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS disc_price
+            FROM lineitem GROUP BY l_returnflag
+        )
+        SELECT l_returnflag, 'qty' AS metric, qty AS value FROM a
+        UNION ALL
+        SELECT l_returnflag, 'price' AS metric, price AS value FROM a
+        UNION ALL
+        SELECT l_returnflag, 'disc_price' AS metric, disc_price AS value FROM a
+    """,
+    "q_cross_join_grid": """
+        WITH statuses AS (SELECT DISTINCT o_orderstatus FROM orders),
+        grid AS (SELECT r_name, o_orderstatus FROM region CROSS JOIN statuses),
+        counts AS (
+            SELECT r_name, o_orderstatus,
+                   count(*) AS cnt,
+                   round(sum(o_totalprice), 2) AS tot
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY 1, 2
+        )
+        SELECT g.r_name, g.o_orderstatus,
+               coalesce(cnt, 0) AS n_orders,
+               coalesce(tot, 0.0) AS total_price
+        FROM grid g
+        LEFT JOIN counts c
+          ON g.r_name = c.r_name AND g.o_orderstatus = c.o_orderstatus
+    """,
+}

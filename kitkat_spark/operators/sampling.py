@@ -69,13 +69,15 @@ def q_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-stratum deterministic downsample: different keep-rates per document
-    source ('web' 10%, 'wiki' 50%, else 25%) — the up/down-weighting move every
-    corpus-mix pipeline needs. The bucket predicate is a codegen'd filter on
-    the scan; no RNG, so the sample is reproducible and oracle-checkable."""
+    source (src0/src1 10%, src2/src3 50%, else 25%) — the up/down-weighting
+    move every corpus-mix pipeline needs; rates target the fixture's real
+    source values so every branch selects a nonempty proper subset. The bucket
+    predicate is a codegen'd filter on the scan; no RNG, so the sample is
+    reproducible and oracle-checkable."""
     docs = load_table(spark, sf_dir, "documents")
     rate = (
-        F.when(F.col("source") == "web", F.lit(10))
-        .when(F.col("source") == "wiki", F.lit(50))
+        F.when(F.col("source").isin("src0", "src1"), F.lit(10))
+        .when(F.col("source").isin("src2", "src3"), F.lit(50))
         .otherwise(F.lit(25))
     )
     return (
@@ -146,8 +148,8 @@ ORACLE: dict[str, str] = {
         WITH b AS (
             SELECT doc_id, lang, source, n_chars,
                    ((doc_id * 2654435761) % 4294967296) % 100 AS bucket,
-                   CASE WHEN source = 'web' THEN 10
-                        WHEN source = 'wiki' THEN 50
+                   CASE WHEN source IN ('src0', 'src1') THEN 10
+                        WHEN source IN ('src2', 'src3') THEN 50
                         ELSE 25 END AS rate
             FROM documents
         )
