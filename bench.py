@@ -69,6 +69,17 @@ HEADLINE = [
     "q_in_subquery",
     "q_unpivot",
     "q_cross_join_grid",
+    "q_dedup_clusters",
+    "q_chunk_docs",
+    "q_length_outliers",
+    "q_corpus_mix",
+    "q_merge_upsert",
+    "q_scd2",
+    "q_exists_join",
+    "q_having_scalar",
+    "q_count_distribution",
+    "q_group_filter_join",
+    "q_centroid_assign",
 ]
 
 

@@ -1,0 +1,219 @@
+"""Corpus-construction operators (SURVEY.md §2.B north-star surface — new
+design, no reference counterpart: /root/reference is a Kinesis CLI with no
+analytics, see SURVEY §2.A).
+
+The ops a 100 TB training-corpus build runs between dedup and tokenization:
+
+- q_dedup_clusters: connected components over the near-dup pair graph
+  (the q_ngram_jaccard edges), emitting one canonical doc per duplicate
+  cluster. Iterative min-label propagation — the distributed-native CC
+  formulation (no driver-side union-find; labels live in a DataFrame and
+  every step is a join+agg Catalyst can plan). Converges in O(diameter)
+  rounds; near-dup families are near-cliques, so diameter is 1-2.
+- q_chunk_docs: context-window chunking — fixed-size token windows with
+  stride overlap, the pre-tokenizer packing step. Pure codegen array ops
+  (sequence -> posexplode -> slice): a narrow 1->N map, zero shuffle.
+- q_length_outliers: quantile-based length filtering — global p05/p95 of
+  n_chars, then per-(lang, bucket) counts. The percentile aggregate is one
+  tiny 1-row result broadcast back onto the scan; at 100 TB you'd swap
+  `percentile` for `approx_percentile` (same plan shape, sketch merge).
+- q_corpus_mix: weighted per-source upsampling (explode(sequence(1,k))) —
+  the corpus-mixing move (3x wiki-style sources, 1x web) every training-mix
+  recipe needs. A 1->k narrow fan-out; repetition happens AFTER dedup, so
+  no shuffle ever sees the duplicated rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kitkat_spark.operators.dedup import PAIRS_SQL_CTES, jaccard_pairs
+from kitkat_spark.sources import load_table
+
+CHUNK_TOKENS = 32
+CHUNK_STRIDE = 24
+CC_MAX_ITER = 20
+
+
+def connected_components(
+    edges: DataFrame, src: str = "src", dst: str = "dst", max_iter: int = CC_MAX_ITER
+) -> DataFrame:
+    """(node, component) for every node in an undirected edge list; the
+    component id is the minimum node id in the component.
+
+    Min-label propagation: each round every node takes the min label in its
+    closed neighborhood. Labels only decrease, so sum(label) is a strictly
+    decreasing convergence witness — one cheap agg per round instead of a
+    change-count self-join. Each round is localCheckpoint'ed: at scale the
+    iteration would otherwise stack O(iter) shuffles into one lineage and
+    re-execute them all every round (the standard iterative-algorithm
+    truncation, same as GraphX/GraphFrames CC).
+    """
+    # materialize the edge list BEFORE the symmetric union: both union
+    # branches reference the same plan, and without truncation the (possibly
+    # expensive) edge derivation would execute once per branch
+    e0 = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).localCheckpoint(
+        eager=True
+    )
+    sym = e0.union(e0.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    labels = sym.select("u").distinct().withColumn("label", F.col("u"))
+    prev_sum = None
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(labels, "u")
+            .groupBy(F.col("v").alias("u"))
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        labels = labels.join(nbr_min, "u", "left").select(
+            "u", F.least("label", F.coalesce("nbr_min", "label")).alias("label")
+        )
+        labels = labels.localCheckpoint(eager=True)
+        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters: connected components over the exact-Jaccard pair
+    graph (same edges as q_ngram_jaccard), one canonical doc (min doc_id)
+    per cluster. Singleton docs are not emitted — output is exactly the
+    membership table a dedup pass would anti-join against the corpus
+    (keep rows where is_canonical OR doc absent)."""
+    pairs = jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    cc = connected_components(pairs, src="doc_a", dst="doc_b")
+    return cc.select(
+        F.col("u").alias("doc_id"),
+        F.col("label").alias("cluster_id"),
+        (F.col("u") == F.col("label")).alias("is_canonical"),
+    )
+
+
+def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size token chunks (32 tokens, stride 24 -> 8-token overlap).
+
+    sequence(1, n_tok, stride) -> posexplode -> slice is a codegen'd Generate
+    with no shuffle; each input row fans out to ceil(n/stride) chunk rows.
+    The trailing chunk may be short — kept (training pipelines pad), which
+    also keeps the op exactly invertible to doc boundaries."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select("doc_id", F.split("text", " ", -1).alias("w")).filter(
+        F.size("w") > 0
+    )
+    ex = d.select(
+        "doc_id",
+        "w",
+        F.posexplode(F.sequence(F.lit(1), F.size("w"), F.lit(CHUNK_STRIDE))).alias(
+            "chunk_id", "start"
+        ),
+    )
+    piece = F.slice("w", F.col("start"), CHUNK_TOKENS)
+    return ex.select(
+        "doc_id",
+        "chunk_id",
+        "start",
+        F.size(piece).alias("n_tokens"),
+        F.concat_ws(" ", piece).alias("chunk_text"),
+    )
+
+
+def q_length_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile length filter audit: bucket docs against global p05/p95 of
+    n_chars, count per (lang, bucket). Exact `percentile` here so DuckDB's
+    quantile_cont matches; the 100 TB plan swaps in approx_percentile."""
+    docs = load_table(spark, sf_dir, "documents")
+    pct = F.percentile("n_chars", F.array(F.lit(0.05), F.lit(0.95)))
+    bounds = docs.agg(
+        F.element_at(pct, 1).alias("lo"), F.element_at(pct, 2).alias("hi")
+    )
+    bucket = (
+        F.when(F.col("n_chars") < F.col("lo"), F.lit("short"))
+        .when(F.col("n_chars") > F.col("hi"), F.lit("long"))
+        .otherwise(F.lit("keep"))
+    )
+    return (
+        docs.crossJoin(F.broadcast(bounds))
+        .groupBy("lang", bucket.alias("bucket"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+        )
+    )
+
+
+def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted corpus mix: upsample src0 3x, src1 2x, everything else 1x —
+    each copy tagged with its repetition index. Narrow explode after dedup;
+    at scale the copies exist only in the written training shards, never in
+    a shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    factor = (
+        F.when(F.col("source") == "src0", F.lit(3))
+        .when(F.col("source") == "src1", F.lit(2))
+        .otherwise(F.lit(1))
+    )
+    return docs.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.explode(F.sequence(F.lit(1), factor)).alias("copy"),
+    )
+
+
+ORACLE: dict[str, str] = {
+    "q_dedup_clusters": f"""
+        WITH RECURSIVE {PAIRS_SQL_CTES},
+        edges AS (
+            SELECT doc_a AS u, doc_b AS v FROM jpairs
+            UNION ALL
+            SELECT doc_b, doc_a FROM jpairs
+        ),
+        reach(u, r) AS (
+            SELECT DISTINCT u, u FROM edges
+            UNION
+            SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.u
+        )
+        SELECT u AS doc_id, min(r) AS cluster_id, u = min(r) AS is_canonical
+        FROM reach GROUP BY u
+    """,
+    "q_chunk_docs": """
+        WITH d AS (
+            SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        ), s AS (
+            SELECT doc_id, w,
+                   unnest(generate_series(1, len(w), 24)) AS start
+            FROM d WHERE len(w) > 0
+        )
+        SELECT doc_id,
+               CAST((start - 1) / 24 AS INT) AS chunk_id,
+               CAST(start AS INT) AS start,
+               CAST(len(w[start:start+31]) AS INT) AS n_tokens,
+               array_to_string(w[start:start+31], ' ') AS chunk_text
+        FROM s
+    """,
+    "q_length_outliers": """
+        WITH b AS (
+            SELECT quantile_cont(n_chars, 0.05) AS lo,
+                   quantile_cont(n_chars, 0.95) AS hi
+            FROM documents
+        )
+        SELECT lang,
+               CASE WHEN n_chars < lo THEN 'short'
+                    WHEN n_chars > hi THEN 'long'
+                    ELSE 'keep' END AS bucket,
+               count(*) AS n_docs,
+               round(avg(n_chars), 2) AS avg_chars
+        FROM documents, b
+        GROUP BY 1, 2
+    """,
+    "q_corpus_mix": """
+        SELECT doc_id, source, n_chars,
+               CAST(unnest(generate_series(1,
+                   CASE WHEN source = 'src0' THEN 3
+                        WHEN source = 'src1' THEN 2
+                        ELSE 1 END)) AS INT) AS copy
+        FROM documents
+    """,
+}

@@ -104,8 +104,10 @@ def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact n-gram Jaccard pairs >= 0.8 via inverted-index join (no N^2).
+def jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_a, doc_b, jaccard) pairs with Jaccard >= JACCARD_THRESHOLD —
+    shared by q_ngram_jaccard and the connected-components clustering in
+    operators/corpus.py (same edge set, same DF_CAP hot-key guard).
 
     No explicit persist/repartition: both sides of the inverted-index
     self-join canonicalize to the same subplan, so Catalyst's ReusedExchange
@@ -142,6 +144,11 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return jac.filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard pairs >= 0.8 via inverted-index join (no N^2)."""
+    return jaccard_pairs(spark, sf_dir)
 
 
 def q_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -263,9 +270,10 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
 
 
-ORACLE: dict[str, str] = {
-    "q_ngram_jaccard": """
-        WITH toks AS (
+# Jaccard-pair CTE chain, reused verbatim by corpus.py's clustering oracle
+# (wrap with "WITH <PAIRS_SQL_CTES>, more_ctes AS (...) SELECT ...").
+PAIRS_SQL_CTES = """
+        toks AS (
             SELECT doc_id, string_split(text, ' ') AS w FROM documents
         ), sh AS (
             SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
@@ -277,17 +285,25 @@ ORACLE: dict[str, str] = {
             )
         ), counts AS (
             SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
-        ), pairs AS (
+        ), raw_pairs AS (
             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
             FROM filtered a JOIN filtered b ON a.s = b.s AND a.doc_id < b.doc_id
             GROUP BY 1, 2
+        ), jpairs AS (
+            SELECT doc_a, doc_b,
+                   round(n_common * 1.0 / (ca.n_sh + cb.n_sh - n_common), 4)
+                       AS jaccard
+            FROM raw_pairs
+            JOIN counts ca ON doc_a = ca.doc_id
+            JOIN counts cb ON doc_b = cb.doc_id
+            WHERE n_common * 1.0 / (ca.n_sh + cb.n_sh - n_common) >= 0.8
         )
-        SELECT doc_a, doc_b,
-               round(n_common * 1.0 / (ca.n_sh + cb.n_sh - n_common), 4) AS jaccard
-        FROM pairs
-        JOIN counts ca ON doc_a = ca.doc_id
-        JOIN counts cb ON doc_b = cb.doc_id
-        WHERE n_common * 1.0 / (ca.n_sh + cb.n_sh - n_common) >= 0.8
+"""
+
+ORACLE: dict[str, str] = {
+    "q_ngram_jaccard": f"""
+        WITH {PAIRS_SQL_CTES}
+        SELECT doc_a, doc_b, jaccard FROM jpairs
     """,
     # q_near_dedup / q_simhash: rows-only (xxhash64-based, no DuckDB twin)
 }

@@ -154,7 +154,57 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+N_CENTROIDS = 8
+
+
+def q_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid assignment (the IVF/k-means training-step primitive):
+    every vector assigned to its most-cosine-similar centroid, centroids
+    fixed deterministically as vectors vec_id < 8. The centroid table is a
+    broadcast cross join — the corpus side never shuffles; one window on
+    vec_id picks the argmax. At 100 TB this exact plan is one training
+    iteration of a distributed k-means / the cell-assignment pass of an IVF
+    index build. Ties break on centroid_id; cosine ordering compares doubles
+    produced by the identical left-to-right fold in both engines."""
+    emb = _with_norm(load_table(spark, sf_dir, "embeddings"))
+    cents = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("cn"),
+    )
+    scored = emb.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "centroid_id",
+        F.round(dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cn")), 6).alias(
+            "cosine"
+        ),
+    )
+    w = W.partitionBy("vec_id").orderBy(F.col("cosine").desc(), "centroid_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "centroid_id", "cosine")
+    )
+
+
 ORACLE: dict[str, str] = {
+    "q_centroid_assign": """
+        WITH e AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v,
+                   sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+            FROM embeddings
+        ), scored AS (
+            SELECT e.vec_id, c.vec_id AS centroid_id,
+                   round(list_dot_product(e.v, c.v) / (e.nrm * c.nrm), 6) AS cosine
+            FROM e CROSS JOIN e c
+            WHERE c.vec_id < 8
+        )
+        SELECT vec_id, centroid_id, cosine FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY vec_id ORDER BY cosine DESC, centroid_id) AS rk
+            FROM scored
+        ) WHERE rk = 1
+    """,
     "q_similarity_search": """
         WITH e AS (
             SELECT vec_id, label, embedding::DOUBLE[] AS v,

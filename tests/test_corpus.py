@@ -1,0 +1,86 @@
+"""Unit tests for corpus-construction operators (connected components,
+chunking invariants, merge action coverage) beyond the oracle parity suite.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kitkat_spark.operators.corpus import (
+    CHUNK_STRIDE,
+    CHUNK_TOKENS,
+    connected_components,
+    q_chunk_docs,
+    q_corpus_mix,
+    q_dedup_clusters,
+)
+from kitkat_spark.operators.warehouse import q_merge_upsert
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_cc_path_and_islands(spark):
+    # path 1-2-3 (diameter 2, needs >1 round), island 7-8, singleton edge 9-9
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (7, 8), (9, 9)], ["src", "dst"]
+    )
+    got = {
+        r["u"]: r["label"] for r in connected_components(edges).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 7: 7, 8: 7, 9: 9}
+
+
+def test_cc_cycle(spark):
+    edges = spark.createDataFrame(
+        [(10, 11), (11, 12), (12, 10)], ["src", "dst"]
+    )
+    labels = connected_components(edges).collect()
+    assert {r["label"] for r in labels} == {10}
+
+
+def test_dedup_clusters_canonical_is_min(spark):
+    out = q_dedup_clusters(spark, SF).collect()
+    assert out, "fixture has near-dup families; clusters must be non-empty"
+    by_cluster: dict[int, list] = {}
+    for r in out:
+        by_cluster.setdefault(r["cluster_id"], []).append(r)
+    for cid, members in by_cluster.items():
+        ids = sorted(m["doc_id"] for m in members)
+        assert ids[0] == cid, "cluster id must be the min member"
+        canon = [m for m in members if m["is_canonical"]]
+        assert len(canon) == 1 and canon[0]["doc_id"] == cid
+
+
+def test_chunks_cover_and_overlap(spark):
+    chunks = q_chunk_docs(spark, SF)
+    one = chunks.filter(F.col("doc_id") == 0).orderBy("chunk_id").collect()
+    assert one[0]["start"] == 1
+    for prev, cur in zip(one, one[1:]):
+        assert cur["start"] - prev["start"] == CHUNK_STRIDE
+    assert all(c["n_tokens"] <= CHUNK_TOKENS for c in one)
+    # reconstruction: stride-aligned prefixes of consecutive chunks re-join
+    # to the original text
+    full = " ".join(
+        " ".join(c["chunk_text"].split(" ")[:CHUNK_STRIDE]) for c in one[:-1]
+    )
+    assert full == " ".join(
+        w for c in one[:-1] for w in c["chunk_text"].split(" ")[:CHUNK_STRIDE]
+    )
+
+
+def test_merge_covers_all_actions(spark):
+    actions = {
+        r["action"]
+        for r in q_merge_upsert(spark, SF).select("action").distinct().collect()
+    }
+    assert actions == {"update", "keep", "insert"}
+
+
+def test_corpus_mix_factors(spark):
+    mix = q_corpus_mix(spark, SF)
+    per_source = {
+        r["source"]: r["mx"]
+        for r in mix.groupBy("source").agg(F.max("copy").alias("mx")).collect()
+    }
+    assert per_source["src0"] == 3 and per_source["src1"] == 2
+    assert all(v == 1 for s, v in per_source.items() if s not in ("src0", "src1"))
