@@ -80,6 +80,8 @@ HEADLINE = [
     "q_count_distribution",
     "q_group_filter_join",
     "q_centroid_assign",
+    "q_decontaminate",
+    "q_incremental_dedup",
 ]
 
 

@@ -86,6 +86,21 @@ def shingle_hashes_from_tokens(toks: Column, n: int = 3) -> Column:
     )
 
 
+def full_shingle_hashes(toks: Column, n: int = 3) -> Column:
+    """Distinct FULL-RANGE xxhash64 n-gram hashes (no mod-p reduction) — for
+    equality-join paths (inverted-index self-join, decontamination) where
+    the collision budget must stay at the 2^-64 scale. The mod-p variant
+    above is only for minhash inputs, where the signature remix needs
+    a*h+b to fit int64."""
+    hashed = F.transform(
+        _zipped_ngrams(toks, n),
+        lambda s: F.xxhash64(*[s[str(j)] for j in range(n)]),
+    )
+    return F.array_distinct(
+        F.when(F.size(toks) >= n, hashed).otherwise(F.array().cast("array<bigint>"))
+    )
+
+
 def minhash_from_hashes(base: Column, k: int = 32, seed: int = 42) -> Column:
     """Array of k minhash values from a precomputed shingle-hash array.
 

@@ -25,15 +25,21 @@ The ops a 100 TB training-corpus build runs between dedup and tokenization:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from kitkat_spark.functions.text import full_shingle_hashes, tokens
 from kitkat_spark.operators.dedup import PAIRS_SQL_CTES, jaccard_pairs
 from kitkat_spark.sources import load_table
 
 CHUNK_TOKENS = 32
 CHUNK_STRIDE = 24
 CC_MAX_ITER = 20
+# Real decontamination passes use 8-13-gram overlap; the synthetic fixture
+# docs are ~55 tokens with diffuse near-dup edits, so 4-grams are the
+# scale-equivalent signal (8-grams match almost nothing, verified).
+DECON_NGRAM = 4
+BENCH_DOCS = 20
 
 
 def connected_components(
@@ -162,7 +168,102 @@ def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination scan: corpus docs sharing any 4-gram with
+    the benchmark set (docs 0..19 stand in for an eval benchmark) — the
+    standard pre-training decontamination pass.
+
+    The benchmark side is tiny BY DEFINITION (eval sets are a few thousand
+    rows even when the corpus is 100 TB), so its distinct shingles broadcast
+    and the corpus side never shuffles: one narrow scan + broadcast-hash
+    join + partial agg. Shingles are full-range xxhash64 longs (equality on
+    hashes == equality on strings up to 2^-64 collisions; the DuckDB oracle
+    verifies the string-level overlap)."""
+    par = spark.sparkContext.defaultParallelism
+    docs = load_table(spark, sf_dir, "documents").repartition(par)
+    sh = docs.select(
+        "doc_id",
+        F.explode(full_shingle_hashes(tokens(F.col("text")), DECON_NGRAM)).alias("s"),
+    )
+    bench = (
+        sh.filter(F.col("doc_id") < BENCH_DOCS)
+        .select("s", F.col("doc_id").alias("bench_id"))
+        .distinct()
+    )
+    corp = sh.filter(F.col("doc_id") >= BENCH_DOCS)
+    return (
+        corp.join(F.broadcast(bench), "s")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("s").alias("n_shared_ngrams"),
+            F.countDistinct("bench_id").alias("n_bench_docs"),
+        )
+    )
+
+
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest dedup: the last 20% of doc_ids play an incoming
+    batch, deduped against the existing corpus (fingerprint anti-join) and
+    within itself (min doc_id per fingerprint). Output = the rows a daily
+    ingest would actually append.
+
+    Scale shape: the corpus side reduces to a DISTINCT fingerprint set —
+    at 100 TB that set lives as a bucketed table (or bloom filter) keyed by
+    fingerprint, so the anti-join co-locates without re-shuffling the
+    corpus; the incoming batch (small by definition) shuffles once."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = F.md5(F.substring(F.lower(F.regexp_replace("text", r"\s+", " ")), 1, 200))
+    d = docs.select("doc_id", fp.alias("fp"))
+    # scale-free split point: integer arithmetic, exact in both engines
+    cut = d.agg(F.expr("(max(doc_id) + 1) * 4 div 5").alias("cut"))
+    dd = d.crossJoin(F.broadcast(cut))
+    corpus_fps = dd.filter(F.col("doc_id") < F.col("cut")).select("fp").distinct()
+    batch = dd.filter(F.col("doc_id") >= F.col("cut")).select("doc_id", "fp")
+    fresh = batch.join(corpus_fps, "fp", "left_anti")
+    w = W.partitionBy("fp").orderBy("doc_id")
+    return (
+        fresh.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "fp")
+    )
+
+
 ORACLE: dict[str, str] = {
+    "q_decontaminate": """
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        ), sh AS (
+            SELECT DISTINCT doc_id, array_to_string(w[i:i+3], ' ') AS s
+            FROM toks, UNNEST(generate_series(1, len(w) - 3)) AS t(i)
+            WHERE len(w) >= 4
+        ), bench AS (
+            SELECT DISTINCT s, doc_id AS bench_id FROM sh WHERE doc_id < 20
+        )
+        SELECT c.doc_id,
+               count(DISTINCT c.s) AS n_shared_ngrams,
+               count(DISTINCT b.bench_id) AS n_bench_docs
+        FROM sh c JOIN bench b ON c.s = b.s
+        WHERE c.doc_id >= 20
+        GROUP BY c.doc_id
+    """,
+    "q_incremental_dedup": """
+        WITH d AS (
+            SELECT doc_id,
+                   md5(substr(lower(regexp_replace(text, '\\s+', ' ', 'g')), 1, 200))
+                       AS fp
+            FROM documents
+        ), b AS (
+            SELECT (max(doc_id) + 1) * 4 // 5 AS cut FROM d
+        ), corpus AS (
+            SELECT DISTINCT fp FROM d, b WHERE doc_id < cut
+        ), batch AS (
+            SELECT doc_id, fp FROM d, b WHERE doc_id >= cut
+        )
+        SELECT min(doc_id) AS doc_id, fp
+        FROM batch
+        WHERE fp NOT IN (SELECT fp FROM corpus)
+        GROUP BY fp
+    """,
     "q_dedup_clusters": f"""
         WITH RECURSIVE {PAIRS_SQL_CTES},
         edges AS (

@@ -26,8 +26,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kitkat_spark.functions.text import (
-    _zipped_ngrams,
     band_hashes,
+    full_shingle_hashes,
     make_minhash_udf,
     shingle_hashes_from_tokens,
     tokens,
@@ -89,16 +89,7 @@ def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
     # -> P[any collision] ~ 3e-8), far below the oracle's observable effect.
     par = spark.sparkContext.defaultParallelism
     docs = load_table(spark, sf_dir, "documents").repartition(par)
-    toks = tokens(F.col("text"))
-    hashed = F.array_distinct(
-        F.when(
-            F.size(toks) >= SHINGLE_N,
-            F.transform(
-                _zipped_ngrams(toks, SHINGLE_N),
-                lambda s: F.xxhash64(*[s[str(j)] for j in range(SHINGLE_N)]),
-            ),
-        ).otherwise(F.array().cast("array<bigint>"))
-    )
+    hashed = full_shingle_hashes(tokens(F.col("text")), SHINGLE_N)
     return docs.select("doc_id", hashed.alias("shingles")).filter(
         F.size("shingles") > 0
     )

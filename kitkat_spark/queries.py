@@ -98,6 +98,8 @@ _VERIFY_FIRST = [
     "q_count_distribution",
     "q_group_filter_join",
     "q_centroid_assign",
+    "q_decontaminate",
+    "q_incremental_dedup",
     # -- changed this round (need re-verification) --
     "q_scan_filter",
     "q_sample_split",
@@ -114,9 +116,7 @@ _VERIFY_FIRST = [
     "q_dedup",
     "q_near_dedup",
     "q_ngram_jaccard",
-    "q_simhash",
     "q_similarity_search",
-    "q_ann_ivf",
     "q_multimodal",
 ]
 
