@@ -211,7 +211,11 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     at 100 TB that set lives as a bucketed table (or bloom filter) keyed by
     fingerprint, so the anti-join co-locates without re-shuffling the
     corpus; the incoming batch (small by definition) shuffles once."""
-    docs = load_table(spark, sf_dir, "documents")
+    # fan the single-file fixture scan out before the regexp+md5 map — the
+    # fingerprint pass is CPU-bound and must use every core (no-op on a real
+    # cluster where the scan already has many partitions)
+    par = spark.sparkContext.defaultParallelism
+    docs = load_table(spark, sf_dir, "documents").repartition(par)
     fp = F.md5(F.substring(F.lower(F.regexp_replace("text", r"\s+", " ")), 1, 200))
     d = docs.select("doc_id", fp.alias("fp"))
     # scale-free split point: integer arithmetic, exact in both engines

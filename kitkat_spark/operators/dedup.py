@@ -40,6 +40,11 @@ MINHASH_K = 32
 LSH_BANDS = 8
 LSH_ROWS = 4
 SIMHASH_MAX_HAMMING = 3
+# LSH band-bucket size cap: a bucket is a candidate CLIQUE, so an uncapped
+# degenerate bucket (e.g. the all-empty-signature band) is quadratic. Real
+# near-dup families are far smaller; candidates lost to the cap would be
+# boilerplate-cluster pairs the DF_CAP guard already excludes from scoring.
+LSH_MAX_BUCKET = 1000
 
 
 import numpy as np  # noqa: E402
@@ -95,29 +100,55 @@ def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def bucket_pairs(df: DataFrame, keys: list[str], id_col: str, max_bucket: int) -> DataFrame:
+    """Unique ordered (id_a, id_b) co-occurrence pairs per bucket, emitted as
+    one row per (bucket, pair): groupBy(bucket) -> sorted id list -> in-bucket
+    pair expansion with codegen'd array HOFs.
+
+    ONE shuffle (the groupBy) versus the equivalent self-join's two shuffle
+    reads + join build. The bucket-size cap bounds the O(b^2) expansion AND
+    subsumes the hot-key guard (a bucket over the cap is exactly a hot key) —
+    candidate volume per bucket is <= cap^2/2 regardless of corpus size,
+    which is the property that keeps LSH/inverted-index layouts viable at
+    100 TB."""
+    ids = F.array_sort(F.collect_list(id_col))
+    buckets = (
+        df.groupBy(*keys)
+        .agg(ids.alias("ids"))
+        .filter((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
+    )
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + F.lit(2), F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+    return buckets.select(F.explode(pair_arr).alias("p")).select(
+        F.col("p.a").alias("id_a"), F.col("p.b").alias("id_b")
+    )
+
+
 def jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_a, doc_b, jaccard) pairs with Jaccard >= JACCARD_THRESHOLD —
     shared by q_ngram_jaccard and the connected-components clustering in
     operators/corpus.py (same edge set, same DF_CAP hot-key guard).
 
-    No explicit persist/repartition: both sides of the inverted-index
-    self-join canonicalize to the same subplan, so Catalyst's ReusedExchange
-    computes the index once (measured: explicit persist+repartition was 2x
-    SLOWER cold — materialization cost without a second reader). The index
-    key is the xxhash64 of the shingle (see _shingled) — the DuckDB oracle
-    verifies string-level Jaccard, which these hashes reproduce exactly
-    barring 64-bit collisions.
+    Inverted index via bucket_pairs: n_common(a, b) = number of shingle
+    buckets emitting the pair. Buckets over DF_CAP are dropped — identical
+    semantics to the old explicit hot-shingle anti-join, one aggregation
+    cheaper. The index key is the xxhash64 of the shingle (see _shingled) —
+    the DuckDB oracle verifies string-level Jaccard, which these hashes
+    reproduce exactly barring 64-bit collisions.
     """
     sh = _shingled(spark, sf_dir)
     counts = sh.select("doc_id", F.size("shingles").alias("n_sh"))
     inv = sh.select("doc_id", F.explode("shingles").alias("s"))
-    # hot-shingle guard: document frequency cap
-    hot = inv.groupBy("s").agg(F.count("*").alias("df")).filter(F.col("df") > DF_CAP)
-    inv = inv.join(F.broadcast(hot), "s", "left_anti")
-    a, b = inv.alias("a"), inv.alias("b")
     common = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        bucket_pairs(inv, ["s"], "doc_id", DF_CAP)
+        .groupBy(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
         .agg(F.count("*").alias("n_common"))
     )
     ca, cb = counts.alias("ca"), counts.alias("cb")
@@ -174,15 +205,9 @@ def q_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
     banded = sig.select("doc_id", F.posexplode("bands").alias("band_id", "band_hash"))
-    a, b = banded.alias("a"), banded.alias("b")
     cand = (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        bucket_pairs(banded, ["band_id", "band_hash"], "doc_id", LSH_MAX_BUCKET)
+        .select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
         .distinct()
     )
     sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
@@ -224,14 +249,16 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_distinct(tokens(F.col("text"))), lambda t: F.xxhash64(t)
         ).alias("th"),
     )
-    # persisted: the band self-join reads it twice; without reuse the token
-    # hashing + pack UDF run on both sides (16 bytes/doc — trivially cached)
+    # single consumer since the bucket_pairs rewrite — no persist needed
     summed = hashed.select(
         "doc_id", _simhash_pack_udf(F.col("th")).alias("simhash")
-    ).persist()
+    )
+    # bucket id carries (doc_id, simhash) as a struct so the pair expansion
+    # emits the fingerprints directly — no join-back to the signature table;
+    # array_sort on the struct orders by doc_id (distinct), preserving the
+    # doc_a < doc_b convention
     bands = summed.select(
-        "doc_id",
-        "simhash",
+        F.struct("doc_id", "simhash").alias("idh"),
         F.posexplode(
             F.array(
                 *[
@@ -241,19 +268,13 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("band_id", "band_val"),
     )
-    a, b = bands.alias("a"), bands.alias("b")
     pairs = (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_val") == F.col("b.band_val"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
+        bucket_pairs(bands, ["band_id", "band_val"], "idh", LSH_MAX_BUCKET)
         .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
+            F.col("id_a.doc_id").alias("doc_a"),
+            F.col("id_b.doc_id").alias("doc_b"),
             F.bit_count(
-                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+                F.col("id_a.simhash").bitwiseXOR(F.col("id_b.simhash"))
             ).alias("hamming"),
         )
         .distinct()

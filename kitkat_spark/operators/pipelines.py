@@ -35,8 +35,11 @@ def q_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side combine (partial counts per token). The final orderBy+limit is
     TakeOrderedAndProject (per-partition heap, k-row merge — no full sort);
     the rank window then runs over 50 rows, so its single-partition sort is
-    irrelevant at any corpus size. Ties break on the token itself."""
-    docs = load_table(spark, sf_dir, "documents")
+    irrelevant at any corpus size. Ties break on the token itself. The
+    single-file fixture scan fans out first — tokenization is CPU-bound
+    (no-op rebalance on a real multi-partition scan)."""
+    par = spark.sparkContext.defaultParallelism
+    docs = load_table(spark, sf_dir, "documents").repartition(par)
     inv = docs.select(F.explode(F.array_distinct(tokens(F.col("text")))).alias("token"))
     vocab = inv.groupBy("token").agg(F.count("*").alias("df"))
     top = vocab.orderBy(F.col("df").desc(), "token").limit(VOCAB_TOP_K)
@@ -52,7 +55,8 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     (vocab-sized) broadcasts back onto the tf table, so the corpus side
     shuffles once on (doc_id, token) and once on doc_id for the window.
     Ties on score break on the token string — deterministic cross-engine."""
-    docs = load_table(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    docs = load_table(spark, sf_dir, "documents").repartition(par)
     tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
     tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
     dfreq = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
