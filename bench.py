@@ -82,6 +82,8 @@ HEADLINE = [
     "q_centroid_assign",
     "q_decontaminate",
     "q_incremental_dedup",
+    "q_bigram_lm",
+    "q_stream_enrich",
 ]
 
 

@@ -22,10 +22,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from kitkat_spark.functions.text import tokens
+from kitkat_spark.functions.text import _zipped_ngrams, tokens
 from kitkat_spark.sources import load_table
 
 VOCAB_TOP_K = 50
+BIGRAM_MIN_COUNT = 50
 
 
 def q_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -77,6 +78,64 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
             "tf",
             "df",
             F.round("s", 4).alias("tfidf"),
+        )
+    )
+
+
+def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model table: for every frequent first token (>= 50
+    bigram occurrences), its most likely continuation with the conditional
+    probability — the n-gram-LM build step, and the shape of any Markov
+    transition-matrix job.
+
+    One explode -> ONE shuffle on the first token: both the per-(t1,t2)
+    count and the per-t1 total come from the same partitionBy(t1) sort
+    (count over (t1,t2) runs as a window, not a second groupBy), then
+    row_number picks the argmax continuation. Ties break on the token."""
+    par = spark.sparkContext.defaultParallelism
+    docs = load_table(spark, sf_dir, "documents").repartition(par)
+    toks = tokens(F.col("text"))
+    bg = docs.select(
+        F.explode(
+            F.when(F.size(toks) >= 2, _zipped_ngrams(toks, 2)).otherwise(F.array())
+        ).alias("b")
+    ).select(F.col("b")["0"].alias("t1"), F.col("b")["1"].alias("t2"))
+    pair = bg.groupBy("t1", "t2").agg(F.count("*").alias("n_bigram"))
+    w_tot = W.partitionBy("t1")
+    w_rank = W.partitionBy("t1").orderBy(F.col("n_bigram").desc(), "t2")
+    return (
+        pair.withColumn("n_first", F.sum("n_bigram").over(w_tot))
+        .withColumn("rn", F.row_number().over(w_rank))
+        .filter((F.col("rn") == 1) & (F.col("n_first") >= BIGRAM_MIN_COUNT))
+        .select(
+            "t1",
+            F.col("t2").alias("next_tok"),
+            "n_bigram",
+            "n_first",
+            F.round(F.col("n_bigram") / F.col("n_first"), 4).alias("p"),
+        )
+    )
+
+
+def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-enrichment join: the event stream joined to the customer
+    dimension (stream-static broadcast join — dims are loaded per micro-batch
+    and never shuffle the stream side), then tumbling 1-day revenue per
+    market segment. This is THE streaming enrichment pattern; the batch
+    analog here is oracle-checked, and Structured Streaming runs the
+    identical plan with readStream + withWatermark (stream-static joins
+    need no watermark)."""
+    events = load_table(spark, sf_dir, "events")
+    customer = load_table(spark, sf_dir, "customer")
+    return (
+        events.join(F.broadcast(customer), events.user_id == customer.c_custkey)
+        .groupBy(
+            F.to_date("ts").alias("day"),
+            "c_mktsegment",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
         )
     )
 
@@ -209,6 +268,33 @@ def q_cross_join_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE: dict[str, str] = {
+    "q_bigram_lm": """
+        WITH toks AS (
+            SELECT string_split(text, ' ') AS w FROM documents
+        ), bg AS (
+            SELECT w[i] AS t1, w[i+1] AS t2
+            FROM toks, UNNEST(generate_series(1, len(w) - 1)) AS t(i)
+            WHERE len(w) >= 2
+        ), pair AS (
+            SELECT t1, t2, count(*) AS n_bigram FROM bg GROUP BY 1, 2
+        ), ranked AS (
+            SELECT t1, t2, n_bigram,
+                   CAST(sum(n_bigram) OVER (PARTITION BY t1) AS BIGINT) AS n_first,
+                   row_number() OVER (
+                       PARTITION BY t1 ORDER BY n_bigram DESC, t2) AS rn
+            FROM pair
+        )
+        SELECT t1, t2 AS next_tok, n_bigram, n_first,
+               round(n_bigram * 1.0 / n_first, 4) AS p
+        FROM ranked WHERE rn = 1 AND n_first >= 50
+    """,
+    "q_stream_enrich": """
+        SELECT CAST(ts AS DATE) AS day, c_mktsegment,
+               count(*) AS n_events,
+               round(sum(value), 2) AS total_value
+        FROM events JOIN customer ON user_id = c_custkey
+        GROUP BY 1, 2
+    """,
     "q_vocab": """
         WITH toks AS (
             SELECT unnest(list_distinct(string_split(text, ' '))) AS token

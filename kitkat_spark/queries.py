@@ -100,6 +100,8 @@ _VERIFY_FIRST = [
     "q_centroid_assign",
     "q_decontaminate",
     "q_incremental_dedup",
+    "q_bigram_lm",
+    "q_stream_enrich",
     # -- changed this round (need re-verification) --
     "q_scan_filter",
     "q_sample_split",
@@ -111,8 +113,6 @@ _VERIFY_FIRST = [
     "q_broadcast_join",
     "q_asof_join",
     "q_window_rank",
-    "q_sessionize",
-    "q_stream_tumbling",
     "q_dedup",
     "q_near_dedup",
     "q_ngram_jaccard",
