@@ -101,6 +101,7 @@ def main() -> None:
         t0 = time.time()
         QUERIES[name](spark, sf_dir).count()
         timings[name] = round(time.time() - t0, 3)
+        _drop_persisted(spark)
 
     out = {
         "metric": "headline_query_wall_seconds",
@@ -115,6 +116,15 @@ def main() -> None:
         },
     }
     print(json.dumps(out))
+
+
+def _drop_persisted(spark) -> None:
+    """Release persisted/localCheckpoint'ed blocks a query left behind
+    (q_near_dedup's signature table, connected_components' per-round
+    checkpoints) so each headline timing is isolated — otherwise later
+    queries pay earlier queries' executor-memory pressure."""
+    for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+        rdd.unpersist()
 
 
 if __name__ == "__main__":

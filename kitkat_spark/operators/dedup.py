@@ -142,25 +142,30 @@ def jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     cheaper. The index key is the xxhash64 of the shingle (see _shingled) —
     the DuckDB oracle verifies string-level Jaccard, which these hashes
     reproduce exactly barring 64-bit collisions.
+
+    The bucket id is a (doc_id, n_sh) STRUCT, so each doc's shingle count
+    rides along into the pair expansion and the Jaccard denominator is
+    available at the final agg — no join back to a counts table. (The
+    previous join-back formulation executed the tokenize+shingle+hash scan
+    three times — once for the index, twice for the count joins — and two
+    extra shuffled joins; this is one scan, two shuffles total.) array_sort
+    on the struct orders by doc_id, preserving doc_a < doc_b.
     """
     sh = _shingled(spark, sf_dir)
-    counts = sh.select("doc_id", F.size("shingles").alias("n_sh"))
-    inv = sh.select("doc_id", F.explode("shingles").alias("s"))
-    common = (
-        bucket_pairs(inv, ["s"], "doc_id", DF_CAP)
-        .groupBy(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
-        .agg(F.count("*").alias("n_common"))
+    inv = sh.select(
+        F.struct(F.col("doc_id"), F.size("shingles").alias("n_sh")).alias("idn"),
+        F.explode("shingles").alias("s"),
     )
-    ca, cb = counts.alias("ca"), counts.alias("cb")
     jac = (
-        common.join(ca, F.col("doc_a") == F.col("ca.doc_id"))
-        .join(cb, F.col("doc_b") == F.col("cb.doc_id"))
+        bucket_pairs(inv, ["s"], "idn", DF_CAP)
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_common"))
         .select(
-            "doc_a",
-            "doc_b",
+            F.col("id_a.doc_id").alias("doc_a"),
+            F.col("id_b.doc_id").alias("doc_b"),
             F.round(
                 F.col("n_common")
-                / (F.col("ca.n_sh") + F.col("cb.n_sh") - F.col("n_common")),
+                / (F.col("id_a.n_sh") + F.col("id_b.n_sh") - F.col("n_common")),
                 4,
             ).alias("jaccard"),
         )
