@@ -86,6 +86,14 @@ HEADLINE = [
     "q_incremental_dedup",
     "q_bigram_lm",
     "q_stream_enrich",
+    "q_nation_volume",
+    "q_promo_revenue",
+    "q_part_supplier_count",
+    "q_small_qty_revenue",
+    "q_disjunctive_join",
+    "q_idle_customers",
+    "q_repetition_filter",
+    "q_label_centroid",
 ]
 
 

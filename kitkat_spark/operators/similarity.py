@@ -187,7 +187,44 @@ def q_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_label_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label mean embedding — the centroid UPDATE step of distributed
+    k-means (q_centroid_assign is the matching ASSIGN step) and the
+    per-class prototype build for classification-by-prototype.
+
+    posexplode to (label, dim, value), then one hash aggregation: map-side
+    partial aggregation collapses the N x D exploded stream to
+    labels x D partial sums per task BEFORE the shuffle, so the wire
+    carries O(labels x dims x tasks), not O(N x D) — the property that
+    makes this the scalable formulation (vs collecting vectors per label).
+
+    Components are quantized to a 1e-4 fixed-point grid and summed as
+    int64: integer sums are associative-exact, so the centroid is
+    bit-identical under ANY partitioning / reduction order (floating sums
+    are not) — both what the cross-engine oracle hash needs and the right
+    call for reproducible training pipelines at 100 TB. int64 headroom:
+    |x| <= ~1 -> |xq| <= ~1e4, overflow needs ~1e14 vectors per label.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    quant = F.transform(
+        "embedding", lambda x: F.round(x.cast("double") * 10000).cast("long")
+    )
+    ex = emb.select("label", F.posexplode(quant).alias("dim", "xq"))
+    return ex.groupBy("label", "dim").agg(
+        F.round(F.sum("xq") / (10000.0 * F.count("*")), 6).alias("centroid"),
+        F.count("*").alias("n_vecs"),
+    )
+
+
 ORACLE: dict[str, str] = {
+    "q_label_centroid": """
+        SELECT label, CAST(i - 1 AS INT) AS dim,
+               round(sum(CAST(round(embedding[i]::DOUBLE * 10000) AS BIGINT))
+                     / (10000.0 * count(*)), 6) AS centroid,
+               count(*) AS n_vecs
+        FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS t(i)
+        GROUP BY 1, 2
+    """,
     "q_centroid_assign": """
         WITH e AS (
             SELECT vec_id, embedding::DOUBLE[] AS v,

@@ -153,6 +153,37 @@ def winnow_fingerprints(text: F.Column, k: int = WINNOW_K, w: int = WINNOW_W) ->
     return F.when(n_hashes >= w, mins).otherwise(F.array().cast("array<bigint>"))
 
 
+REP_NGRAM = 3
+REP_THRESHOLD = 0.2
+
+
+def q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated-n-gram quality filter (the Gopher/MassiveText repetition
+    rule): per doc, the fraction of 3-gram positions occupied by repeats —
+    1 - distinct/total — and a keep/drop flag at 0.2. A pure narrow map
+    (two array expressions per row, no shuffle, no UDF); the flag compares
+    the UNROUNDED ratio so the cut is exact cross-engine. Shingles compare
+    as strings here for oracle exactness — the hashed variant in
+    functions/text.py is the 100 TB path (same counts w.h.p., 8-byte
+    elements instead of strings)."""
+    docs = load_table(spark, sf_dir, "documents")
+    from kitkat_spark.functions.text import word_shingles
+
+    d = docs.select("doc_id", tokens(F.col("text")).alias("w")).filter(
+        F.size("w") >= REP_NGRAM
+    )
+    n_grams = F.size("w") - (REP_NGRAM - 1)
+    n_distinct = F.size(word_shingles(F.col("w"), REP_NGRAM))
+    ratio = 1 - n_distinct / n_grams
+    return d.select(
+        "doc_id",
+        n_grams.alias("n_grams"),
+        n_distinct.alias("n_distinct"),
+        F.round(ratio, 4).alias("rep_ratio"),
+        (ratio > REP_THRESHOLD).alias("is_repetitive"),
+    )
+
+
 def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal record assembly: text metadata + embedding joined into one
     row (flat projection of the struct for oracle comparability)."""
@@ -238,6 +269,24 @@ ORACLE: dict[str, str] = {
     "q_fingerprint": """
         SELECT doc_id, md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp
         FROM documents
+    """,
+    "q_repetition_filter": """
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        ), g AS (
+            SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+            FROM toks, UNNEST(generate_series(1, len(w) - 2)) AS t(i)
+            WHERE len(w) >= 3
+        ), c AS (
+            SELECT doc_id,
+                   CAST(count(*) AS INT) AS n_grams,
+                   CAST(count(DISTINCT s) AS INT) AS n_distinct
+            FROM g GROUP BY doc_id
+        )
+        SELECT doc_id, n_grams, n_distinct,
+               round(1 - n_distinct * 1.0 / n_grams, 4) AS rep_ratio,
+               (1 - n_distinct * 1.0 / n_grams) > 0.2 AS is_repetitive
+        FROM c
     """,
     "q_multimodal": """
         SELECT doc_id, lang, n_chars, label,
