@@ -122,3 +122,66 @@ def test_knn_classify_corpus_never_shuffled_for_join(spark):
     side (shuffles appear only for the two windows/vote aggregation)."""
     df = QUERIES["q_knn_classify"](spark, SF)
     assert broadcast_join_count(df) >= 1
+
+
+def test_nation_volume_broadcasts_all_dims(spark):
+    """TPC-H Q7 shape: customer/supplier/nation x2 all broadcast — the fact
+    may sort-merge only against orders (the other fact)."""
+    df = QUERIES["q_nation_volume"](spark, SF)
+    facts = plan_facts(df)
+    assert broadcast_join_count(df) >= 4
+    assert facts["sortmerge_joins"] <= 1
+
+
+def test_promo_revenue_pushes_month_filter(spark):
+    """TPC-H Q14 shape: the ship-month range must reach the lineitem scan;
+    part broadcasts; single aggregation shuffle."""
+    df = QUERIES["q_promo_revenue"](spark, SF)
+    assert has_pushed_filters(df, "l_shipdate")
+    assert broadcast_join_count(df) >= 1
+
+
+def test_disjunctive_join_stays_equi_keyed(spark):
+    """TPC-H Q19 shape: the OR-of-ANDs must NOT force a cartesian — the join
+    keys on partkey with the disjunction as a residual filter."""
+    from kitkat_spark.plans.explain import explain_str
+
+    df = QUERIES["q_disjunctive_join"](spark, SF)
+    plan = explain_str(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert broadcast_join_count(df) >= 1
+
+
+def test_small_qty_revenue_single_fact_pass(spark):
+    """TPC-H Q17 shape: decorrelated to a window — the brand filter list
+    broadcasts (semi join) and lineitem shuffles exactly once (the window
+    partitionBy), never rescanned for the per-part average."""
+    df = QUERIES["q_small_qty_revenue"](spark, SF)
+    assert broadcast_join_count(df) >= 1
+    assert shuffle_count(df) <= 2  # window partitionBy + final 1-row agg
+
+
+def test_idle_customers_customer_side_never_shuffles(spark):
+    """TPC-H Q22 shape: scalar threshold broadcasts, anti-join build side is
+    the orders key set; the only exchange is the final 25-group agg."""
+    df = QUERIES["q_idle_customers"](spark, SF)
+    facts = plan_facts(df)
+    assert facts["sortmerge_joins"] == 0
+
+
+def test_repetition_filter_is_narrow_map(spark):
+    """Quality filters must stay embarrassingly parallel: zero shuffles."""
+    df = QUERIES["q_repetition_filter"](spark, SF)
+    assert shuffle_count(df) == 0
+    assert wholestage_codegen_count(df) >= 1
+
+
+def test_label_centroid_partial_aggregation(spark):
+    """The N x D exploded stream must partial-aggregate map-side: one
+    exchange, with partial sums below it."""
+    from kitkat_spark.plans.explain import explain_str
+
+    df = QUERIES["q_label_centroid"](spark, SF)
+    assert shuffle_count(df) == 1
+    assert "partial_sum" in explain_str(df, "simple")
