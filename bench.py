@@ -94,6 +94,7 @@ HEADLINE = [
     "q_idle_customers",
     "q_repetition_filter",
     "q_label_centroid",
+    "q_pack_sequences",
 ]
 
 

@@ -168,6 +168,42 @@ def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PACK_BIN_TOKENS = 512
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-packing prep: per source, docs in doc_id order receive their
+    running token offset, the 512-token training bin that offset lands in,
+    and whether the doc straddles a bin boundary — the deterministic layout
+    pass before concatenate-and-chunk tokenization (every pretraining
+    pipeline's packing step).
+
+    One shuffle: partitionBy(source) orderBy(doc_id) running sum. Integer
+    arithmetic end-to-end, so the assignment is exact cross-engine and
+    stable under repartitioning — a doc's bin depends only on the ordered
+    prefix of its source, never on executor layout. At 100 TB the same
+    window runs per source-shard (the natural packing unit is a shard, so
+    the sort stays bounded per partition)."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(tokens(F.col("text")))
+    w = W.partitionBy("source").orderBy("doc_id")
+    d = docs.select("doc_id", "source", n_tok.alias("n_tok")).withColumn(
+        "cum", F.sum("n_tok").over(w)
+    )
+    start = F.col("cum") - F.col("n_tok")
+    return d.select(
+        "doc_id",
+        "source",
+        "n_tok",
+        start.alias("start_off"),
+        F.expr(f"(cum - n_tok) div {PACK_BIN_TOKENS}").alias("bin"),
+        (
+            F.expr(f"(cum - n_tok) div {PACK_BIN_TOKENS}")
+            != F.expr(f"(cum - 1) div {PACK_BIN_TOKENS}")
+        ).alias("straddles"),
+    )
+
+
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination scan: corpus docs sharing any 4-gram with
     the benchmark set (docs 0..19 stand in for an eval benchmark) — the
@@ -233,6 +269,21 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE: dict[str, str] = {
+    "q_pack_sequences": """
+        WITH d AS (
+            SELECT doc_id, source,
+                   len(string_split(text, ' ')) AS n_tok,
+                   sum(len(string_split(text, ' '))) OVER (
+                       PARTITION BY source ORDER BY doc_id) AS cum
+            FROM documents
+        )
+        SELECT doc_id, source,
+               CAST(n_tok AS INT) AS n_tok,
+               CAST(cum - n_tok AS BIGINT) AS start_off,
+               (cum - n_tok) // 512 AS bin,
+               (cum - n_tok) // 512 <> (cum - 1) // 512 AS straddles
+        FROM d
+    """,
     "q_decontaminate": """
         WITH toks AS (
             SELECT doc_id, string_split(text, ' ') AS w FROM documents

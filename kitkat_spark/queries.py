@@ -112,9 +112,9 @@ _VERIFY_FIRST = [
     "q_idle_customers",
     "q_repetition_filter",
     "q_label_centroid",
+    "q_pack_sequences",
     # -- changed this round (need re-verification) --
     "q_ngram_jaccard",
-    "q_near_dedup",
     # -- changed last round, re-verified after r01 findings --
     "q_scan_filter",
     "q_sample_split",

@@ -94,6 +94,34 @@ def test_streaming_dedup_drops_watermarked_duplicates(spark, tmp_path):
     assert got.n == got.d == 200
 
 
+def test_streaming_enrich_equals_batch(spark, events_stream_path):
+    """Stream-static enrichment (q_stream_enrich's shape): the event stream
+    joined to the customer dimension — a stream-static broadcast join needs
+    no watermark and never shuffles the stream side pre-agg. The streaming
+    daily rollup must equal the batch analog on the same replayed data."""
+    customer = load_table(spark, SF, "customer")
+
+    def enrich(events):
+        return (
+            events.join(F.broadcast(customer), events.user_id == customer.c_custkey)
+            .groupBy(F.to_date("ts").alias("day"), "c_mktsegment")
+            .agg(
+                F.count("*").alias("n_events"),
+                F.sum("value").alias("total_value"),
+            )
+        )
+
+    batch = enrich(spark.read.parquet(events_stream_path))
+    got = _run_complete(enrich(_replay(spark, events_stream_path)), spark, "t_enrich")
+    b = _rows(batch, "day", "c_mktsegment")
+    s = _rows(got, "day", "c_mktsegment")
+    assert len(b) == len(s) > 0
+    for rb, rs in zip(b, s):
+        assert rb[:3] == rs[:3]
+        # float sums: micro-batch accumulation order differs from batch
+        assert abs(rb[3] - rs[3]) < 1e-6
+
+
 def test_streaming_interval_join_equals_batch(spark, events_stream_path):
     """Stream-stream watermarked interval join (view -> follow-up click by
     the same user within 10 min) matches the identical batch join."""
