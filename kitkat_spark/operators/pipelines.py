@@ -51,20 +51,21 @@ def q_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top TF-IDF term per document (smoothed idf = ln((N+1)/(df+1))).
 
-    Term frequencies and document frequencies are two aggregations over the
-    SAME exploded token stream; Catalyst reuses the exchange. The df table
-    (vocab-sized) broadcasts back onto the tf table, so the corpus side
-    shuffles once on (doc_id, token) and once on doc_id for the window.
+    ONE explode: document frequency is a count window over the tf table
+    (tf rows are per-doc-distinct, so count-per-token == docs containing
+    the token) — the raw token stream is tokenized, exploded, and
+    aggregated exactly once, then flows (doc_id, token) -> token-window ->
+    doc-window. The two-aggregation formulation re-derived the exploded
+    stream for the df groupBy (measured 1.27 s vs 0.78 s at sf0.1).
     Ties on score break on the token string — deterministic cross-engine."""
     par = spark.sparkContext.defaultParallelism
     docs = load_table(spark, sf_dir, "documents").repartition(par)
     tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
     tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
-    dfreq = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
     total = docs.agg(F.count("*").alias("n_docs"))
     score = F.col("tf") * F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0)))
     scored = (
-        tf.join(F.broadcast(dfreq), "token")
+        tf.withColumn("df", F.count("*").over(W.partitionBy("token")))
         .crossJoin(F.broadcast(total))
         .withColumn("s", score)
     )

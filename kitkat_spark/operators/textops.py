@@ -135,12 +135,13 @@ def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 def winnow_fingerprints(text: F.Column, k: int = WINNOW_K, w: int = WINNOW_W) -> F.Column:
     """Winnowed fingerprint set of a text column (empty array if the rolling
     hash stream is shorter than the window)."""
-    from kitkat_spark.functions.text import MINHASH_PRIME, _zipped_ngrams
+    from kitkat_spark.functions.text import MINHASH_PRIME, _token_hashes, _zipped_ngrams
 
     toks = tokens(text)
-    # positional (NOT distinct) rolling hash stream — winnowing is order-aware
+    # positional (NOT distinct) rolling hash stream — winnowing is order-aware;
+    # tokens hashed once, k-gram hash combines the longs (see _token_hashes)
     hashes = F.transform(
-        _zipped_ngrams(toks, k),
+        _zipped_ngrams(_token_hashes(toks), k),
         lambda s: F.pmod(F.xxhash64(*[s[str(j)] for j in range(k)]), F.lit(MINHASH_PRIME)),
     )
     mins = F.array_distinct(
