@@ -95,6 +95,8 @@ HEADLINE = [
     "q_repetition_filter",
     "q_label_centroid",
     "q_pack_sequences",
+    "q_event_growth",
+    "q_dup_rate_by_source",
 ]
 
 

@@ -168,6 +168,27 @@ def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source duplication audit: fraction of each source's docs whose
+    content fingerprint appears more than once corpus-WIDE (cross-source
+    copies count against both sources) — the table a corpus-mix decision
+    reads before weighting sources. One window over the fingerprint (copy
+    counts), one hash agg on source; the fingerprint is the same 200-char
+    normalized-prefix md5 as q_split_leakage / q_incremental_dedup."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = F.md5(F.substring(F.lower(F.regexp_replace("text", r"\s+", " ")), 1, 200))
+    d = docs.select("doc_id", "source", fp.alias("fp"))
+    dd = d.withColumn("n_copies", F.count("*").over(W.partitionBy("fp")))
+    return dd.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(F.col("n_copies") > 1, 1).otherwise(0)).alias("n_dup_docs"),
+        F.round(
+            F.sum(F.when(F.col("n_copies") > 1, 1).otherwise(0)) * 1.0 / F.count("*"),
+            4,
+        ).alias("dup_rate"),
+    )
+
+
 PACK_BIN_TOKENS = 512
 
 
@@ -269,6 +290,21 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE: dict[str, str] = {
+    "q_dup_rate_by_source": """
+        WITH d AS (
+            SELECT source,
+                   count(*) OVER (PARTITION BY
+                       md5(substr(lower(regexp_replace(text, '\\s+', ' ', 'g')), 1, 200))
+                   ) AS n_copies
+            FROM documents
+        )
+        SELECT source, count(*) AS n_docs,
+               CAST(sum(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_dup_docs,
+               round(sum(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END) * 1.0
+                     / count(*), 4) AS dup_rate
+        FROM d GROUP BY source
+    """,
     "q_pack_sequences": """
         WITH d AS (
             SELECT doc_id, source,

@@ -95,6 +95,32 @@ def q_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("keep_id", "n_copies")
 
 
+def q_event_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week growth per event type: weekly counts + value totals,
+    then lag() for the previous week and the relative growth rate — the
+    time-series reporting composition (agg -> navigation window over the
+    AGGREGATE, not the raw stream). Two shuffles total, and the window runs
+    over weeks x types rows, i.e. thousands even when the raw stream is
+    100 TB — aggregate first, window the aggregate."""
+    events = load_table(spark, sf_dir, "events")
+    weekly = events.groupBy(
+        F.date_trunc("week", F.col("ts")).alias("week"), "event_type"
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+    w = W.partitionBy("event_type").orderBy("week")
+    prev = F.lag("n_events").over(w)
+    return weekly.select(
+        "week",
+        "event_type",
+        "n_events",
+        "total_value",
+        prev.alias("prev_events"),
+        F.round((F.col("n_events") - prev) * 1.0 / prev, 4).alias("wow_growth"),
+    )
+
+
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: each event matched to the most recent order (by order
     date, ties broken by highest order key) of the same customer at-or-before
@@ -187,5 +213,20 @@ ORACLE: dict[str, str] = {
         SELECT min(doc_id) AS keep_id, count(*) AS n_copies
         FROM documents
         GROUP BY text
+    """,
+    "q_event_growth": """
+        WITH weekly AS (
+            SELECT CAST(date_trunc('week', ts) AS TIMESTAMP) AS week,
+                   event_type,
+                   count(*) AS n_events,
+                   round(sum(value), 2) AS total_value
+            FROM events GROUP BY 1, 2
+        )
+        SELECT week, event_type, n_events, total_value,
+               lag(n_events) OVER w AS prev_events,
+               round((n_events - lag(n_events) OVER w) * 1.0
+                     / lag(n_events) OVER w, 4) AS wow_growth
+        FROM weekly
+        WINDOW w AS (PARTITION BY event_type ORDER BY week)
     """,
 }
