@@ -28,3 +28,21 @@ def test_approx_count_distinct_within_rsd(spark):
         F.countDistinct("l_partkey").alias("ex"),
     ).collect()[0]
     assert abs(row.ap - row.ex) / row.ex < 0.06  # ~3 sigma of rsd=0.02
+
+
+def test_lsh_near_dedup_recall_vs_exact_jaccard(spark):
+    """MinHash+LSH (8 bands x 4 rows) vs the exact inverted-index Jaccard
+    pairs: candidates are exact-verified so precision is 1 by construction
+    (every emitted pair re-checks jaccard >= 0.8); banding theory puts
+    per-pair detection at j=0.8 around 1-(1-0.8^4)^8 ~ 0.985, so demand
+    recall >= 0.8 on the fixture's near-dup families."""
+    from kitkat_spark.queries import QUERIES
+
+    exact = {
+        (r.doc_a, r.doc_b) for r in QUERIES["q_ngram_jaccard"](spark, SF).collect()
+    }
+    lsh = {(r.doc_a, r.doc_b) for r in QUERIES["q_near_dedup"](spark, SF).collect()}
+    assert lsh <= exact, f"false positives: {sorted(lsh - exact)[:5]}"
+    assert exact, "fixture should contain near-dup pairs"
+    recall = len(lsh & exact) / len(exact)
+    assert recall >= 0.8, f"LSH recall {recall:.3f} below banding expectation"
