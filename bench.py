@@ -97,6 +97,7 @@ HEADLINE = [
     "q_pack_sequences",
     "q_event_growth",
     "q_dup_rate_by_source",
+    "q_corpus_pipeline",
 ]
 
 

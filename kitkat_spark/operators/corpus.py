@@ -168,6 +168,59 @@ def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+QUALITY_MIN = 0.55
+
+
+def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end quality-filter pass — the composition every corpus build
+    runs before tokenization: keep a doc iff (a) heuristic quality score
+    >= 0.55, (b) repeated-3-gram ratio <= 0.2, (c) n_chars inside the global
+    p05..p95 band; report per-source keep/drop counts and the binding filter.
+
+    One Catalyst plan: the per-doc scores are narrow map expressions fused
+    into the scan stage, the percentile band is a 1-row broadcast, and the
+    only real shuffle is the final per-source aggregation. Demonstrates that
+    filter composition costs ONE corpus pass regardless of how many rules
+    stack — the property that matters when the corpus is 100 TB and every
+    extra pass is hours."""
+    from kitkat_spark.functions.text import word_shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    bounds = docs.agg(
+        F.element_at(F.percentile("n_chars", F.array(F.lit(0.05), F.lit(0.95))), 1).alias("lo"),
+        F.element_at(F.percentile("n_chars", F.array(F.lit(0.05), F.lit(0.95))), 2).alias("hi"),
+    )
+    toks = tokens(F.col("text"))
+    n_tok = F.size(toks)
+    ttr = F.size(F.array_distinct(toks)) / n_tok
+    stop_ratio = (
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(r"\b(the|a|of|and|is|to|in)\b"), F.lit(0)))
+        / n_tok
+    )
+    len_ok = F.when((n_tok >= 20) & (n_tok <= 1000), 1.0).otherwise(0.5)
+    quality = F.lit(0.4) * ttr + F.lit(0.3) * (1 - stop_ratio) + F.lit(0.3) * len_ok
+    n_grams = F.greatest(n_tok - 2, F.lit(0))
+    rep_ratio = F.when(
+        n_grams > 0, 1 - F.size(word_shingles(toks, 3)) / n_grams
+    ).otherwise(F.lit(0.0))
+    scored = docs.select(
+        "source",
+        "n_chars",
+        quality.alias("q"),
+        rep_ratio.alias("rep"),
+    ).crossJoin(F.broadcast(bounds))
+    verdict = (
+        F.when(F.col("q") < QUALITY_MIN, "low_quality")
+        .when(F.col("rep") > 0.2, "repetitive")
+        .when((F.col("n_chars") < F.col("lo")) | (F.col("n_chars") > F.col("hi")), "length")
+        .otherwise("keep")
+    )
+    return (
+        scored.groupBy("source", verdict.alias("verdict"))
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
 def q_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source duplication audit: fraction of each source's docs whose
     content fingerprint appears more than once corpus-WIDE (cross-source
@@ -290,6 +343,43 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE: dict[str, str] = {
+    "q_corpus_pipeline": """
+        WITH b AS (
+            SELECT quantile_cont(n_chars, 0.05) AS lo,
+                   quantile_cont(n_chars, 0.95) AS hi
+            FROM documents
+        ), toks AS (
+            SELECT source, n_chars, text,
+                   string_split(text, ' ') AS w
+            FROM documents
+        ), g AS (
+            SELECT source, n_chars,
+                   len(w) AS n_tok,
+                   len(list_distinct(w)) * 1.0 / len(w) AS ttr,
+                   len(regexp_extract_all(text, '\\b(the|a|of|and|is|to|in)\\b')) * 1.0
+                       / len(w) AS stop_ratio,
+                   CASE WHEN len(w) >= 3 THEN
+                       1 - (SELECT count(DISTINCT w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+                            FROM UNNEST(generate_series(1, len(w) - 2)) AS t(i)) * 1.0
+                           / (len(w) - 2)
+                   ELSE 0.0 END AS rep
+            FROM toks
+        ), scored AS (
+            SELECT source, n_chars, rep,
+                   0.4 * ttr + 0.3 * (1 - stop_ratio)
+                       + 0.3 * (CASE WHEN n_tok BETWEEN 20 AND 1000
+                                     THEN 1.0 ELSE 0.5 END) AS q
+            FROM g
+        )
+        SELECT source,
+               CASE WHEN q < 0.55 THEN 'low_quality'
+                    WHEN rep > 0.2 THEN 'repetitive'
+                    WHEN n_chars < lo OR n_chars > hi THEN 'length'
+                    ELSE 'keep' END AS verdict,
+               count(*) AS n_docs
+        FROM scored, b
+        GROUP BY 1, 2
+    """,
     "q_dup_rate_by_source": """
         WITH d AS (
             SELECT source,

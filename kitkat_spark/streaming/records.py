@@ -65,6 +65,48 @@ def replay_stream(spark: SparkSession, path: str, max_files_per_trigger: int | N
     return reader.parquet(path)
 
 
+def kinesis_reader_options(
+    stream_names: str,
+    region: str,
+    position: str = "latest",
+    since: str | None = None,
+    max_fetch_records: int = 500,
+    fetch_interval_ms: int = 100,
+) -> dict[str, str]:
+    """The production source config: ``kitkat consume`` flags mapped onto the
+    spark-streaming-kinesis connector's option names, so
+    ``spark.readStream.format("aws-kinesis")`` + these options replaces
+    replay_stream with zero transform changes.
+
+    Flag parity (command/consume.go:25-29): --stream -> streamName (the
+    connector takes one stream per source; multi-stream union = one source
+    per name unioned, consumer.go:53-55), --iterator/--since ->
+    startingPosition, --limit -> maxFetchRecordsPerShard, --interval ->
+    the fetch-interval pacing. Shard fan-out and iterator/offset tracking
+    (NextShardIterator, consumer.go:166) belong to the connector's
+    checkpointed offsets — nothing to re-implement."""
+    pos_map = {
+        "latest": "latest",
+        "trim_horizon": "trim_horizon",
+        "at_timestamp": "at_timestamp",
+        "at_sequence_number": "trim_horizon",  # connector seeks by ts, not seq
+    }
+    if position not in pos_map:
+        raise ValueError(f"position must be one of {sorted(pos_map)}")
+    opts = {
+        "streamName": stream_names,
+        "region": region,
+        "startingPosition": pos_map[position],
+        "maxFetchRecordsPerShard": str(max_fetch_records),
+        "minFetchPeriod": f"{fetch_interval_ms}ms",
+    }
+    if position == "at_timestamp":
+        if since is None:
+            raise ValueError("--since is required with at_timestamp")
+        opts["startingTimestamp"] = since
+    return opts
+
+
 def batch_records(spark: SparkSession, path: str) -> DataFrame:
     """Batch scan of the same record directory (oracle/bench path)."""
     return spark.read.schema(RECORD_SCHEMA).parquet(path)

@@ -217,6 +217,25 @@ def test_produce_error_skip_continues(spark):
 # S3 + A1 + F1: stream info table and closed-shard pruning
 # ---------------------------------------------------------------------------
 
+def test_kinesis_reader_options_flag_parity():
+    """S2 production config: consume-flag -> connector-option mapping."""
+    from kitkat_spark.streaming.records import kinesis_reader_options
+
+    opts = kinesis_reader_options(
+        "s1", "us-east-1", position="at_timestamp", since="2024-03-01T00:00:00Z",
+        max_fetch_records=200, fetch_interval_ms=250,
+    )
+    assert opts["streamName"] == "s1"
+    assert opts["startingPosition"] == "at_timestamp"
+    assert opts["startingTimestamp"] == "2024-03-01T00:00:00Z"
+    assert opts["maxFetchRecordsPerShard"] == "200"
+    assert opts["minFetchPeriod"] == "250ms"
+    with pytest.raises(ValueError):
+        kinesis_reader_options("s1", "us-east-1", position="at_timestamp")
+    with pytest.raises(ValueError):
+        kinesis_reader_options("s1", "us-east-1", position="bogus")
+
+
 def test_stream_info_and_open_shards(spark):
     meta = spark.createDataFrame(
         [("s1", dt.datetime(2024, 1, 1), "NONE", 24)], STREAM_META_SCHEMA
