@@ -111,6 +111,52 @@ def full_shingle_hashes(toks: Column, n: int = 3) -> Column:
     )
 
 
+def md5_long(col: Column, hex_chars: int = 15) -> Column:
+    """Deterministic 60-bit integer hash from md5 — the CROSS-ENGINE hash.
+
+    DuckDB computes the identical value as
+    ``('0x' || substr(md5(x), 1, 15))::BIGINT``, which is what lets the
+    minhash/LSH and simhash pipelines carry a full value-level DuckDB oracle
+    instead of a rows-only check. 15 hex chars = 60 bits, so the result is
+    always a non-negative int64 on both engines (no sign/overflow edge).
+    md5 costs ~2x xxhash64 but stays JVM-side codegen; paths that never
+    expose hash VALUES to the oracle (inverted-index Jaccard) keep xxhash64.
+    """
+    return F.conv(F.substring(F.md5(col), 1, hex_chars), 16, 10).cast("long")
+
+
+def oracle_shingle_hashes(toks: Column, n: int = 3) -> Column:
+    """Distinct mod-p n-gram shingle hashes with DuckDB-reproducible VALUES:
+    md5_long of the space-joined shingle string, reduced mod MINHASH_PRIME
+    so the minhash remix (a*h + b) stays < 2^62 in int64. Unlike
+    shingle_hashes_from_tokens this materializes the shingle string (md5
+    needs the exact bytes the oracle hashes) — the price of verifiability;
+    equality-only paths keep the hash-tokens-once xxhash64 layout."""
+    hashed = F.transform(
+        _zipped_ngrams(toks, n),
+        lambda s: F.pmod(
+            md5_long(F.concat_ws(" ", *[s[str(j)] for j in range(n)])),
+            F.lit(MINHASH_PRIME),
+        ),
+    )
+    return F.array_distinct(
+        F.when(F.size(toks) >= n, hashed).otherwise(F.array().cast("array<bigint>"))
+    )
+
+
+def band_slices(signature: Column, bands: int, rows: int) -> Column:
+    """Per-band RAW signature slices (array<long> join keys) for LSH
+    bucketing. No hash remix: two docs share a band bucket iff the 4 raw
+    minhash values agree, and an external oracle reproduces the key with a
+    plain list literal — unlike band_hashes' xxhash64 digest. Spark groups/
+    joins array<long> keys natively; the key is 32 bytes vs 8 for a digest,
+    a fine trade below ~64 rows per band."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.slice(signature, b * rows + 1, rows),
+    )
+
+
 def minhash_from_hashes(base: Column, k: int = 32, seed: int = 42) -> Column:
     """Array of k minhash values from a precomputed shingle-hash array.
 

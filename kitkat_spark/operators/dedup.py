@@ -8,12 +8,16 @@ Three families, all shuffle-disciplined for 100 TB:
   no O(N^2) pair enumeration. DuckDB-oracled.
 - q_near_dedup: MinHash + LSH banding. Signatures are computed in one
   codegen'd pass (functions/text.py), candidate pairs come from a self-join on
-  (band_id, band_hash) — at 100 TB this is THE layout: band buckets are the
+  (band_id, band_key) — at 100 TB this is THE layout: band buckets are the
   shuffle key, candidates per bucket are tiny. Verified pairs get exact
-  Jaccard. Rows-only check (xxhash64 has no DuckDB twin).
+  Jaccard. FULLY DuckDB-oracled: the base shingle hash is md5-derived
+  (functions/text.py md5_long), the k-permutation remix is deterministic
+  affine arithmetic, and band keys are raw signature slices — the oracle SQL
+  below replays the identical LSH pipeline value-for-value.
 - q_simhash: 64-bit SimHash per doc via bit-vote aggregation; near-dup pairs
   by Hamming distance <= 3 found with the 4-band pigeonhole trick (one 16-bit
-  band must match exactly), again a band-bucket self-join. Rows-only.
+  band must match exactly), again a band-bucket self-join. Also fully
+  DuckDB-oracled via the md5-derived token hash.
 
 Common hygiene: pairs are emitted once (doc_a < doc_b), exploded inverted
 index drops stop-shingles with document frequency > DF_CAP (a hot-key guard:
@@ -26,10 +30,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kitkat_spark.functions.text import (
-    band_hashes,
+    band_slices,
     full_shingle_hashes,
     make_minhash_udf,
-    shingle_hashes_from_tokens,
+    md5_long,
+    oracle_shingle_hashes,
     tokens,
 )
 from kitkat_spark.sources import load_table
@@ -185,9 +190,9 @@ def q_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     size^2; the verify join re-reads only candidate docs' shingle sets.
 
     Two deliberate scale moves:
-    - shingles live as HASHES from the first pass (shingle_hashes_from_tokens)
-      — minhash, banding, and the exact-Jaccard verify all run on longs;
-      shingle strings are never materialized.
+    - shingles live as HASHES from the first pass (oracle_shingle_hashes:
+      md5-derived so the DuckDB twin reproduces values) — minhash, banding,
+      and the exact-Jaccard verify all run on longs.
     - the signature table is persisted: it feeds the band self-join (twice)
       and the verify join (twice); without reuse Spark recomputes the
       shingle+minhash pipeline 4x (measured: 75% of query wall time). At
@@ -200,18 +205,18 @@ def q_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = (
         docs.select(
             "doc_id",
-            shingle_hashes_from_tokens(tokens(F.col("text")), SHINGLE_N).alias("sh"),
+            oracle_shingle_hashes(tokens(F.col("text")), SHINGLE_N).alias("sh"),
         )
         .filter(F.size("sh") > 0)
         .select("doc_id", "sh", minhash_udf(F.col("sh")).alias("sig"))
         .select(
-            "doc_id", "sh", band_hashes(F.col("sig"), LSH_BANDS, LSH_ROWS).alias("bands")
+            "doc_id", "sh", band_slices(F.col("sig"), LSH_BANDS, LSH_ROWS).alias("bands")
         )
         .persist()
     )
-    banded = sig.select("doc_id", F.posexplode("bands").alias("band_id", "band_hash"))
+    banded = sig.select("doc_id", F.posexplode("bands").alias("band_id", "band_key"))
     cand = (
-        bucket_pairs(banded, ["band_id", "band_hash"], "doc_id", LSH_MAX_BUCKET)
+        bucket_pairs(banded, ["band_id", "band_key"], "doc_id", LSH_MAX_BUCKET)
         .select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
         .distinct()
     )
@@ -238,9 +243,11 @@ def q_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash64 near-dup pairs with Hamming <= 3 via 4x16-bit band join.
 
-    Bit votes: distinct tokens hashed once (xxhash64); per bit i the vote is
-    +-1; sign of the summed vote is bit i of the fingerprint. The vote
-    aggregation is a single groupBy(doc_id) over codegen'd array math.
+    Bit votes: distinct tokens hashed once (md5_long: 60-bit, bits 60-63
+    are structurally 0 so those fingerprint bits vote to 0 on both engines);
+    per bit i the vote is +-1; sign of the summed vote is bit i of the
+    fingerprint. The vote aggregation is a vectorized pandas UDF; the md5
+    hash makes the whole pipeline value-reproducible by the DuckDB oracle.
     """
     par = spark.sparkContext.defaultParallelism
     docs = load_table(spark, sf_dir, "documents").repartition(par)
@@ -251,7 +258,7 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashed = docs.select(
         "doc_id",
         F.transform(
-            F.array_distinct(tokens(F.col("text"))), lambda t: F.xxhash64(t)
+            F.array_distinct(tokens(F.col("text"))), lambda t: md5_long(t)
         ).alias("th"),
     )
     # single consumer since the bucket_pairs rewrite — no persist needed
@@ -317,10 +324,103 @@ PAIRS_SQL_CTES = """
         )
 """
 
+# --- DuckDB twins of the LSH pipelines ------------------------------------
+# Both replay the Spark pipeline VALUE-for-value: the base hash is
+# ('0x' || substr(md5(x), 1, 15))::BIGINT — identical to functions/text.py
+# md5_long — and every later step (affine minhash remix, band slicing,
+# bit votes) is plain integer arithmetic both engines share.
+from kitkat_spark.functions.text import MINHASH_PRIME, minhash_params  # noqa: E402
+
+_SIG_MINS = ",\n                   ".join(
+    f"min(({a} * h + {b}) % {MINHASH_PRIME}) AS s{j}"
+    for j, (a, b) in enumerate(minhash_params(MINHASH_K))
+)
+_BAND_SELECTS = "\n            UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band_id, "
+    f"[s{b * LSH_ROWS}, s{b * LSH_ROWS + 1}, s{b * LSH_ROWS + 2}, s{b * LSH_ROWS + 3}] "
+    f"AS key FROM sig"
+    for b in range(LSH_BANDS)
+)
+_SIM_VOTES = ",\n                   ".join(
+    f"sum((h >> {i}) & 1) AS c{i}" for i in range(60)
+)
+_SIM_PACK = "\n                   + ".join(
+    f"(CASE WHEN 2 * c{i} > n THEN (1::BIGINT << {i}) ELSE 0 END)" for i in range(60)
+)
+
 ORACLE: dict[str, str] = {
     "q_ngram_jaccard": f"""
         WITH {PAIRS_SQL_CTES}
         SELECT doc_a, doc_b, jaccard FROM jpairs
     """,
-    # q_near_dedup / q_simhash: rows-only (xxhash64-based, no DuckDB twin)
+    "q_near_dedup": f"""
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        ), sh AS (
+            SELECT DISTINCT doc_id,
+                   ('0x' || substr(md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2]), 1, 15))::BIGINT
+                       % {MINHASH_PRIME} AS h
+            FROM toks, UNNEST(generate_series(1, len(w) - 2)) AS t(i)
+            WHERE len(w) >= 3
+        ), sig AS (
+            SELECT doc_id, count(*) AS n_sh,
+                   {_SIG_MINS}
+            FROM sh GROUP BY doc_id
+        ), bands AS (
+            {_BAND_SELECTS}
+        ), bsz AS (
+            SELECT band_id, key, count(*) AS c FROM bands GROUP BY 1, 2
+        ), cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a
+            JOIN bands b ON a.band_id = b.band_id AND a.key = b.key
+                        AND a.doc_id < b.doc_id
+            JOIN bsz s ON s.band_id = a.band_id AND s.key = a.key
+                      AND s.c BETWEEN 2 AND {LSH_MAX_BUCKET}
+        ), common AS (
+            SELECT c.doc_a, c.doc_b, count(*) AS n_common
+            FROM cand c
+            JOIN sh x ON x.doc_id = c.doc_a
+            JOIN sh y ON y.doc_id = c.doc_b AND x.h = y.h
+            GROUP BY 1, 2
+        )
+        SELECT c.doc_a, c.doc_b,
+               round(n_common * 1.0 / (na.n_sh + nb.n_sh - n_common), 4) AS jaccard
+        FROM common c
+        JOIN sig na ON c.doc_a = na.doc_id
+        JOIN sig nb ON c.doc_b = nb.doc_id
+        WHERE round(n_common * 1.0 / (na.n_sh + nb.n_sh - n_common), 4)
+              >= {JACCARD_THRESHOLD}
+    """,
+    "q_simhash": f"""
+        WITH toks AS (
+            SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS t
+            FROM documents
+        ), th AS (
+            SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT AS h FROM toks
+        ), votes AS (
+            SELECT doc_id, count(*) AS n,
+                   {_SIM_VOTES}
+            FROM th GROUP BY doc_id
+        ), sim AS (
+            SELECT doc_id,
+                   {_SIM_PACK} AS simhash
+            FROM votes
+        ), bands AS (
+            SELECT doc_id, simhash, i AS band_id,
+                   (simhash >> (16 * i)) & 65535 AS band_val
+            FROM sim, UNNEST([0, 1, 2, 3]) AS u(i)
+        ), bsz AS (
+            SELECT band_id, band_val, count(*) AS c FROM bands GROUP BY 1, 2
+        ), cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+            FROM bands a
+            JOIN bands b ON a.band_id = b.band_id AND a.band_val = b.band_val
+                        AND a.doc_id < b.doc_id
+            JOIN bsz s ON s.band_id = a.band_id AND s.band_val = a.band_val
+                      AND s.c BETWEEN 2 AND {LSH_MAX_BUCKET}
+        )
+        SELECT doc_a, doc_b, hamming FROM cand WHERE hamming <= {SIMHASH_MAX_HAMMING}
+    """,
 }
