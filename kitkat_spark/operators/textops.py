@@ -118,8 +118,9 @@ def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     All JVM-side: the rolling hashes are the shingle-hash expression and the
     per-window minimum is a transform over zipped window slices (no UDF, no
-    shuffle until the final per-doc count). Rows-only check (xxhash64 has no
-    DuckDB twin); the companion assertions live in tests.
+    shuffle until the final per-doc count). The rolling hash is md5-derived
+    (functions/text.py md5_long), so the DuckDB oracle replays the identical
+    hash stream and window minima — full value-level verification.
     """
     docs = load_table(spark, sf_dir, "documents")
     with_f = docs.select(
@@ -135,14 +136,17 @@ def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 def winnow_fingerprints(text: F.Column, k: int = WINNOW_K, w: int = WINNOW_W) -> F.Column:
     """Winnowed fingerprint set of a text column (empty array if the rolling
     hash stream is shorter than the window)."""
-    from kitkat_spark.functions.text import MINHASH_PRIME, _token_hashes, _zipped_ngrams
+    from kitkat_spark.functions.text import MINHASH_PRIME, _zipped_ngrams, md5_long
 
     toks = tokens(text)
     # positional (NOT distinct) rolling hash stream — winnowing is order-aware;
-    # tokens hashed once, k-gram hash combines the longs (see _token_hashes)
+    # md5 of the joined k-gram string so the DuckDB oracle reproduces values
     hashes = F.transform(
-        _zipped_ngrams(_token_hashes(toks), k),
-        lambda s: F.pmod(F.xxhash64(*[s[str(j)] for j in range(k)]), F.lit(MINHASH_PRIME)),
+        _zipped_ngrams(toks, k),
+        lambda s: F.pmod(
+            md5_long(F.concat_ws(" ", *[s[str(j)] for j in range(k)])),
+            F.lit(MINHASH_PRIME),
+        ),
     )
     mins = F.array_distinct(
         F.transform(
@@ -212,6 +216,36 @@ def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE: dict[str, str] = {
+    # Replays winnowing value-for-value: md5-derived rolling k-gram hashes
+    # (identical to functions/text.py md5_long mod MINHASH_PRIME), then the
+    # min of each w-hash window via a ROWS window frame, then per-doc
+    # distinct-min counts. n_hashes can be NEGATIVE (doc shorter than k
+    # tokens) but such docs are filtered by the n_hashes >= w gate, matching
+    # Spark's empty-fps filter.
+    "q_winnow_fingerprint": f"""
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        ), kg AS (
+            SELECT doc_id, i,
+                   ('0x' || substr(md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2]), 1, 15))::BIGINT
+                       % 2147483647 AS h,
+                   len(w) - {WINNOW_K - 1} AS n_hashes
+            FROM toks, UNNEST(generate_series(1, len(w) - {WINNOW_K - 1})) AS t(i)
+            WHERE len(w) >= {WINNOW_K}
+        ), mins AS (
+            SELECT doc_id, i, n_hashes,
+                   min(h) OVER (PARTITION BY doc_id ORDER BY i
+                                ROWS BETWEEN CURRENT ROW AND {WINNOW_W - 1} FOLLOWING)
+                       AS wm
+            FROM kg
+        )
+        SELECT doc_id,
+               CAST(count(DISTINCT wm) AS INTEGER) AS n_fingerprints,
+               CAST(any_value(n_hashes) AS INTEGER) AS n_hashes
+        FROM mins
+        WHERE i <= n_hashes - {WINNOW_W - 1} AND n_hashes >= {WINNOW_W}
+        GROUP BY doc_id
+    """,
     "q_text_analysis": """
         WITH d AS (
             SELECT lang, source, n_chars,
