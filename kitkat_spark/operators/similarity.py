@@ -9,9 +9,9 @@
   label column — the join key is (label), so candidate pairs only form within
   a block. This is the IVF idea: at 100 TB, label is replaced by a coarse
   quantizer cell id (q_ann_ivf below uses a random-hyperplane LSH bucket).
-- q_ann_ivf: LSH-bucketed ANN — sign-bit bucket from fixed random hyperplanes
-  (deterministic seed), probe = query's own bucket. Rows-only check
-  (bucketing is engine-specific); recall is traded for a bucket-local join.
+- q_ann_ivf: LSH-bucketed ANN — sign-bit bucket from fixed md5-derived
+  hyperplanes, probe = query's own bucket. Fully DuckDB-oracled (the oracle
+  replays the bucketing); recall is traded for a bucket-local join.
 
 All vector math is codegen'd higher-order functions (functions/vectors.py);
 doubles all the way so the DuckDB oracle matches bit-for-bit after round().
@@ -96,18 +96,42 @@ import pandas as pd  # noqa: E402
 from pyspark.sql import types as T  # noqa: E402
 
 
+from functools import lru_cache  # noqa: E402
+import hashlib  # noqa: E402
+
+
+@lru_cache(maxsize=4)
+def _md5_planes(dim: int) -> "np.ndarray":
+    """(dim x LSH_PLANES) hyperplane matrix with md5-derived components in
+    [-1, 1) — deterministic on every executor (no fitted model to ship) AND
+    reproducible by the DuckDB oracle: component (p, d) is
+    md5('plane_{p}_{d}') first-15-hex / 2^60 * 2 - 1, the same value DuckDB
+    computes with ('0x' || substr(md5(...), 1, 15))::BIGINT arithmetic.
+    Uniform-cube directions instead of gaussian: fine for sign-LSH, and the
+    verifiability is worth far more than rotation invariance."""
+    vals = np.array(
+        [
+            [
+                int(hashlib.md5(f"plane_{p}_{d}".encode()).hexdigest()[:15], 16)
+                for p in range(LSH_PLANES)
+            ]
+            for d in range(dim)
+        ],
+        dtype=np.float64,
+    )
+    return vals / float(1 << 60) * 2.0 - 1.0
+
+
 @F.pandas_udf(T.LongType())
 def _lsh_bucket_udf(vectors: pd.Series) -> pd.Series:
-    """Sign-bit bucket id from deterministic random hyperplanes (seeded numpy;
-    identical on every executor — no fitted model to ship). Embedding dim is
+    """Sign-bit bucket id from the md5-derived hyperplanes. Embedding dim is
     constant per table, so the whole Arrow batch stacks into ONE (batch x dim)
     matrix and a single matmul produces every bucket id."""
     good = vectors.map(lambda v: v is not None and len(v) > 0)
     out = np.zeros(len(vectors), dtype=np.int64)
     if good.any():
         mat = np.stack([np.asarray(v, dtype=np.float64) for v in vectors[good]])
-        planes = np.random.default_rng(2024).standard_normal((mat.shape[1], LSH_PLANES))
-        signs = (mat @ planes) > 0
+        signs = (mat @ _md5_planes(mat.shape[1])) > 0
         buckets = (signs.astype(np.uint64) << np.arange(LSH_PLANES, dtype=np.uint64)).sum(axis=1)
         out[np.asarray(good)] = buckets.astype(np.int64)
     return pd.Series(out)
@@ -118,7 +142,8 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The bucket id is the shuffle key; each bucket's candidate list is small
     and independent — the 100 TB layout (write embeddings partitioned by
-    bucket; queries probe 1..n_probe buckets). Rows-only check.
+    bucket; queries probe 1..n_probe buckets). Value-verified by a DuckDB
+    twin that replays the md5-derived hyperplane bucketing.
     """
     # persisted: the bucketed table feeds both the (broadcast) query side and
     # the candidate side — without reuse the bucket UDF + norm run twice; at
@@ -270,5 +295,42 @@ ORACLE: dict[str, str] = {
         FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
         WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= 0.35
     """,
-    # q_ann_ivf: rows-only (bucketing layout is engine-specific)
+    # Replays the LSH bucketing value-for-value: hyperplane components are
+    # md5-derived (see _md5_planes), bucket = sum of sign bits, then the
+    # same bucket-local top-k as q_similarity_search. Embedding dim is 64
+    # in the fixture (constant per table).
+    "q_ann_ivf": f"""
+        WITH planes AS (
+            SELECT p, list_transform(generate_series(0, 63),
+                   d -> ('0x' || substr(md5('plane_' || p || '_' || d), 1, 15))::BIGINT
+                        / 1152921504606846976.0 * 2 - 1) AS pv
+            FROM UNNEST(generate_series(0, {LSH_PLANES - 1})) AS t(p)
+        ), e AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v,
+                   sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                       AS nrm
+            FROM embeddings
+            WHERE len(embedding) > 0
+        ), buckets AS (
+            SELECT vec_id,
+                   sum(CASE WHEN list_dot_product(e.v, pl.pv) > 0
+                            THEN (1::BIGINT << pl.p) ELSE 0 END) AS bucket
+            FROM e, planes pl
+            GROUP BY vec_id
+        ), scored AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+                   round(list_dot_product(eq.v, ec.v) / (eq.nrm * ec.nrm), 6)
+                       AS cosine
+            FROM buckets q
+            JOIN buckets c ON c.bucket = q.bucket AND c.vec_id <> q.vec_id
+            JOIN e eq ON eq.vec_id = q.vec_id
+            JOIN e ec ON ec.vec_id = c.vec_id
+            WHERE q.vec_id < {N_QUERIES}
+        )
+        SELECT query_id, cand_id, cosine, rk FROM (
+            SELECT *, CAST(row_number() OVER (
+                PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS INT) AS rk
+            FROM scored
+        ) WHERE rk <= {TOP_K}
+    """,
 }
