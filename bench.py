@@ -36,6 +36,15 @@ HEADLINE = [
     "q_stratified_sample",
     "q_mjoin_revenue",
     "q_mjoin_region_revenue",
+    "q_forecast_revenue",
+    "q_min_cost_supplier",
+    "q_returned_revenue",
+    "q_market_share",
+    "q_product_profit",
+    "q_late_priority_lines",
+    "q_top_supplier",
+    "q_excess_suppliers",
+    "q_waiting_orders",
     "q_range_join",
     "q_asof_join",
     "q_agg_group",

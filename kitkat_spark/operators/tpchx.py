@@ -195,6 +195,292 @@ def q_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q6 shape: fully-pushed-down scan aggregate — every predicate (date
+    band, discount band, quantity cap) reaches the parquet reader as a
+    PushedFilter, the projection is 2 columns, and the result is a 1-row
+    map-side-combinable aggregate. The canonical 'scan efficiency' probe:
+    at 100 TB this query's cost is the I/O of two columns under min/max
+    row-group pruning, nothing else."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "revenue"
+            ),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 shape: per-part minimum-cost supplier in one region (no partsupp
+    table in the fixture — observed (l_partkey, l_suppkey) pairs with
+    min(l_extendedprice) stand in for ps_supplycost). The correlated MIN
+    subquery decorrelates to a window min over ONE partitionBy(p_partkey)
+    shuffle of the region-filtered pair aggregate; supplier/nation/region/
+    part all broadcast. min() of doubles is order-exact, so the equality
+    filter is reproducible cross-engine without rounding tricks."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    asia_supps = (
+        supplier.join(
+            F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey
+        )
+        .join(
+            F.broadcast(region.filter(F.col("r_name") == "ASIA")),
+            nation.n_regionkey == region.r_regionkey,
+        )
+        .select("s_suppkey", "s_name", "n_name")
+    )
+    small_parts = part.filter(F.col("p_size") < 10).select("p_partkey", "p_brand")
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min("l_extendedprice").alias("supply_cost")
+    )
+    regional = ps.join(
+        F.broadcast(asia_supps), ps.l_suppkey == asia_supps.s_suppkey
+    ).join(F.broadcast(small_parts), ps.l_partkey == small_parts.p_partkey)
+    w = W.partitionBy("p_partkey")
+    return (
+        regional.withColumn("min_cost", F.min("supply_cost").over(w))
+        .filter(F.col("supply_cost") == F.col("min_cost"))
+        .select("p_partkey", "p_brand", "s_name", "n_name", "supply_cost")
+    )
+
+
+def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8 shape: NATION_3's share of ECONOMY-part revenue sold into the
+    AMERICA customer market, per order year. Two nation arms (customer side
+    filters the market region, supplier side labels the share) — all dims
+    broadcast, the fact shuffles once for the orders join, and the share is
+    a conditional-aggregate ratio per year."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    part = load_table(spark, sf_dir, "part")
+    cust_market = (
+        customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(
+            F.broadcast(region.filter(F.col("r_name") == "AMERICA")),
+            nation.n_regionkey == region.r_regionkey,
+        )
+        .select("c_custkey")
+    )
+    supp_nation = supplier.join(
+        F.broadcast(
+            nation.select(
+                F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+            )
+        ),
+        supplier.s_nationkey == F.col("sn_key"),
+    ).select("s_suppkey", "supp_nation")
+    econ_parts = part.filter(F.col("p_type") == "ECONOMY").select("p_partkey")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(econ_parts), li.l_partkey == econ_parts.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust_market), orders.o_custkey == cust_market.c_custkey)
+        .join(F.broadcast(supp_nation), li.l_suppkey == supp_nation.s_suppkey)
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_3", rev).otherwise(0.0))
+                / F.sum(rev),
+                6,
+            ).alias("mkt_share"),
+            F.round(F.sum(rev), 2).alias("total_revenue"),
+        )
+    )
+
+
+def q_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9 shape: per (supplier nation, order year) profit for parts whose
+    name contains 'widget'. No ps_supplycost in the fixture, so amount =
+    discounted revenue - 0.6 * p_retailprice * quantity (a fixed cost
+    model) — the SHAPE is the point: a 5-way join where every dimension
+    broadcasts and the fact crosses the wire once for the orders join,
+    then one hash aggregation on (nation, year)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    part = load_table(spark, sf_dir, "part")
+    widget_parts = part.filter(F.col("p_name").contains("widget")).select(
+        "p_partkey", "p_retailprice"
+    )
+    supp_nation = supplier.join(
+        F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey
+    ).select("s_suppkey", "n_name")
+    amount = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - 0.6 * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        li.join(F.broadcast(widget_parts), li.l_partkey == widget_parts.p_partkey)
+        .join(F.broadcast(supp_nation), li.l_suppkey == supp_nation.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year")
+        )
+        .agg(F.round(F.sum(amount), 2).alias("profit"))
+    )
+
+
+def q_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q10 shape: top-20 customers by revenue lost to returns in one
+    quarter. The returnflag + order-date predicates push into both fact
+    scans; customer and nation broadcast onto the aggregated result; the
+    plan ends in TakeOrderedAndProject (global top-k without a global
+    sort). Tie-break on c_custkey keeps the cut deterministic."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    q_orders = orders.filter(
+        (F.col("o_orderdate") >= "1996-10-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    return (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(q_orders, li.l_orderkey == q_orders.o_orderkey)
+        .join(F.broadcast(customer), q_orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.round(F.sum(rev), 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+def q_late_priority_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12 shape: conditional priority counts over late shipments (no
+    commit/receipt dates in the fixture — 'late' is shipped > 60 days after
+    the order date), grouped by line status. The CASE aggregation splits
+    urgent (1-URGENT/2-HIGH) from the rest exactly like Q12's shipmode
+    split; the date arithmetic is a codegen'd residual on the orders join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) > 60)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(urgent, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(urgent, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15 shape: supplier(s) with the maximum quarterly revenue — the
+    'create view + max subquery' pattern decorrelated to a 1-row broadcast
+    of the global max joined back onto the per-supplier aggregate (the
+    aggregate is computed ONCE, not once for the view and once for the
+    max). Ties all surface, as in the spec."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    per_supp = (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+        )
+        .groupBy("l_suppkey")
+        .agg(F.round(F.sum(rev), 2).alias("total_revenue"))
+    )
+    max_rev = per_supp.agg(F.max("total_revenue").alias("max_revenue"))
+    return (
+        per_supp.crossJoin(F.broadcast(max_rev))
+        .filter(F.col("total_revenue") == F.col("max_revenue"))
+        .join(F.broadcast(supplier), per_supp.l_suppkey == supplier.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+def q_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20 shape: suppliers in one nation who are DOMINANT for some small
+    part — their shipped quantity for that part exceeds 30% of the part's
+    total (the availqty > 0.5 * sum(qty) correlated subquery, decorrelated
+    to a window total over one partitionBy(l_partkey) shuffle of the
+    pair-level aggregate). The nested IN chain (parts -> qualifying pairs ->
+    suppliers) becomes semi-join + distinct; nation broadcast-semi-joins
+    last so the supplier table never shuffles."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    small_parts = part.filter(F.col("p_size") < 10).select("p_partkey")
+    pair_qty = (
+        li.join(F.broadcast(small_parts), li.l_partkey == small_parts.p_partkey, "left_semi")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("pair_qty"))
+    )
+    w = W.partitionBy("l_partkey")
+    dominant = (
+        pair_qty.withColumn("part_qty", F.sum("pair_qty").over(w))
+        .filter(F.col("pair_qty") > 0.3 * F.col("part_qty"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    target_nation = nation.filter(F.col("n_name") == "NATION_7").select("n_nationkey")
+    return (
+        supplier.join(
+            F.broadcast(target_nation),
+            supplier.s_nationkey == target_nation.n_nationkey,
+            "left_semi",
+        )
+        .join(dominant, supplier.s_suppkey == dominant.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name", "s_acctbal")
+    )
+
+
+def q_waiting_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21 shape: suppliers who were the SOLE late shipper on a finished
+    multi-supplier order ('late' = shipped > 60 days after order date; the
+    fixture has no commit/receipt dates). The EXISTS (another supplier on
+    the order) and NOT EXISTS (another LATE supplier) decorrelate to ONE
+    groupBy(l_orderkey) pass computing distinct-supplier and distinct-late-
+    supplier counts plus the late supplier id via conditional max — no
+    triple self-join of lineitem, one fact shuffle total."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supplier = load_table(spark, sf_dir, "supplier")
+    finished = orders.filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_orderdate"
+    )
+    late = F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) > 60
+    per_order = (
+        li.join(finished, li.l_orderkey == finished.o_orderkey)
+        .groupBy("l_orderkey")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_supp"),
+            F.countDistinct(F.when(late, F.col("l_suppkey"))).alias("n_late_supp"),
+            F.max(F.when(late, F.col("l_suppkey"))).alias("late_supp"),
+        )
+    )
+    return (
+        per_order.filter((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
+        .groupBy("late_supp")
+        .agg(F.count("*").alias("numwait"))
+        .join(F.broadcast(supplier), F.col("late_supp") == supplier.s_suppkey)
+        .select(F.col("s_name"), F.col("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(10)
+    )
+
+
 ORACLE: dict[str, str] = {
     "q_nation_volume": """
         SELECT sn.n_name AS supp_nation,
@@ -268,5 +554,135 @@ ORACLE: dict[str, str] = {
               SELECT 1 FROM orders WHERE o_custkey = c_custkey
           )
         GROUP BY c_nationkey
+    """,
+    "q_forecast_revenue": """
+        SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+               count(*) AS n_lines
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24
+    """,
+    "q_min_cost_supplier": """
+        WITH ps AS (
+            SELECT l_partkey, l_suppkey, min(l_extendedprice) AS supply_cost
+            FROM lineitem GROUP BY 1, 2
+        ), regional AS (
+            SELECT p.p_partkey, p.p_brand, s.s_name, n.n_name, ps.supply_cost
+            FROM ps
+            JOIN supplier s ON ps.l_suppkey = s.s_suppkey
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey AND r.r_name = 'ASIA'
+            JOIN part p ON ps.l_partkey = p.p_partkey AND p.p_size < 10
+        )
+        SELECT p_partkey, p_brand, s_name, n_name, supply_cost
+        FROM (
+            SELECT *, min(supply_cost) OVER (PARTITION BY p_partkey) AS min_cost
+            FROM regional
+        ) WHERE supply_cost = min_cost
+    """,
+    "q_market_share": """
+        SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+               round(sum(CASE WHEN sn.n_name = 'NATION_3'
+                              THEN l_extendedprice * (1 - l_discount)
+                              ELSE 0.0 END)
+                     / sum(l_extendedprice * (1 - l_discount)), 6) AS mkt_share,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+        FROM lineitem
+        JOIN part p ON l_partkey = p.p_partkey AND p.p_type = 'ECONOMY'
+        JOIN orders o ON l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+        JOIN region cr ON cn.n_regionkey = cr.r_regionkey AND cr.r_name = 'AMERICA'
+        JOIN supplier s ON l_suppkey = s.s_suppkey
+        JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+        GROUP BY 1
+    """,
+    "q_product_profit": """
+        SELECT n.n_name AS nation, CAST(year(o.o_orderdate) AS INT) AS o_year,
+               round(sum(l_extendedprice * (1 - l_discount)
+                         - 0.6 * p.p_retailprice * l_quantity), 2) AS profit
+        FROM lineitem
+        JOIN part p ON l_partkey = p.p_partkey AND p.p_name LIKE '%widget%'
+        JOIN supplier s ON l_suppkey = s.s_suppkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        JOIN orders o ON l_orderkey = o.o_orderkey
+        GROUP BY 1, 2
+    """,
+    "q_returned_revenue": """
+        SELECT c.c_custkey, c.c_name, c.c_acctbal, n.n_name,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem
+        JOIN orders o ON l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        WHERE l_returnflag = 'R'
+          AND o.o_orderdate >= TIMESTAMP '1996-10-01'
+          AND o.o_orderdate < TIMESTAMP '1997-01-01'
+        GROUP BY 1, 2, 3, 4
+        ORDER BY revenue DESC, c_custkey
+        LIMIT 20
+    """,
+    "q_late_priority_lines": """
+        SELECT l_linestatus,
+               sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS high_line_count,
+               sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 0 ELSE 1 END) AS low_line_count
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE date_diff('day', o_orderdate, l_shipdate) > 60
+        GROUP BY l_linestatus
+    """,
+    "q_top_supplier": """
+        WITH per_supp AS (
+            SELECT l_suppkey,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1996-04-01'
+            GROUP BY l_suppkey
+        )
+        SELECT s.s_suppkey, s.s_name, ps.total_revenue
+        FROM per_supp ps
+        JOIN supplier s ON ps.l_suppkey = s.s_suppkey
+        WHERE ps.total_revenue = (SELECT max(total_revenue) FROM per_supp)
+    """,
+    "q_excess_suppliers": """
+        WITH pair_qty AS (
+            SELECT l_partkey, l_suppkey, sum(l_quantity) AS pair_qty
+            FROM lineitem
+            WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size < 10)
+            GROUP BY 1, 2
+        ), dominant AS (
+            SELECT DISTINCT l_suppkey FROM (
+                SELECT *, sum(pair_qty) OVER (PARTITION BY l_partkey) AS part_qty
+                FROM pair_qty
+            ) WHERE pair_qty > 0.3 * part_qty
+        )
+        SELECT s_suppkey, s_name, s_acctbal
+        FROM supplier
+        WHERE s_nationkey IN (SELECT n_nationkey FROM nation WHERE n_name = 'NATION_7')
+          AND s_suppkey IN (SELECT l_suppkey FROM dominant)
+    """,
+    "q_waiting_orders": """
+        WITH per_order AS (
+            SELECT l_orderkey,
+                   count(DISTINCT l_suppkey) AS n_supp,
+                   count(DISTINCT CASE WHEN date_diff('day', o_orderdate, l_shipdate) > 60
+                                       THEN l_suppkey END) AS n_late_supp,
+                   max(CASE WHEN date_diff('day', o_orderdate, l_shipdate) > 60
+                            THEN l_suppkey END) AS late_supp
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey AND o_orderstatus = 'F'
+            GROUP BY l_orderkey
+        )
+        SELECT s.s_name, count(*) AS numwait
+        FROM per_order p
+        JOIN supplier s ON p.late_supp = s.s_suppkey
+        WHERE p.n_supp > 1 AND p.n_late_supp = 1
+        GROUP BY s.s_name
+        ORDER BY numwait DESC, s.s_name
+        LIMIT 10
     """,
 }

@@ -65,64 +65,67 @@ for _m in _MODULES:
 
 # The 50 driver-verified slots this round. Rationale per block:
 _VERIFY_FIRST = [
-    # -- never driver-verified (missed earlier rounds' 50-entry cap) --
-    "q_consume_plain",
+    # -- changed this round (r01-verified but oracle/impl changed: the LSH
+    # family moved to md5-derived cross-engine hashes and gained value-level
+    # oracles; q_scan_filter / q_sample_split carry the r01-finding fixes) --
+    "q_near_dedup",
+    "q_simhash",
+    "q_ann_ivf",
+    "q_scan_filter",
+    "q_sample_split",
+    # -- new this round --
+    "q_corpus_pipeline",
+    "q_event_growth",
+    "q_dup_rate_by_source",
+    "q_forecast_revenue",
+    "q_min_cost_supplier",
+    "q_market_share",
+    "q_product_profit",
+    "q_returned_revenue",
+    "q_late_priority_lines",
+    "q_top_supplier",
+    "q_excess_suppliers",
+    "q_waiting_orders",
+    # -- never driver-verified (missed earlier rounds' 50-entry cap);
+    # q_winnow_fingerprint additionally gained its oracle this round --
+    "q_winnow_fingerprint",
+    "q_centroid_assign",
+    "q_label_centroid",
+    "q_repetition_filter",
+    "q_kpl_deagg",
+    "q_zlib",
+    "q_frame_sample",
+    "q_media_resize",
+    "q_multimodal_decode",
     "q_consume_pipeline",
+    "q_consume_plain",
     "q_consume_since",
     "q_shard_status",
     "q_stateful_profile",
-    "q_kpl_deagg",
-    "q_zlib",
-    "q_quality_score",
-    "q_text_analysis",
-    "q_token_count",
-    "q_winnow_fingerprint",
-    "q_multimodal_decode",
-    "q_media_resize",
-    "q_frame_sample",
-    "q_vocab",
-    "q_tfidf",
-    "q_pii_redact",
-    "q_funnel",
-    "q_cohort_retention",
-    "q_in_subquery",
-    "q_cross_join_grid",
-    "q_dedup_clusters",
-    "q_chunk_docs",
-    "q_length_outliers",
-    "q_corpus_mix",
-    "q_merge_upsert",
-    "q_scd2",
-    "q_exists_join",
-    "q_having_scalar",
-    "q_count_distribution",
-    "q_group_filter_join",
-    "q_centroid_assign",
-    "q_decontaminate",
-    "q_incremental_dedup",
     "q_bigram_lm",
     "q_stream_enrich",
-    # -- new this round --
-    "q_nation_volume",
-    "q_promo_revenue",
-    "q_part_supplier_count",
-    "q_small_qty_revenue",
+    "q_tfidf",
+    "q_unpivot",
+    "q_decontaminate",
+    "q_dedup_clusters",
+    "q_incremental_dedup",
+    "q_pack_sequences",
+    "q_count_distribution",
+    "q_exists_join",
+    "q_group_filter_join",
+    "q_having_scalar",
+    "q_scd2",
     "q_disjunctive_join",
     "q_idle_customers",
-    "q_repetition_filter",
-    "q_label_centroid",
-    "q_pack_sequences",
-    "q_event_growth",
-    "q_dup_rate_by_source",
-    "q_corpus_pipeline",
-    # -- changed this round per ADVICE/CORRECTNESS_r01 (need re-verification):
-    # q_scan_filter's filter cutoff moves inside the data range; q_sample_split
-    # failed r01's value-hash and is being fixed --
-    "q_scan_filter",
-    "q_sample_split",
-    # -- everything else (r01 hash-verified green: q_ngram_jaccard,
-    # q_stratified_sample, q_unpivot deferred to round 3's slots, …) lives in
-    # the tail, re-checked locally every round by tests/test_oracle_parity.py --
+    "q_nation_volume",
+    "q_part_supplier_count",
+    "q_promo_revenue",
+    "q_small_qty_revenue",
+    # -- deferred to round 3's slots (all SQL-oracled + in the local parity
+    # suite every round): q_in_subquery q_cross_join_grid q_quality_score
+    # q_token_count q_text_analysis q_vocab q_pii_redact q_funnel
+    # q_cohort_retention q_chunk_docs q_corpus_mix q_length_outliers
+    # q_merge_upsert --
 ]
 
 assert len(_VERIFY_FIRST) == 50, len(_VERIFY_FIRST)
