@@ -1,6 +1,6 @@
-"""Format-agnostic table I/O: the same logical table in parquet, JSON-lines,
-or CSV, producing IDENTICAL DataFrames (schema and values) so every operator
-runs unchanged over any format.
+"""Format-agnostic table I/O: the same logical table in parquet, ORC,
+JSON-lines, or CSV, producing IDENTICAL DataFrames (schema and values) so
+every operator runs unchanged over any format.
 
 The reference's only sources are newline text on stdin and Kinesis records
 (/root/reference/producer/producer.go:30-36, consumer/consumer.go:148-152);
@@ -10,6 +10,10 @@ the interchange formats a real corpus arrives in.
 Scale notes, per format:
 - parquet: columnar — Catalyst pushes predicates AND prunes columns into the
   scan; always the target format (write_table exists for landing data).
+- orc: the other columnar format Spark ships natively — same pushdown +
+  pruning story as parquet (plus bloom-filter/row-group skipping); support
+  exists because real lakes hold ORC-era data that should NOT need a
+  pre-conversion pass just to be queryable.
 - json/csv: row-oriented text — column pruning still avoids parsing unused
   fields (Jackson/Univocity parse only requested columns), but predicate
   pushdown cannot skip I/O; the 100 TB pattern is one pass text -> parquet
@@ -28,7 +32,7 @@ from pyspark.sql import types as T
 
 from kitkat_spark.sources.tables import TABLES, load_table
 
-FORMATS = ("parquet", "json", "csv")
+FORMATS = ("parquet", "orc", "json", "csv")
 
 # CSV cannot carry nested types; every fixture table is flat except
 # embeddings (array<float>), which round-trips through a delimited string.
@@ -51,6 +55,8 @@ def write_table(df: DataFrame, path: str, fmt: str = "parquet") -> None:
         out.write.mode("overwrite").option("header", True).csv(path)
     elif fmt == "json":
         out.write.mode("overwrite").json(path)
+    elif fmt == "orc":
+        out.write.mode("overwrite").orc(path)
     else:
         out.write.mode("overwrite").parquet(path)
 
@@ -66,6 +72,8 @@ def read_table(
         raise ValueError(f"fmt must be one of {FORMATS}")
     if fmt == "parquet":
         return spark.read.schema(schema).parquet(path)
+    if fmt == "orc":
+        return spark.read.schema(schema).orc(path)
     if fmt == "json":
         return spark.read.schema(schema).json(path).select(
             *[f.name for f in schema.fields]

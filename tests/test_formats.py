@@ -22,7 +22,7 @@ def _sorted_rows(df, key):
     return [tuple(r) for r in df.orderBy(key).collect()]
 
 
-@pytest.mark.parametrize("fmt", ["json", "csv"])
+@pytest.mark.parametrize("fmt", ["orc", "json", "csv"])
 def test_documents_roundtrip(spark, tmp_path, fmt):
     src = load_table(spark, SF, "documents")
     p = str(tmp_path / f"docs_{fmt}")
@@ -32,7 +32,7 @@ def test_documents_roundtrip(spark, tmp_path, fmt):
     assert _sorted_rows(back, "doc_id") == _sorted_rows(src, "doc_id")
 
 
-@pytest.mark.parametrize("fmt", ["json", "csv"])
+@pytest.mark.parametrize("fmt", ["orc", "json", "csv"])
 def test_embeddings_array_column_roundtrip(spark, tmp_path, fmt):
     src = load_table(spark, SF, "embeddings")
     p = str(tmp_path / f"emb_{fmt}")
