@@ -34,14 +34,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which Spark's parquet reader
-        # rejects; read nanos as long (legacy conf, runtime-settable) and
-        # convert to µs TimestampType so downstream code sees a timestamp.
+        # events.ts has shipped as parquet TIMESTAMP(NANOS) (which Spark's
+        # reader only accepts as a raw long via the legacy conf) and as plain
+        # timestamp[us]. Branch on the type the scan actually produced so the
+        # loader survives fixture drift: long → µs timestamp; NTZ → session-tz
+        # timestamp (session tz is UTC, so the cast is value-preserving and
+        # matches DuckDB's naive-timestamp read of the same file).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         from pyspark.sql import functions as F
+        from pyspark.sql import types as T
 
-        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, T.LongType):
+            return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        if isinstance(ts_type, T.TimestampNTZType):
+            return df.withColumn("ts", F.col("ts").cast(T.TimestampType()))
+        return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
