@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from kitkat_spark.functions.numeric import dsum, dsum_sql
 from kitkat_spark.functions.vectors import dot, norm2
 from kitkat_spark.sources import load_table
 
@@ -48,9 +49,7 @@ def q_mjoin_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            )
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
         )
         .orderBy(F.col("revenue").desc(), "l_orderkey")
         .limit(10)
@@ -82,9 +81,7 @@ def q_mjoin_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("n_name")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            )
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
         )
         .select("n_name", "revenue")
     )
@@ -264,7 +261,7 @@ def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE: dict[str, str] = {
     "q_mjoin_revenue": f"""
         SELECT l_orderkey,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               {dsum_sql("l_extendedprice * (1 - l_discount)")} AS revenue,
                o_orderdate, o_orderpriority
         FROM customer
         JOIN orders ON c_custkey = o_custkey
@@ -276,9 +273,9 @@ ORACLE: dict[str, str] = {
         ORDER BY revenue DESC, l_orderkey
         LIMIT 10
     """,
-    "q_mjoin_region_revenue": """
+    "q_mjoin_region_revenue": f"""
         SELECT n_name,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+               {dsum_sql("l_extendedprice * (1 - l_discount)")} AS revenue
         FROM lineitem
         JOIN orders ON l_orderkey = o_orderkey
         JOIN customer ON o_custkey = c_custkey

@@ -65,6 +65,7 @@ def connected_components(
     sym = e0.union(e0.select(F.col("v").alias("u"), F.col("u").alias("v")))
     labels = sym.select("u").distinct().withColumn("label", F.col("u"))
     prev_sum = None
+    converged = False
     for _ in range(max_iter):
         nbr_min = (
             sym.join(labels, "u")
@@ -77,8 +78,19 @@ def connected_components(
         labels = labels.localCheckpoint(eager=True)
         cur_sum = labels.agg(F.sum("label")).collect()[0][0]
         if cur_sum == prev_sum:
+            converged = True
             break
         prev_sum = cur_sum
+    if not converged:
+        # Min-label propagation needs O(graph diameter) rounds; emitting the
+        # intermediate labels would silently split components (wrong dedup
+        # clusters). Fail loudly — the caller raises max_iter, or the graph
+        # has a pathological long chain that needs the pointer-doubling
+        # variant (O(log d) rounds) instead.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds; "
+            "raise max_iter (diameter-bound) before trusting cluster labels"
+        )
     return labels
 
 
@@ -406,7 +418,7 @@ ORACLE: dict[str, str] = {
         SELECT doc_id, source,
                CAST(n_tok AS INT) AS n_tok,
                CAST(cum - n_tok AS BIGINT) AS start_off,
-               (cum - n_tok) // 512 AS bin,
+               CAST((cum - n_tok) // 512 AS BIGINT) AS bin,
                (cum - n_tok) // 512 <> (cum - 1) // 512 AS straddles
         FROM d
     """,

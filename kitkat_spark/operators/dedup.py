@@ -320,7 +320,7 @@ PAIRS_SQL_CTES = """
             FROM raw_pairs
             JOIN counts ca ON doc_a = ca.doc_id
             JOIN counts cb ON doc_b = cb.doc_id
-            WHERE n_common * 1.0 / (ca.n_sh + cb.n_sh - n_common) >= 0.8
+            WHERE round(n_common * 1.0 / (ca.n_sh + cb.n_sh - n_common), 4) >= 0.8
         )
 """
 

@@ -148,8 +148,12 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # persisted: the bucketed table feeds both the (broadcast) query side and
     # the candidate side — without reuse the bucket UDF + norm run twice; at
     # scale this IS the IVF index build you'd write out partitioned by bucket
+    # empty/null vectors carry no signal and would land in bucket 0 with a
+    # zero norm (NaN cosine) — exclude them up front, as the oracle does
     emb = (
-        _with_norm(load_table(spark, sf_dir, "embeddings"))
+        _with_norm(
+            load_table(spark, sf_dir, "embeddings").filter(F.size("embedding") > 0)
+        )
         .withColumn("bucket", _lsh_bucket_udf(F.col("v")))
         .persist()
     )
@@ -297,11 +301,14 @@ ORACLE: dict[str, str] = {
     """,
     # Replays the LSH bucketing value-for-value: hyperplane components are
     # md5-derived (see _md5_planes), bucket = sum of sign bits, then the
-    # same bucket-local top-k as q_similarity_search. Embedding dim is 64
-    # in the fixture (constant per table).
+    # same bucket-local top-k as q_similarity_search. Embedding dim is
+    # derived from the table (constant per table, like the Spark UDF's
+    # per-batch mat.shape[1]) rather than hardcoded.
     "q_ann_ivf": f"""
-        WITH planes AS (
-            SELECT p, list_transform(generate_series(0, 63),
+        WITH dims AS (
+            SELECT max(len(embedding)) AS d FROM embeddings
+        ), planes AS (
+            SELECT p, list_transform(generate_series(0, (SELECT d - 1 FROM dims)),
                    d -> ('0x' || substr(md5('plane_' || p || '_' || d), 1, 15))::BIGINT
                         / 1152921504606846976.0 * 2 - 1) AS pv
             FROM UNNEST(generate_series(0, {LSH_PLANES - 1})) AS t(p)

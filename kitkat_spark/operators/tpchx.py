@@ -32,7 +32,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from kitkat_spark.functions.numeric import dsum, dsum_sql
 from kitkat_spark.sources import load_table
+
+# Shared oracle fragment: exact fixed-point revenue sum (see functions/
+# numeric.py — float sums are partition-order dependent; decimal is not).
+_REV_SQL = "l_extendedprice * (1 - l_discount)"
 
 PROMO_MONTH = ("1996-09-01", "1996-10-01")
 SMALL_QTY_FACTOR = 0.2
@@ -69,7 +74,7 @@ def q_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(
             "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
         )
-        .agg(F.round(F.sum(_rev()), 2).alias("revenue"))
+        .agg(dsum(_rev()).alias("revenue"))
     )
 
 
@@ -86,8 +91,12 @@ def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.round(
                 100.0
-                * F.sum(F.when(F.col("p_type") == "PROMO", _rev()).otherwise(0.0))
-                / F.sum(_rev()),
+                * F.sum(
+                    F.when(F.col("p_type") == "PROMO", _rev())
+                    .otherwise(0.0)
+                    .cast("decimal(18,4)")
+                ).cast("double")
+                / F.sum(_rev().cast("decimal(18,4)")).cast("double"),
                 2,
             ).alias("promo_pct"),
             F.count("*").alias("n_lines"),
@@ -134,7 +143,11 @@ def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         filtered.withColumn("avg_qty", F.avg("l_quantity").over(w))
         .filter(F.col("l_quantity") < F.lit(SMALL_QTY_FACTOR) * F.col("avg_qty"))
         .agg(
-            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).cast("double")
+                / 7.0,
+                2,
+            ).alias("avg_yearly"),
             F.count("*").alias("n_lines"),
         )
     )
@@ -166,7 +179,7 @@ def q_disjunctive_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return j.filter(branch).agg(
-        F.round(F.sum(_rev()), 2).alias("revenue"), F.count("*").alias("n_lines")
+        dsum(_rev()).alias("revenue"), F.count("*").alias("n_lines")
     )
 
 
@@ -191,7 +204,7 @@ def q_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return idle.groupBy("c_nationkey").agg(
         F.count("*").alias("n_custs"),
-        F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+        dsum(F.col("c_acctbal")).alias("total_bal"),
     )
 
 
@@ -211,9 +224,7 @@ def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
-                "revenue"
-            ),
+            dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"),
             F.count("*").alias("n_lines"),
         )
     )
@@ -296,11 +307,15 @@ def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(
             F.round(
-                F.sum(F.when(F.col("supp_nation") == "NATION_3", rev).otherwise(0.0))
-                / F.sum(rev),
+                F.sum(
+                    F.when(F.col("supp_nation") == "NATION_3", rev)
+                    .otherwise(0.0)
+                    .cast("decimal(18,4)")
+                ).cast("double")
+                / F.sum(rev.cast("decimal(18,4)")).cast("double"),
                 6,
             ).alias("mkt_share"),
-            F.round(F.sum(rev), 2).alias("total_revenue"),
+            dsum(rev).alias("total_revenue"),
         )
     )
 
@@ -334,7 +349,7 @@ def q_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(
             F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year")
         )
-        .agg(F.round(F.sum(amount), 2).alias("profit"))
+        .agg(dsum(amount).alias("profit"))
     )
 
 
@@ -358,7 +373,7 @@ def q_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(customer), q_orders.o_custkey == customer.c_custkey)
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
-        .agg(F.round(F.sum(rev), 2).alias("revenue"))
+        .agg(dsum(rev).alias("revenue"))
         .orderBy(F.col("revenue").desc(), "c_custkey")
         .limit(20)
     )
@@ -398,7 +413,7 @@ def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
         )
         .groupBy("l_suppkey")
-        .agg(F.round(F.sum(rev), 2).alias("total_revenue"))
+        .agg(dsum(rev).alias("total_revenue"))
     )
     max_rev = per_supp.agg(F.max("total_revenue").alias("max_revenue"))
     return (
@@ -482,11 +497,11 @@ def q_waiting_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE: dict[str, str] = {
-    "q_nation_volume": """
+    "q_nation_volume": f"""
         SELECT sn.n_name AS supp_nation,
                cn.n_name AS cust_nation,
                CAST(year(l_shipdate) AS INT) AS l_year,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+               {dsum_sql(_REV_SQL)} AS revenue
         FROM lineitem
         JOIN orders   ON l_orderkey = o_orderkey
         JOIN customer ON o_custkey = c_custkey
@@ -495,11 +510,12 @@ ORACLE: dict[str, str] = {
         JOIN nation cn ON c_nationkey = cn.n_nationkey
         GROUP BY 1, 2, 3
     """,
-    "q_promo_revenue": """
-        SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+    "q_promo_revenue": f"""
+        SELECT round(100.0 * CAST(sum(CAST(CASE WHEN p_type = 'PROMO'
                                       THEN l_extendedprice * (1 - l_discount)
-                                      ELSE 0.0 END)
-                     / sum(l_extendedprice * (1 - l_discount)), 2) AS promo_pct,
+                                      ELSE 0.0 END AS DECIMAL(18,4))) AS DOUBLE)
+                     / CAST(sum(CAST({_REV_SQL} AS DECIMAL(18,4))) AS DOUBLE),
+                     2) AS promo_pct,
                count(*) AS n_lines
         FROM lineitem JOIN part ON l_partkey = p_partkey
         WHERE l_shipdate >= TIMESTAMP '1996-09-01'
@@ -526,13 +542,14 @@ ORACLE: dict[str, str] = {
                 SELECT p_partkey FROM part WHERE p_brand = 'Brand#1'
             )
         )
-        SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly,
+        SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+                     / 7.0, 2) AS avg_yearly,
                count(*) AS n_lines
         FROM filtered
         WHERE l_quantity < 0.2 * avg_qty
     """,
-    "q_disjunctive_join": """
-        SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+    "q_disjunctive_join": f"""
+        SELECT {dsum_sql(_REV_SQL)} AS revenue,
                count(*) AS n_lines
         FROM lineitem JOIN part ON l_partkey = p_partkey
         WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
@@ -547,7 +564,8 @@ ORACLE: dict[str, str] = {
             SELECT avg(c_acctbal) AS avg_bal FROM customer WHERE c_acctbal > 0
         )
         SELECT c_nationkey, count(*) AS n_custs,
-               round(sum(c_acctbal), 2) AS total_bal
+               CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,4))), 2)
+                    AS DOUBLE) AS total_bal
         FROM customer, a
         WHERE c_acctbal > avg_bal
           AND NOT EXISTS (
@@ -555,8 +573,8 @@ ORACLE: dict[str, str] = {
           )
         GROUP BY c_nationkey
     """,
-    "q_forecast_revenue": """
-        SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+    "q_forecast_revenue": f"""
+        SELECT {dsum_sql("l_extendedprice * l_discount")} AS revenue,
                count(*) AS n_lines
         FROM lineitem
         WHERE l_shipdate >= TIMESTAMP '1996-01-01'
@@ -582,13 +600,14 @@ ORACLE: dict[str, str] = {
             FROM regional
         ) WHERE supply_cost = min_cost
     """,
-    "q_market_share": """
+    "q_market_share": f"""
         SELECT CAST(year(o_orderdate) AS INT) AS o_year,
-               round(sum(CASE WHEN sn.n_name = 'NATION_3'
+               round(CAST(sum(CAST(CASE WHEN sn.n_name = 'NATION_3'
                               THEN l_extendedprice * (1 - l_discount)
-                              ELSE 0.0 END)
-                     / sum(l_extendedprice * (1 - l_discount)), 6) AS mkt_share,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+                              ELSE 0.0 END AS DECIMAL(18,4))) AS DOUBLE)
+                     / CAST(sum(CAST({_REV_SQL} AS DECIMAL(18,4))) AS DOUBLE),
+                     6) AS mkt_share,
+               {dsum_sql(_REV_SQL)} AS total_revenue
         FROM lineitem
         JOIN part p ON l_partkey = p.p_partkey AND p.p_type = 'ECONOMY'
         JOIN orders o ON l_orderkey = o.o_orderkey
@@ -599,10 +618,9 @@ ORACLE: dict[str, str] = {
         JOIN nation sn ON s.s_nationkey = sn.n_nationkey
         GROUP BY 1
     """,
-    "q_product_profit": """
+    "q_product_profit": f"""
         SELECT n.n_name AS nation, CAST(year(o.o_orderdate) AS INT) AS o_year,
-               round(sum(l_extendedprice * (1 - l_discount)
-                         - 0.6 * p.p_retailprice * l_quantity), 2) AS profit
+               {dsum_sql("l_extendedprice * (1 - l_discount) - 0.6 * p.p_retailprice * l_quantity")} AS profit
         FROM lineitem
         JOIN part p ON l_partkey = p.p_partkey AND p.p_name LIKE '%widget%'
         JOIN supplier s ON l_suppkey = s.s_suppkey
@@ -610,9 +628,9 @@ ORACLE: dict[str, str] = {
         JOIN orders o ON l_orderkey = o.o_orderkey
         GROUP BY 1, 2
     """,
-    "q_returned_revenue": """
+    "q_returned_revenue": f"""
         SELECT c.c_custkey, c.c_name, c.c_acctbal, n.n_name,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+               {dsum_sql(_REV_SQL)} AS revenue
         FROM lineitem
         JOIN orders o ON l_orderkey = o.o_orderkey
         JOIN customer c ON o.o_custkey = c.c_custkey
@@ -626,18 +644,18 @@ ORACLE: dict[str, str] = {
     """,
     "q_late_priority_lines": """
         SELECT l_linestatus,
-               sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                        THEN 1 ELSE 0 END) AS high_line_count,
-               sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                        THEN 0 ELSE 1 END) AS low_line_count
+               CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+               CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         WHERE date_diff('day', o_orderdate, l_shipdate) > 60
         GROUP BY l_linestatus
     """,
-    "q_top_supplier": """
+    "q_top_supplier": f"""
         WITH per_supp AS (
             SELECT l_suppkey,
-                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+                   {dsum_sql(_REV_SQL)} AS total_revenue
             FROM lineitem
             WHERE l_shipdate >= TIMESTAMP '1996-01-01'
               AND l_shipdate < TIMESTAMP '1996-04-01'
