@@ -63,69 +63,71 @@ for _m in _MODULES:
             _ALL[_name] = getattr(_m, _name)
     ORACLES.update(getattr(_m, "ORACLE", {}))
 
-# The 50 driver-verified slots this round. Rationale per block:
+# The 50 driver-verified slots this round (round 4). Rationale per block:
 _VERIFY_FIRST = [
-    # -- changed this round (r01-verified but oracle/impl changed: the LSH
-    # family moved to md5-derived cross-engine hashes and gained value-level
-    # oracles; q_scan_filter / q_sample_split carry the r01-finding fixes) --
-    "q_near_dedup",
-    "q_simhash",
-    "q_ann_ivf",
-    "q_scan_filter",
-    "q_sample_split",
-    # -- new this round --
-    "q_corpus_pipeline",
+    # -- the 16 queries that crashed in r03 on the events fixture drift;
+    # fixed in sources/tables.py (type-branched ts normalization) and all
+    # re-verified locally against their oracles --
+    "q_stream_tumbling",
+    "q_stream_sliding",
+    "q_sessionize",
+    "q_asof_join",
     "q_event_growth",
-    "q_dup_rate_by_source",
+    "q_json_funcs",
+    "q_stream_enrich",
+    "q_stateful_profile",
+    "q_consume_plain",
+    "q_consume_pipeline",
+    "q_consume_since",
+    "q_shard_status",
+    "q_cohort_retention",
+    "q_funnel",
+    "q_range_join",
+    "q_kpl_deagg",
+    # -- never driver-verified in any round (r02 VERDICT cap-gap finding;
+    # this block closes it: afterwards every registry query has had a
+    # CORRECTNESS row in some round) --
+    "q_text_analysis",
+    "q_token_count",
+    "q_vocab",
+    "q_pii_redact",
+    "q_in_subquery",
+    "q_cross_join_grid",
+    "q_chunk_docs",
+    "q_corpus_mix",
+    "q_length_outliers",
+    "q_merge_upsert",
+    "q_quality_score",
+    # -- r03 hash-fails, fixed this round (decimal sums / BIGINT oracle
+    # casts) --
+    "q_nation_volume",
+    "q_late_priority_lines",
+    "q_pack_sequences",
+    # -- changed this round: monetary sums moved to order-independent
+    # decimal accumulation (functions/numeric.py) on both engines --
+    "q_promo_revenue",
+    "q_small_qty_revenue",
+    "q_disjunctive_join",
+    "q_idle_customers",
     "q_forecast_revenue",
-    "q_min_cost_supplier",
     "q_market_share",
     "q_product_profit",
     "q_returned_revenue",
-    "q_late_priority_lines",
     "q_top_supplier",
-    "q_excess_suppliers",
-    "q_waiting_orders",
-    # -- never driver-verified (missed earlier rounds' 50-entry cap);
-    # q_winnow_fingerprint additionally gained its oracle this round --
-    "q_winnow_fingerprint",
-    "q_centroid_assign",
-    "q_label_centroid",
-    "q_repetition_filter",
-    "q_kpl_deagg",
-    "q_zlib",
-    "q_frame_sample",
-    "q_media_resize",
-    "q_multimodal_decode",
-    "q_consume_pipeline",
-    "q_consume_plain",
-    "q_consume_since",
-    "q_shard_status",
-    "q_stateful_profile",
-    "q_bigram_lm",
-    "q_stream_enrich",
-    "q_tfidf",
-    "q_unpivot",
-    "q_decontaminate",
+    "q_mjoin_revenue",
+    "q_mjoin_region_revenue",
+    # -- changed this round: LSH-oracle drift fixes (rounded-jaccard filter,
+    # derived dim, empty-vector parity) + convergence guard --
+    "q_ngram_jaccard",
     "q_dedup_clusters",
-    "q_incremental_dedup",
-    "q_pack_sequences",
-    "q_count_distribution",
-    "q_exists_join",
-    "q_group_filter_join",
-    "q_having_scalar",
-    "q_scd2",
-    "q_disjunctive_join",
-    "q_idle_customers",
-    "q_nation_volume",
-    "q_part_supplier_count",
-    "q_promo_revenue",
-    "q_small_qty_revenue",
-    # -- deferred to round 3's slots (all SQL-oracled + in the local parity
-    # suite every round): q_in_subquery q_cross_join_grid q_quality_score
-    # q_token_count q_text_analysis q_vocab q_pii_redact q_funnel
-    # q_cohort_retention q_chunk_docs q_corpus_mix q_length_outliers
-    # q_merge_upsert --
+    "q_ann_ivf",
+    "q_near_dedup",
+    # -- oldest still-unrefreshed greens (r01-only sample) --
+    "q_window_ntile",
+    "q_window_range",
+    "q_grouping_sets",
+    "q_histogram",
+    "q_knn_classify",
 ]
 
 assert len(_VERIFY_FIRST) == 50, len(_VERIFY_FIRST)

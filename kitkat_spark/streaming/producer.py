@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 PUT_BATCH_MAX = 500  # public PutRecords limit
+ACK_SAMPLE = 20  # max acks retained per partition / returned to the driver
 
 
 def line_source(spark: SparkSession, path: str) -> DataFrame:
@@ -71,19 +72,32 @@ def kinesis_put_records(stream_name: str, region: str | None = None) -> PutRecor
     return put
 
 
-def _sink_batch(pdf_iter: Iterable, put: PutRecordsFn, verbose: bool) -> list[tuple[str, str]]:
+def _sink_batch(
+    pdf_iter: Iterable, put: PutRecordsFn, verbose: bool
+) -> tuple[int, list[tuple[str, str]]]:
     """Ship one partition's rows in <=500-record batches; E1: an error in one
-    batch is swallowed (logged) and the loop continues; E2: acks returned."""
-    acks: list[tuple[str, str]] = []
+    batch is swallowed (logged) and the loop continues; E2: ack summary.
+
+    Returns (n_acks, sample): the count is exact, the sample is capped at
+    ACK_SAMPLE. The reference prints every ack (producer.go:47-50), but
+    holding per-record acks in task (let alone driver) memory is an OOM at
+    100 TB — callers that need every ack should sink them to a table inside
+    ``put`` instead.
+    """
+    n_acks = 0
+    sample: list[tuple[str, str]] = []
     batch: list[tuple[str, bytes]] = []
 
     def flush() -> None:
+        nonlocal n_acks
         if not batch:
             return
         try:
             result = put(list(batch))
             if verbose:
-                acks.extend(result)
+                n_acks += len(result)
+                if len(sample) < ACK_SAMPLE:
+                    sample.extend(result[: ACK_SAMPLE - len(sample)])
         except Exception as exc:  # noqa: BLE001 - E1 semantics: log + continue
             print(f"put_records failed ({len(batch)} records): {exc}")
         batch.clear()
@@ -93,7 +107,7 @@ def _sink_batch(pdf_iter: Iterable, put: PutRecordsFn, verbose: bool) -> list[tu
         if len(batch) >= PUT_BATCH_MAX:
             flush()
     flush()
-    return acks
+    return n_acks, sample
 
 
 def produce(
@@ -123,8 +137,24 @@ def produce(
     return writer.start()
 
 
-def produce_batch(lines: DataFrame, put: PutRecordsFn, key: str | None = None, verbose: bool = False) -> list[tuple[str, str]]:
-    """Batch analog of EP1 for tests/oracle: returns collected acks."""
+def produce_batch(
+    lines: DataFrame, put: PutRecordsFn, key: str | None = None, verbose: bool = False
+) -> tuple[int, list[tuple[str, str]]]:
+    """Batch analog of EP1: returns (total_acks, sample<=ACK_SAMPLE).
+
+    Each partition contributes ONE (count, capped-sample) element, folded
+    with treeReduce — driver traffic is O(partitions) tiny tuples, never
+    O(records), so a 100 TB produce cannot OOM the driver on acks.
+    """
     keyed = assign_partition_key(lines, key)
-    acks_rdd = keyed.rdd.mapPartitions(lambda rows: _sink_batch(rows, put, verbose))
-    return [tuple(a) for a in acks_rdd.collect()]
+    per_part = keyed.rdd.mapPartitions(
+        lambda rows: [_sink_batch(rows, put, verbose)]
+    )
+
+    def merge(
+        a: tuple[int, list[tuple[str, str]]], b: tuple[int, list[tuple[str, str]]]
+    ) -> tuple[int, list[tuple[str, str]]]:
+        return a[0] + b[0], (a[1] + b[1])[:ACK_SAMPLE]
+
+    n, sample = per_part.treeReduce(merge)
+    return n, [tuple(s) for s in sample]

@@ -78,3 +78,36 @@ def test_ingest_to_parquet_restores_pushdown(spark, tmp_path):
     filtered = pq.filter(F.col("o_totalprice") > 1000).select("o_orderkey")
     assert has_pushed_filters(filtered, "o_totalprice")
     assert filtered.count() == src.filter(F.col("o_totalprice") > 1000).count()
+
+
+# ---------------------------------------------------------------------------
+# Fixture-drift probe: when the driver regenerates /root/testdata with a
+# different physical schema (it has — events.ts shipped as TIMESTAMP(NANOS)
+# in rounds 1-2, timestamp[us] in round 3, breaking 16 queries at once),
+# this test fails FIRST with a precise message instead of 26 confusing
+# downstream AnalysisExceptions.
+# ---------------------------------------------------------------------------
+
+def test_fixture_tables_load_with_expected_key_types(spark):
+    from pyspark.sql import types as T
+
+    from kitkat_spark.sources import TABLES
+
+    for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        for name in TABLES:
+            df = load_table(spark, sf_dir, name)
+            assert df.limit(1).count() >= 0, f"{sf_dir}/{name} unreadable"
+        ev = load_table(spark, sf_dir, "events")
+        ts_type = ev.schema["ts"].dataType
+        assert isinstance(ts_type, T.TimestampType), (
+            f"{sf_dir}/events.ts loaded as {ts_type}; load_table must "
+            "normalize every fixture variant to TimestampType"
+        )
+        emb = load_table(spark, sf_dir, "embeddings")
+        assert isinstance(emb.schema["embedding"].dataType, T.ArrayType), (
+            f"{sf_dir}/embeddings.embedding no longer an array column"
+        )
+        doc = load_table(spark, sf_dir, "documents")
+        assert isinstance(doc.schema["text"].dataType, T.StringType), (
+            f"{sf_dir}/documents.text no longer a string column"
+        )

@@ -190,8 +190,9 @@ def _fake_put_flaky(batch):
 
 def test_produce_constant_key_and_acks(spark):
     lines = spark.createDataFrame([("a",), ("b",)], "value string")
-    acks = produce_batch(lines, _fake_put_ok, key="fixed", verbose=True)
-    assert sorted(acks) == [("shard-fake", "seq-fixed"), ("shard-fake", "seq-fixed")]
+    n_acks, sample = produce_batch(lines, _fake_put_ok, key="fixed", verbose=True)
+    assert n_acks == 2
+    assert sorted(sample) == [("shard-fake", "seq-fixed"), ("shard-fake", "seq-fixed")]
 
 
 def test_produce_random_key_is_16_byte_hex(spark):
@@ -208,9 +209,20 @@ def test_produce_error_skip_continues(spark):
     lines = spark.createDataFrame(
         [("ok-1",), ("poison",), ("ok-2",)], "value string"
     ).repartition(3)
-    acks = produce_batch(lines, _fake_put_flaky, key="k", verbose=True)
+    n_acks, sample = produce_batch(lines, _fake_put_flaky, key="k", verbose=True)
     # the poison batch is dropped, the job itself completes (no raise)
-    assert len(acks) <= 2
+    assert n_acks <= 2
+    assert len(sample) <= 2
+
+
+def test_produce_ack_sample_is_bounded(spark):
+    # exact count, capped sample: driver memory is O(1) in record count
+    from kitkat_spark.streaming.producer import ACK_SAMPLE
+
+    lines = spark.createDataFrame([(f"r{i}",) for i in range(500)], "value string")
+    n_acks, sample = produce_batch(lines, _fake_put_ok, key="k", verbose=True)
+    assert n_acks == 500
+    assert len(sample) <= ACK_SAMPLE
 
 
 # ---------------------------------------------------------------------------
