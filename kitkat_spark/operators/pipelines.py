@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from kitkat_spark.functions.text import _zipped_ngrams, tokens
+from kitkat_spark.functions.numeric import dsum
 from kitkat_spark.sources import load_table
 
 VOCAB_TOP_K = 50
@@ -136,7 +137,7 @@ def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            dsum("value").alias("total_value"),
         )
     )
 
@@ -213,7 +214,8 @@ def q_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT o_orderstatus,
                count(*) AS n_orders,
-               round(sum(o_totalprice), 2) AS total_price
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2)
+                    AS DOUBLE) AS total_price
         FROM inq_orders
         WHERE o_custkey IN (SELECT c_custkey FROM inq_customer WHERE c_acctbal < 0)
           AND o_custkey NOT IN (
@@ -231,9 +233,9 @@ def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     agg = li.groupBy("l_returnflag").agg(
-        F.round(F.sum("l_quantity"), 2).alias("qty"),
-        F.round(F.sum("l_extendedprice"), 2).alias("price"),
-        F.round(F.sum(disc_price), 2).alias("disc_price"),
+        dsum("l_quantity").alias("qty"),
+        dsum("l_extendedprice").alias("price"),
+        dsum(disc_price).alias("disc_price"),
     )
     return agg.unpivot("l_returnflag", ["qty", "price", "disc_price"], "metric", "value")
 
@@ -257,7 +259,7 @@ def q_cross_join_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("r_name", "o_orderstatus")
         .agg(
             F.count("*").alias("cnt"),
-            F.round(F.sum("o_totalprice"), 2).alias("tot"),
+            dsum("o_totalprice").alias("tot"),
         )
     )
     return grid.join(counts, ["r_name", "o_orderstatus"], "left").select(
@@ -292,7 +294,7 @@ ORACLE: dict[str, str] = {
     "q_stream_enrich": """
         SELECT CAST(ts AS DATE) AS day, c_mktsegment,
                count(*) AS n_events,
-               round(sum(value), 2) AS total_value
+               CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_value
         FROM events JOIN customer ON user_id = c_custkey
         GROUP BY 1, 2
     """,
@@ -371,7 +373,8 @@ ORACLE: dict[str, str] = {
     "q_in_subquery": """
         SELECT o_orderstatus,
                count(*) AS n_orders,
-               round(sum(o_totalprice), 2) AS total_price
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2)
+                    AS DOUBLE) AS total_price
         FROM orders
         WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal < 0)
           AND o_custkey NOT IN (
@@ -381,9 +384,12 @@ ORACLE: dict[str, str] = {
     "q_unpivot": """
         WITH a AS (
             SELECT l_returnflag,
-                   round(sum(l_quantity), 2) AS qty,
-                   round(sum(l_extendedprice), 2) AS price,
-                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS disc_price
+                   CAST(round(sum(CAST(l_quantity AS DECIMAL(18,4))), 2)
+                        AS DOUBLE) AS qty,
+                   CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))), 2)
+                        AS DOUBLE) AS price,
+                   CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+                                       AS DECIMAL(18,4))), 2) AS DOUBLE) AS disc_price
             FROM lineitem GROUP BY l_returnflag
         )
         SELECT l_returnflag, 'qty' AS metric, qty AS value FROM a
@@ -398,7 +404,7 @@ ORACLE: dict[str, str] = {
         counts AS (
             SELECT r_name, o_orderstatus,
                    count(*) AS cnt,
-                   round(sum(o_totalprice), 2) AS tot
+                   CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS tot
             FROM orders
             JOIN customer ON o_custkey = c_custkey
             JOIN nation ON c_nationkey = n_nationkey

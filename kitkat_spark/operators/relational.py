@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from kitkat_spark.functions.numeric import dsum, dsum_sql
 from kitkat_spark.sources import load_table
 
 
@@ -62,7 +63,7 @@ def q_hash_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(
             F.count("*").alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            dsum("o_totalprice").alias("total_price"),
         )
     )
 
@@ -113,7 +114,7 @@ def q_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = customer.filter(F.col("c_acctbal") > 0).select("c_custkey", "c_mktsegment")
     per_cust = orders.groupBy("o_custkey").agg(
         F.count("*").alias("n_orders"),
-        F.round(F.sum("o_totalprice"), 2).alias("order_total"),
+        dsum("o_totalprice").alias("order_total"),
     )
     joined = cust.join(per_cust, cust.c_custkey == per_cust.o_custkey, "full_outer")
     return joined.select(
@@ -199,12 +200,20 @@ def q_agg_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= "1998-09-02")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            dsum(disc_price).alias("sum_disc_price"),
+            dsum(disc_price * (1 + F.col("l_tax"))).alias("sum_charge"),
+            F.round(
+                F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast("double")
+                / F.count("l_quantity"),
+                4,
+            ).alias("avg_qty"),
+            F.round(
+                F.sum(F.col("l_discount").cast("decimal(18,4)")).cast("double")
+                / F.count("l_discount"),
+                4,
+            ).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
     )
@@ -230,7 +239,7 @@ def q_rollup_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.grouping("l_returnflag").cast("int").alias("g_flag"),
             F.grouping("l_linestatus").cast("int").alias("g_status"),
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            dsum("l_quantity").alias("sum_qty"),
             F.count("*").alias("n_rows"),
         )
         .select("l_returnflag", "l_linestatus", "g_flag", "g_status", "sum_qty", "n_rows")
@@ -281,7 +290,7 @@ def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .pivot("o_orderstatus", ["F", "O", "P"])
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("o_totalprice"), 2).alias("total"),
+            dsum("o_totalprice").alias("total"),
         )
     )
 
@@ -460,7 +469,8 @@ ORACLE: dict[str, str] = {
     "q_hash_join": """
         SELECT c_mktsegment,
                count(*) AS n_orders,
-               round(sum(o_totalprice), 2) AS total_price
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2)
+                    AS DOUBLE) AS total_price
         FROM orders JOIN customer ON o_custkey = c_custkey
         GROUP BY c_mktsegment
     """,
@@ -485,7 +495,8 @@ ORACLE: dict[str, str] = {
             SELECT c_custkey, c_mktsegment FROM customer WHERE c_acctbal > 0
         ), per_cust AS (
             SELECT o_custkey, count(*) AS n_orders,
-                   round(sum(o_totalprice), 2) AS order_total
+                   CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2)
+                        AS DOUBLE) AS order_total
             FROM orders GROUP BY o_custkey
         )
         SELECT coalesce(c_custkey, o_custkey) AS custkey,
@@ -523,11 +534,14 @@ ORACLE: dict[str, str] = {
     "q_pivot": """
         SELECT o_orderpriority,
                count(*) FILTER (o_orderstatus = 'F') AS "F_n",
-               round(sum(o_totalprice) FILTER (o_orderstatus = 'F'), 2) AS "F_total",
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4)))
+                          FILTER (o_orderstatus = 'F'), 2) AS DOUBLE) AS "F_total",
                count(*) FILTER (o_orderstatus = 'O') AS "O_n",
-               round(sum(o_totalprice) FILTER (o_orderstatus = 'O'), 2) AS "O_total",
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4)))
+                          FILTER (o_orderstatus = 'O'), 2) AS DOUBLE) AS "O_total",
                count(*) FILTER (o_orderstatus = 'P') AS "P_n",
-               round(sum(o_totalprice) FILTER (o_orderstatus = 'P'), 2) AS "P_total"
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4)))
+                          FILTER (o_orderstatus = 'P'), 2) AS DOUBLE) AS "P_total"
         FROM orders GROUP BY o_orderpriority
     """,
     "q_stats_agg": """
@@ -549,12 +563,18 @@ ORACLE: dict[str, str] = {
     """,
     "q_agg_group": """
         SELECT l_returnflag, l_linestatus,
-               round(sum(l_quantity), 2) AS sum_qty,
-               round(sum(l_extendedprice), 2) AS sum_base_price,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-               round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-               round(avg(l_quantity), 4) AS avg_qty,
-               round(avg(l_discount), 4) AS avg_disc,
+               CAST(round(sum(CAST(l_quantity AS DECIMAL(18,4))), 2)
+                    AS DOUBLE) AS sum_qty,
+               CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))), 2)
+                    AS DOUBLE) AS sum_base_price,
+               CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+                                   AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_disc_price,
+               CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                                   AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_charge,
+               round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+                     / count(l_quantity), 4) AS avg_qty,
+               round(CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE)
+                     / count(l_discount), 4) AS avg_disc,
                count(*) AS count_order
         FROM lineitem
         WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -572,7 +592,8 @@ ORACLE: dict[str, str] = {
         SELECT l_returnflag, l_linestatus,
                CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
                CAST(GROUPING(l_linestatus) AS INT) AS g_status,
-               round(sum(l_quantity), 2) AS sum_qty,
+               CAST(round(sum(CAST(l_quantity AS DECIMAL(18,4))), 2)
+                    AS DOUBLE) AS sum_qty,
                count(*) AS n_rows
         FROM lineitem
         GROUP BY ROLLUP (l_returnflag, l_linestatus)

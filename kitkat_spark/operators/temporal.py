@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from kitkat_spark.functions.numeric import dsum
 from kitkat_spark.sources import load_table
 
 SESSION_GAP_MINUTES = 30
@@ -34,7 +35,7 @@ def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     return (
         events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
-        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .agg(F.count("*").alias("n_events"), dsum("value").alias("sum_value"))
         .select(
             F.col("w.start").alias("window_start"),
             "event_type",
@@ -81,7 +82,7 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max(F.col("ts").cast("double")) - F.min(F.col("ts").cast("double")), 0).alias(
             "duration_s"
         ),
-        F.round(F.sum("value"), 2).alias("sum_value"),
+        dsum("value").alias("sum_value"),
     )
 
 
@@ -107,7 +108,7 @@ def q_event_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("week", F.col("ts")).alias("week"), "event_type"
     ).agg(
         F.count("*").alias("n_events"),
-        F.round(F.sum("value"), 2).alias("total_value"),
+        dsum("value").alias("total_value"),
     )
     w = W.partitionBy("event_type").orderBy("week")
     prev = F.lag("n_events").over(w)
@@ -175,7 +176,7 @@ ORACLE: dict[str, str] = {
         SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
                event_type,
                count(*) AS n_events,
-               round(sum(value), 2) AS sum_value
+               CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_value
         FROM events
         GROUP BY 1, 2
     """,
@@ -205,7 +206,7 @@ ORACLE: dict[str, str] = {
                count(*) AS n_events,
                CAST(date_trunc('second', min(ts)) AS TIMESTAMP) AS session_start,
                round(epoch(max(ts)) - epoch(min(ts)), 0) AS duration_s,
-               round(sum(value), 2) AS sum_value
+               CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_value
         FROM sessions
         GROUP BY user_id, session_id
     """,
@@ -219,7 +220,7 @@ ORACLE: dict[str, str] = {
             SELECT CAST(date_trunc('week', ts) AS TIMESTAMP) AS week,
                    event_type,
                    count(*) AS n_events,
-                   round(sum(value), 2) AS total_value
+                   CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_value
             FROM events GROUP BY 1, 2
         )
         SELECT week, event_type, n_events, total_value,
