@@ -45,16 +45,20 @@ BENCH_DOCS = 20
 def connected_components(
     edges: DataFrame, src: str = "src", dst: str = "dst", max_iter: int = CC_MAX_ITER
 ) -> DataFrame:
-    """(node, component) for every node in an undirected edge list; the
-    component id is the minimum node id in the component.
+    """(node, component-min) for every node in an undirected edge list.
 
-    Min-label propagation: each round every node takes the min label in its
-    closed neighborhood. Labels only decrease, so sum(label) is a strictly
-    decreasing convergence witness — one cheap agg per round instead of a
-    change-count self-join. Each round is localCheckpoint'ed: at scale the
-    iteration would otherwise stack O(iter) shuffles into one lineage and
-    re-execute them all every round (the standard iterative-algorithm
-    truncation, same as GraphX/GraphFrames CC).
+    Hybrid strategy (the GraphX-vs-GraphFrames trade resolved at runtime):
+
+    1. Min-label propagation for up to ``max_iter`` rounds — ONE join +
+       one 1-row agg per round, converges in O(diameter) rounds. Near-dup
+       graphs are star-like (diameter ~2-4), so this is the common fast
+       path; labels only decrease, so a stable sum(label) witnesses
+       convergence.
+    2. If the diameter exceeds the budget (a 100 TB corpus chain
+       A~B~C~..., the round-3 flagged scale risk), fall back to the
+       alternating large-star/small-star algorithm (operators/graph.py):
+       heavier per round but O(log^2 n) rounds REGARDLESS of diameter.
+       No silent wrong answer in either path.
     """
     # materialize the edge list BEFORE the symmetric union: both union
     # branches reference the same plan, and without truncation the (possibly
@@ -65,7 +69,6 @@ def connected_components(
     sym = e0.union(e0.select(F.col("v").alias("u"), F.col("u").alias("v")))
     labels = sym.select("u").distinct().withColumn("label", F.col("u"))
     prev_sum = None
-    converged = False
     for _ in range(max_iter):
         nbr_min = (
             sym.join(labels, "u")
@@ -78,20 +81,11 @@ def connected_components(
         labels = labels.localCheckpoint(eager=True)
         cur_sum = labels.agg(F.sum("label")).collect()[0][0]
         if cur_sum == prev_sum:
-            converged = True
-            break
+            return labels
         prev_sum = cur_sum
-    if not converged:
-        # Min-label propagation needs O(graph diameter) rounds; emitting the
-        # intermediate labels would silently split components (wrong dedup
-        # clusters). Fail loudly — the caller raises max_iter, or the graph
-        # has a pathological long chain that needs the pointer-doubling
-        # variant (O(log d) rounds) instead.
-        raise RuntimeError(
-            f"connected_components did not converge in {max_iter} rounds; "
-            "raise max_iter (diameter-bound) before trusting cluster labels"
-        )
-    return labels
+    from kitkat_spark.operators.graph import connected_components_star
+
+    return connected_components_star(e0, src="u", dst="v")
 
 
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1,0 +1,131 @@
+"""Distributed connected components: the alternating large-star/small-star
+algorithm (Kiveris et al., "Connected Components in MapReduce and Beyond",
+SoCC 2014 — public literature), expressed as DataFrame rounds.
+
+Why not min-label propagation? Label propagation converges in O(graph
+diameter) rounds — fine for near-dup clusters (diameter ~3) but a stall on
+the long chains a 100 TB corpus can produce (doc A near-dups B near-dups C
+...). The star algorithm contracts the graph toward a star forest and
+converges in O(log^2 n) rounds REGARDLESS of diameter, with every round a
+constant number of shuffles. This replaces the fixed-iteration-cap risk
+flagged in round 3 (corpus.py min-label needed a convergence assert; this
+needs far fewer rounds to hit it).
+
+Round structure (each phase is one groupBy + one join, keyed on node id):
+
+- large-star(u): with m(u) = min(N(u) ∪ {u}), connect every LARGER
+  neighbor v > u directly to m(u). Long tails hanging off u re-attach to
+  u's smallest neighbor — path lengths roughly halve.
+- small-star(u): with N⁻(u) = {v ∈ N(u) : v < u} and m = min(N⁻(u)),
+  connect u and every smaller neighbor to m. Edges canonicalize into
+  (bigger → smaller) star edges.
+
+At the fixed point the edge set IS the answer: every edge is
+(node → component-min). Monotone witness: the edge set only moves toward
+the star forest, so a stable (count, content-hash) pair across one full
+round means convergence — one cheap 1-row agg per round, same pattern as
+the min-label sum witness.
+
+Scale notes: every phase shuffles on the node id (the natural key); edges
+are 2 longs on the wire; each round is localCheckpoint'ed to truncate the
+O(rounds) lineage (standard iterative-algorithm hygiene, same as GraphX).
+Skewed high-degree nodes (a hub attached to millions) concentrate one
+groupBy key; AQE's skew split handles the sort, and the emitted edges
+re-key by the NEIGHBOR id, so the skew does not propagate round-to-round.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+CC_STAR_MAX_ITER = 50  # ~log^2(n) rounds: 50 covers n ~ 2^7e3 — unreachable
+
+
+def _large_star(sym: DataFrame) -> DataFrame:
+    """(u,v) symmetric edges -> large-star edges, canonical (a > m)."""
+    m = (
+        sym.groupBy("u")
+        .agg(F.min("v").alias("mn"))
+        .select("u", F.least("mn", "u").alias("m"))
+    )
+    return (
+        sym.join(m, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("a"), F.col("m"))
+        .filter(F.col("a") != F.col("m"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """(a,m) canonical edges (a > m) -> small-star edges, still canonical."""
+    minn = edges.groupBy("a").agg(F.min("m").alias("mn"))
+    j = edges.join(minn, "a")
+    rewired = j.filter(F.col("m") != F.col("mn")).select(
+        F.col("m").alias("a"), F.col("mn").alias("m")
+    )
+    anchors = minn.select(F.col("a"), F.col("mn").alias("m"))
+    return rewired.union(anchors).distinct()
+
+
+def connected_components_star(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = CC_STAR_MAX_ITER,
+) -> DataFrame:
+    """(u, label) for every node in the undirected edge list; label is the
+    minimum node id in the component. Output schema matches the min-label
+    formulation it replaces (corpus.connected_components callers)."""
+    e0 = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("m"))
+        .filter(F.col("a") != F.col("m"))
+        .select(
+            F.greatest("a", "m").alias("a"), F.least("a", "m").alias("m")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    cur = e0
+    prev_sig = None
+    converged = False
+    for _ in range(max_iter):
+        sym = cur.select(F.col("a").alias("u"), F.col("m").alias("v")).union(
+            cur.select(F.col("m").alias("u"), F.col("a").alias("v"))
+        )
+        cur = _small_star(_large_star(sym)).localCheckpoint(eager=True)
+        sig = tuple(
+            cur.agg(
+                F.count("*"),
+                # decimal accumulator: a long sum of 64-bit hashes overflows
+                # (ANSI mode raises); decimal(38,0) holds 2^63 * 10^18 rows
+                F.sum(F.xxhash64(F.struct("a", "m")).cast("decimal(38,0)")),
+            ).collect()[0]
+        )
+        if sig == prev_sig:
+            converged = True
+            break
+        prev_sig = sig
+    if not converged:
+        raise RuntimeError(
+            f"connected_components_star did not converge in {max_iter} "
+            "rounds — not expected for any graph with < 2^100 nodes; "
+            "check the edge list for pathological growth"
+        )
+    roots = cur.select(F.col("m").alias("u")).distinct().withColumn(
+        "label", F.col("u")
+    )
+    members = cur.select(F.col("a").alias("u"), F.col("m").alias("label"))
+    labels = members.union(roots).distinct()
+    # nodes that only ever appeared in self-loops dropped out of e0; they are
+    # their own singleton components
+    all_nodes = (
+        edges.select(F.col(src).alias("u"))
+        .union(edges.select(F.col(dst).alias("u")))
+        .distinct()
+    )
+    singletons = all_nodes.join(labels, "u", "left_anti").withColumn(
+        "label", F.col("u")
+    )
+    return labels.union(singletons)
