@@ -63,6 +63,8 @@ HEADLINE = [
     "q_simhash",
     "q_similarity_search",
     "q_ann_ivf",
+    "q_ann_multiprobe",
+    "q_skew_join_salted",
     "q_knn_classify",
     "q_text_analysis",
     "q_token_count",

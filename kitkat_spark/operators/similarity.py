@@ -183,6 +183,58 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH ANN (Lv et al., "Multi-Probe LSH", VLDB 2007): each
+    query probes its own bucket PLUS the 8 buckets at Hamming distance 1
+    (one sign bit flipped) — the closest-to-the-boundary cells, where
+    sign-LSH loses most of its recall.
+
+    Scale story: recall recovery WITHOUT growing the index. The candidate
+    set grows ~(1 + planes) x bucket size, still a vanishing fraction of
+    the corpus; the corpus side keeps its single bucket id (the partition
+    key of the stored IVF layout) and only the tiny query side fans out,
+    so the big table is never reshuffled or duplicated. Probe generation
+    is a codegen'd array transform (bucket ^ (1 << i)); candidates stay
+    unique because each corpus vector lives in exactly one bucket.
+    """
+    emb = (
+        _with_norm(
+            load_table(spark, sf_dir, "embeddings").filter(F.size("embedding") > 0)
+        )
+        .withColumn("bucket", _lsh_bucket_udf(F.col("v")))
+        .persist()
+    )
+    probes = F.expr(
+        "array_union(array(bucket), transform(sequence(0, "
+        f"{LSH_PLANES - 1}"
+        "), i -> bucket ^ shiftleft(CAST(1 AS BIGINT), i)))"
+    )
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+        F.explode(probes).alias("bucket"),
+    )
+    cand = emb.select(F.col("vec_id").alias("cand_id"), "v", "nrm", "bucket")
+    scored = (
+        cand.join(F.broadcast(queries), "bucket")
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            F.round(dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm")), 6).alias(
+                "cosine"
+            ),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), "cand_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+        .select("query_id", "cand_id", "cosine", "rk")
+    )
+
+
 N_CENTROIDS = 8
 
 
@@ -333,6 +385,50 @@ ORACLE: dict[str, str] = {
             JOIN e eq ON eq.vec_id = q.vec_id
             JOIN e ec ON ec.vec_id = c.vec_id
             WHERE q.vec_id < {N_QUERIES}
+        )
+        SELECT query_id, cand_id, cosine, rk FROM (
+            SELECT *, CAST(row_number() OVER (
+                PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS INT) AS rk
+            FROM scored
+        ) WHERE rk <= {TOP_K}
+    """,
+    # Same bucketing replay as q_ann_ivf, plus the Hamming-1 probe fan-out
+    # on the query side (bucket XOR each single bit).
+    "q_ann_multiprobe": f"""
+        WITH dims AS (
+            SELECT max(len(embedding)) AS d FROM embeddings
+        ), planes AS (
+            SELECT p, list_transform(generate_series(0, (SELECT d - 1 FROM dims)),
+                   d -> ('0x' || substr(md5('plane_' || p || '_' || d), 1, 15))::BIGINT
+                        / 1152921504606846976.0 * 2 - 1) AS pv
+            FROM UNNEST(generate_series(0, {LSH_PLANES - 1})) AS t(p)
+        ), e AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v,
+                   sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                       AS nrm
+            FROM embeddings
+            WHERE len(embedding) > 0
+        ), buckets AS (
+            SELECT vec_id,
+                   sum(CASE WHEN list_dot_product(e.v, pl.pv) > 0
+                            THEN (1::BIGINT << pl.p) ELSE 0 END) AS bucket
+            FROM e, planes pl
+            GROUP BY vec_id
+        ), qprobes AS (
+            SELECT q.vec_id,
+                   unnest([q.bucket] || list_transform(
+                       generate_series(0, {LSH_PLANES - 1}),
+                       i -> xor(q.bucket, 1::BIGINT << i))) AS bucket
+            FROM buckets q
+            WHERE q.vec_id < {N_QUERIES}
+        ), scored AS (
+            SELECT qp.vec_id AS query_id, c.vec_id AS cand_id,
+                   round(list_dot_product(eq.v, ec.v) / (eq.nrm * ec.nrm), 6)
+                       AS cosine
+            FROM qprobes qp
+            JOIN buckets c ON c.bucket = qp.bucket AND c.vec_id <> qp.vec_id
+            JOIN e eq ON eq.vec_id = qp.vec_id
+            JOIN e ec ON ec.vec_id = c.vec_id
         )
         SELECT query_id, cand_id, cosine, rk FROM (
             SELECT *, CAST(row_number() OVER (

@@ -47,3 +47,40 @@ def salted_join(
     )
     out = salted_l.join(salted_r, [on, "_salt"], how)
     return out.drop("_salt")
+
+
+def q_skew_join_salted(spark, sf_dir):
+    """Driver-verified salted join: lineitem (hot side — l_orderkey repeats)
+    salted against orders, then aggregated per order priority. The oracle is
+    the PLAIN join: salting must be result-invisible, which is exactly the
+    property worth a cross-engine value check. Plan shape: the skewed side
+    shuffles on (key, salt) — max partition bounded at hot_key_rows/n_salts
+    — and the replicated side fans out 16x BEFORE its shuffle; both effects
+    are invisible to the aggregate. At 100 TB this is the manual guard for
+    skew AQE can't fix (broadcast-ineligible hot build sides)."""
+    from pyspark.sql import functions as F
+
+    from kitkat_spark.functions.numeric import dsum
+    from kitkat_spark.sources import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    joined = salted_join(li, orders, "l_orderkey")
+    return joined.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_lines"),
+        dsum("l_quantity").alias("total_qty"),
+    )
+
+
+ORACLE = {
+    "q_skew_join_salted": """
+        SELECT o_orderpriority,
+               count(*) AS n_lines,
+               CAST(round(sum(CAST(l_quantity AS DECIMAL(18,4))), 2)
+                    AS DOUBLE) AS total_qty
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderpriority
+    """,
+}

@@ -30,6 +30,7 @@ from kitkat_spark.operators import (
     relational,
     sampling,
     similarity,
+    skew,
     tpchx,
     warehouse,
     streamparity,
@@ -40,6 +41,7 @@ from kitkat_spark.operators import (
 _MODULES = (
     relational,
     sampling,
+    skew,
     analytic,
     temporal,
     dedup,
@@ -122,9 +124,10 @@ _VERIFY_FIRST = [
     "q_dedup_clusters",
     "q_ann_ivf",
     "q_near_dedup",
+    # -- new this round --
+    "q_ann_multiprobe",
+    "q_skew_join_salted",
     # -- oldest still-unrefreshed greens (r01-only sample) --
-    "q_window_ntile",
-    "q_window_range",
     "q_grouping_sets",
     "q_histogram",
     "q_knn_classify",

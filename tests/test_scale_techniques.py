@@ -42,3 +42,17 @@ def test_bucketed_join_is_shuffle_free(spark, tmp_path):
         assert df.count() == plain.count()
     finally:
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+def test_multiprobe_recall_dominates_single_probe(spark):
+    """Hamming-1 probing can only ADD candidates: per query, the multiprobe
+    top-k cosine at each rank must be >= the single-probe value, and the
+    result count never shrinks."""
+    from kitkat_spark.operators.similarity import q_ann_ivf, q_ann_multiprobe
+
+    sf = "/root/testdata/sf0.001"
+    one = {(r.query_id, r.rk): r.cosine for r in q_ann_ivf(spark, sf).collect()}
+    multi = {(r.query_id, r.rk): r.cosine for r in q_ann_multiprobe(spark, sf).collect()}
+    assert len(multi) >= len(one)
+    for key, cos in one.items():
+        assert key in multi and multi[key] >= cos, key
