@@ -109,6 +109,36 @@ HEADLINE = [
     "q_event_growth",
     "q_dup_rate_by_source",
     "q_corpus_pipeline",
+    # full-surface tail: every remaining registry query, so each of the
+    # 110 declared operators has per-round perf data
+    "q_json_funcs",
+    "q_stateful_profile",
+    "q_consume_since",
+    "q_shard_status",
+    "q_quality_score",
+    "q_grouping_sets",
+    "q_histogram",
+    "q_agg_distinct",
+    "q_array_map_funcs",
+    "q_conditional_funcs",
+    "q_datetime_funcs",
+    "q_embedding_near_dup",
+    "q_fingerprint",
+    "q_lang_id",
+    "q_media_resize",
+    "q_multimodal",
+    "q_percentiles",
+    "q_pivot",
+    "q_scalar_funcs",
+    "q_semi_anti_join",
+    "q_set_ops",
+    "q_split_leakage",
+    "q_stats_agg",
+    "q_string_agg",
+    "q_subquery_scalar",
+    "q_window_frame",
+    "q_window_ntile",
+    "q_winnow_fingerprint",
 ]
 
 
