@@ -117,20 +117,50 @@ def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     shared fingerprint.
 
     All JVM-side: the rolling hashes are the shingle-hash expression and the
-    per-window minimum is a transform over zipped window slices (no UDF, no
-    shuffle until the final per-doc count). The rolling hash is md5-derived
-    (functions/text.py md5_long), so the DuckDB oracle replays the identical
-    hash stream and window minima — full value-level verification.
+    per-window minimum is a transform over zipped window slices (no UDF).
+    The rolling hash is md5-derived (functions/text.py md5_long), so the
+    DuckDB oracle replays the identical hash stream and window minima —
+    full value-level verification.
+
+    Plan-shape note: the hash stream is materialized (persisted) into a
+    column before the window-min/filter stage. Shuffle barriers are NOT
+    enough: PushDownPredicate carries the filter through Exchange nodes and
+    re-inlines the md5 subtree once per window slice in both the projection
+    and the filter (16 copies in the plan), and the oversized filter
+    expression falls off codegen — measured 4.3 s vs ~0.5 s at sf0.1. The
+    persist is a true materialization boundary (same signature-table
+    pattern as q_near_dedup): expensive subtree exactly once, downstream
+    stages reference an attribute. At 100 TB this intermediate IS the
+    winnowing index you would write out, sized ~1 long per token.
     """
-    docs = load_table(spark, sf_dir, "documents")
-    with_f = docs.select(
-        "doc_id", winnow_fingerprints(F.col("text")).alias("fps"), "text"
-    ).filter(F.size("fps") > 0)
-    return with_f.select(
-        "doc_id",
-        F.size("fps").alias("n_fingerprints"),
-        (F.size(tokens(F.col("text"))) - (WINNOW_K - 1)).alias("n_hashes"),
+    from kitkat_spark.functions.text import MINHASH_PRIME, _zipped_ngrams, md5_long
+
+    par = spark.sparkContext.defaultParallelism
+    docs = load_table(spark, sf_dir, "documents").repartition(par)
+    toks = tokens(F.col("text"))
+    rolling = F.transform(
+        _zipped_ngrams(toks, WINNOW_K),
+        lambda s: F.pmod(
+            md5_long(F.concat_ws(" ", *[s[str(j)] for j in range(WINNOW_K)])),
+            F.lit(MINHASH_PRIME),
+        ),
     )
+    hashed = docs.select(
+        "doc_id", F.when(F.size(toks) >= WINNOW_K, rolling).alias("rolling")
+    ).persist()
+    h = F.coalesce(F.col("rolling"), F.array().cast("array<bigint>"))
+    mins = F.array_distinct(
+        F.transform(
+            _zipped_ngrams(h, WINNOW_W),
+            lambda s: F.least(*[s[str(j)] for j in range(WINNOW_W)]),
+        )
+    )
+    n_fp = F.when(F.size(h) >= WINNOW_W, F.size(mins)).otherwise(F.lit(0))
+    return hashed.select(
+        "doc_id",
+        n_fp.alias("n_fingerprints"),
+        F.size(h).alias("n_hashes"),
+    ).filter(F.col("n_fingerprints") > 0)
 
 
 def winnow_fingerprints(text: F.Column, k: int = WINNOW_K, w: int = WINNOW_W) -> F.Column:
