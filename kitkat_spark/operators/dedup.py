@@ -97,11 +97,19 @@ def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
     # downstream join/agg compare longs. Jaccard on hashes equals
     # string-shingle Jaccard up to 64-bit collisions (~1M distinct shingles
     # -> P[any collision] ~ 3e-8), far below the oracle's observable effect.
+    # Persist = optimizer boundary: without it, the size() filter and the
+    # downstream struct/explode projections each re-inline the whole
+    # tokenize+shingle+hash subtree (21 xxhash64 copies in the plan, same
+    # pathology fixed in q_winnow_fingerprint). With it, the scan hashes
+    # once and everything downstream reads an attribute — this persisted
+    # shingle table is the layout a 100 TB run would write out anyway.
     par = spark.sparkContext.defaultParallelism
     docs = load_table(spark, sf_dir, "documents").repartition(par)
     hashed = full_shingle_hashes(tokens(F.col("text")), SHINGLE_N)
-    return docs.select("doc_id", hashed.alias("shingles")).filter(
-        F.size("shingles") > 0
+    return (
+        docs.select("doc_id", hashed.alias("shingles"))
+        .persist()
+        .filter(F.size("shingles") > 0)
     )
 
 
