@@ -185,3 +185,28 @@ def test_label_centroid_partial_aggregation(spark):
     df = QUERIES["q_label_centroid"](spark, SF)
     assert shuffle_count(df) == 1
     assert "partial_sum" in explain_str(df, "simple")
+
+
+def test_expensive_hash_subtrees_not_reinlined(spark):
+    """Regression guard for the CollapseProject / PushDownPredicate
+    re-inlining pathology (hit twice: q_winnow_fingerprint at 16 md5
+    copies, jaccard_pairs at 21 xxhash64 copies — each a 2-11x slowdown
+    with the oversized filter falling off codegen). The expensive
+    hash-stream subtree must appear a bounded number of times in the
+    physical plan; the materialization boundaries keep it there."""
+    from kitkat_spark.plans.explain import explain_str
+
+    # cached relations from earlier tests embed their ORIGINAL subtree in
+    # the plan text and double the counts — measure from a cold catalog
+    spark.catalog.clearCache()
+
+    bounds = {
+        "q_winnow_fingerprint": ("md5(", 4),
+        "q_ngram_jaccard": ("xxhash64(", 8),
+        "q_dedup_clusters": ("xxhash64(", 8),
+        "q_incremental_dedup": ("md5(", 4),
+    }
+    for name, (needle, cap) in bounds.items():
+        plan = explain_str(QUERIES[name](spark, SF))
+        n = plan.count(needle)
+        assert n <= cap, f"{name}: {n} {needle} subtrees in plan (cap {cap})"
