@@ -56,3 +56,28 @@ def test_multiprobe_recall_dominates_single_probe(spark):
     assert len(multi) >= len(one)
     for key, cos in one.items():
         assert key in multi and multi[key] >= cos, key
+
+
+def test_adaptive_salted_join_equals_plain_join(spark):
+    """Hot-key-only salting must be row-for-row identical to the plain join
+    for inner and left, with a synthetic celebrity key on the probe side."""
+    from pyspark.sql import functions as F
+
+    from kitkat_spark.operators.skew import adaptive_salted_join
+
+    left = spark.createDataFrame(
+        [(1, i) for i in range(500)] + [(k, 0) for k in (2, 3, 99)], ["k", "v"]
+    )
+    right = spark.createDataFrame([(1, "hot"), (2, "a"), (3, "b")], ["k", "tag"])
+
+    for how in ("inner", "left"):
+        got = adaptive_salted_join(left, right, "k", n_salts=4, hot_threshold=100, how=how)
+        want = left.join(right, "k", how)
+        assert got.count() == want.count(), how
+        assert got.exceptAll(want).count() == 0, how
+        assert want.exceptAll(got).count() == 0, how
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        adaptive_salted_join(left, right, "k", how="full")
