@@ -139,6 +139,12 @@ HEADLINE = [
     "q_window_frame",
     "q_window_ntile",
     "q_winnow_fingerprint",
+    # Excluded on purpose (NOT a silent cap): q_cc_chain is the adversarial
+    # deep-diameter CC verification query — it deliberately runs ~25 star
+    # rounds on a path graph, so its wall time is per-round scheduler
+    # overhead x round count, independent of data volume. It stays in the
+    # driver correctness set; timing it here would only measure the
+    # scheduler.
 ]
 
 

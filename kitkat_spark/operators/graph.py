@@ -129,3 +129,40 @@ def connected_components_star(
         "label", F.col("u")
     )
     return labels.union(singletons)
+
+
+def q_cc_chain(spark, sf_dir):
+    """Driver-verified deep-diameter connected components: documents chained
+    by consecutive doc_id (one path graph, diameter = corpus size - 1),
+    labeled through corpus.connected_components with a round budget far
+    below the diameter — so the min-label fast path CANNOT finish and the
+    star fallback must produce the answer. The oracle is closed-form
+    (every node's component-min is the global min doc_id), giving an exact
+    cross-engine check of an iterative algorithm no SQL recursion could
+    replay at this depth.
+
+    The lead() edge derivation is verification scaffolding (a global-order
+    window — fine for building a known graph, never a pattern for real
+    edge lists); the operator under test is the CC iteration, whose rounds
+    are all key-partitioned shuffles."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from kitkat_spark.operators.corpus import connected_components
+    from kitkat_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    edges = (
+        docs.withColumn("nxt", F.lead("doc_id").over(W.orderBy("doc_id")))
+        .filter(F.col("nxt").isNotNull())
+    )
+    cc = connected_components(edges, src="doc_id", dst="nxt", max_iter=3)
+    return cc.select(F.col("u").alias("doc_id"), "label")
+
+
+ORACLE = {
+    "q_cc_chain": """
+        SELECT doc_id, (SELECT min(doc_id) FROM documents) AS label
+        FROM documents
+    """,
+}

@@ -24,6 +24,7 @@ from kitkat_spark.operators import (
     analytic,
     corpus,
     dedup,
+    graph,
     multimodal,
     payloads,
     pipelines,
@@ -40,6 +41,7 @@ from kitkat_spark.operators import (
 
 _MODULES = (
     relational,
+    graph,
     sampling,
     skew,
     analytic,
@@ -127,9 +129,9 @@ _VERIFY_FIRST = [
     # -- new this round --
     "q_ann_multiprobe",
     "q_skew_join_salted",
+    "q_cc_chain",
     # -- oldest still-unrefreshed greens (r01-only sample) --
     "q_grouping_sets",
-    "q_histogram",
     "q_knn_classify",
 ]
 
