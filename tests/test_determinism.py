@@ -26,6 +26,9 @@ CASES = [
     "q_returned_revenue",
     "q_stream_enrich",
     "q_incremental_dedup",
+    # LSH family: md5-derived hashes and data-dependent bucket caps must
+    # make candidate generation layout-independent too
+    "q_near_dedup",
 ]
 
 
