@@ -1,0 +1,148 @@
+#!/usr/bin/env python
+"""10x scale stress run: build an sf~1 dataset by replicating sf0.1 with
+shifted keys, then time a representative query subset against both scales
+and report the scaling ratio per query.
+
+Purpose: the fixtures stop at sf0.1; this is the cheapest honest probe for
+scaling cliffs (quadratic candidate growth, window-state blowup, broadcast
+limits) before a real cluster run. Replicas keep the SAME dimension keys
+(more facts per customer/part — how a warehouse actually grows) and get
+unique fact keys (doc_id/event_id/orderkey shifted by replica stride).
+Document text gets a per-replica prefix token, so replicas stay NEAR-dups
+of each other (jaccard ~0.97) — deliberately adversarial for the dedup
+family: a 10x-duplicated corpus is exactly what a dedup pass sees in
+production, and it exercises the bucket-cap guards.
+
+Usage: python tools/stress.py [--build-only] [--factor N]
+Writes /tmp/kitkat_stress_sfN/*.parquet once (reused across runs); prints
+one JSON line {query: {base_sec, stress_sec, ratio}}.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from kitkat_spark.queries import QUERIES
+from kitkat_spark.session import get_spark
+
+BASE = "/root/testdata/sf0.1"
+
+# One representative per family; dedup/similarity included on purpose —
+# they are where quadratic cliffs would live.
+SUBSET = [
+    "q_agg_group",
+    "q_forecast_revenue",
+    "q_hash_join",
+    "q_mjoin_region_revenue",
+    "q_waiting_orders",
+    "q_skew_join_salted",
+    "q_window_rank",
+    "q_stream_tumbling",
+    "q_sessionize",
+    "q_token_count",
+    "q_winnow_fingerprint",
+    "q_tfidf",
+    "q_dedup",
+    "q_near_dedup",
+    "q_ngram_jaccard",
+    "q_simhash",
+    "q_incremental_dedup",
+    "q_ann_ivf",
+    "q_similarity_search",
+    "q_pack_sequences",
+]
+
+
+def build(spark, out: str, factor: int) -> None:
+    os.makedirs(out, exist_ok=True)
+    for small in ("region", "nation", "customer", "supplier", "part"):
+        spark.read.parquet(f"{BASE}/{small}.parquet").write.mode("overwrite").parquet(
+            f"{out}/{small}.parquet"
+        )
+
+    def replicate(name: str, shift_cols: dict[str, str], extra=None):
+        df = spark.read.parquet(f"{BASE}/{name}.parquet")
+        strides = {
+            c: df.agg(F.max(c)).collect()[0][0] + 1 for c in set(shift_cols.values())
+        }
+        parts = []
+        for i in range(factor):
+            p = df
+            for col, stride_col in shift_cols.items():
+                p = p.withColumn(col, F.col(col) + F.lit(i * strides[stride_col]))
+            if extra is not None:
+                p = extra(p, i)
+            parts.append(p)
+        u = parts[0]
+        for p in parts[1:]:
+            u = u.unionByName(p)
+        u.write.mode("overwrite").parquet(f"{out}/{name}.parquet")
+
+    replicate(
+        "orders",
+        {"o_orderkey": "o_orderkey"},
+    )
+    replicate(
+        "lineitem",
+        {"l_orderkey": "l_orderkey"},
+    )
+    replicate("events", {"event_id": "event_id"})
+    replicate(
+        "documents",
+        {"doc_id": "doc_id"},
+        extra=lambda p, i: p.withColumn(
+            "text", F.concat(F.lit(f"rep{i} "), F.col("text"))
+        ),
+    )
+    replicate("embeddings", {"vec_id": "vec_id"})
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--factor", type=int, default=10)
+    ap.add_argument("--build-only", action="store_true")
+    ap.add_argument("--queries", nargs="*", default=SUBSET)
+    args = ap.parse_args()
+
+    out = f"/tmp/kitkat_stress_sf{args.factor}"
+    spark = get_spark(app_name="kitkat_stress")
+    if not os.path.exists(f"{out}/documents.parquet"):
+        t0 = time.time()
+        build(spark, out, args.factor)
+        print(f"# built {out} in {time.time() - t0:.0f}s", file=sys.stderr)
+    if args.build_only:
+        return
+
+    # warm codegen + python workers on the small side first
+    QUERIES["q_scan_filter"](spark, BASE).count()
+
+    def drop_persisted():
+        for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+            rdd.unpersist()
+
+    results = {}
+    for name in args.queries:
+        t0 = time.time()
+        QUERIES[name](spark, BASE).count()
+        base_s = round(time.time() - t0, 2)
+        drop_persisted()
+        t0 = time.time()
+        QUERIES[name](spark, out).count()
+        stress_s = round(time.time() - t0, 2)
+        drop_persisted()
+        ratio = round(stress_s / base_s, 1) if base_s > 0.01 else None
+        results[name] = {"base_sec": base_s, "stress_sec": stress_s, "ratio": ratio}
+        print(f"# {name}: {base_s}s -> {stress_s}s ({ratio}x)", file=sys.stderr)
+    print(json.dumps({"factor": args.factor, "queries": results}))
+
+
+if __name__ == "__main__":
+    main()
