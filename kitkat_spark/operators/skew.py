@@ -54,7 +54,7 @@ def adaptive_salted_join(
     other: DataFrame,
     on: str,
     n_salts: int = 16,
-    hot_threshold: int = 10_000,
+    hot_threshold: int | None = None,
     how: str = "inner",
 ) -> DataFrame:
     """Hot-key-only salting: replicate the build side ONLY for keys whose
@@ -77,6 +77,16 @@ def adaptive_salted_join(
         raise ValueError(
             f"adaptive_salted_join supports how='inner'/'left' only, got {how!r}"
         )
+    if hot_threshold is None:
+        # rows-per-task sizing (the 10x stress-run lesson, SCALE_NOTES.md):
+        # an absolute threshold that exercises salting on a small fixture
+        # classifies a large fraction of keys as hot at 10x the data. A key
+        # is only worth salting when it alone overfills a shuffle partition;
+        # 4x headroom keeps the hot list to genuine celebrity keys, so its
+        # size - and the replication cost - stays flat as the data grows.
+        total = skewed.count()
+        parts = int(skewed.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        hot_threshold = max(1, total // max(parts, 1) // 4)
     hot = (
         skewed.groupBy(on)
         .agg(F.count("*").alias("_n"))

@@ -81,3 +81,18 @@ def test_adaptive_salted_join_equals_plain_join(spark):
 
     with pytest.raises(ValueError):
         adaptive_salted_join(left, right, "k", how="full")
+
+
+def test_adaptive_salted_join_auto_threshold(spark):
+    """With no threshold given, it derives rows-per-task sizing and still
+    equals the plain join."""
+    from kitkat_spark.operators.skew import adaptive_salted_join
+
+    left = spark.createDataFrame(
+        [(1, i) for i in range(2000)] + [(k, 0) for k in range(2, 50)], ["k", "v"]
+    )
+    right = spark.createDataFrame([(k, f"t{k}") for k in range(50)], ["k", "tag"])
+    got = adaptive_salted_join(left, right, "k")
+    want = left.join(right, "k")
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0
