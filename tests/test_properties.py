@@ -81,3 +81,41 @@ def test_zlib_roundtrip_and_passthrough(data):
     assert _decompress_one(z.compress(data)) == data  # roundtrip
     if not data.startswith(b"\x78"):
         assert _decompress_one(data) == data  # graceful passthrough
+
+
+# ---------------------------------------------------------------------------
+# dsum: the decimal accumulator must equal exact fixed-point arithmetic and
+# be invariant to how the rows are partitioned
+# ---------------------------------------------------------------------------
+
+@given(
+    st.lists(
+        st.decimals(
+            min_value="-99999.9999", max_value="99999.9999", places=4
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    st.integers(min_value=1, max_value=8),
+)
+@settings(max_examples=20, deadline=None)
+def test_dsum_matches_exact_decimal_any_partitioning(values, n_parts):
+    import decimal
+
+    from pyspark.sql import functions as F
+
+    from kitkat_spark.functions.numeric import dsum
+    from kitkat_spark.session import get_spark
+
+    spark = get_spark()
+    rows = [(float(v),) for v in values]
+    df = spark.createDataFrame(rows, "x double").repartition(n_parts)
+    got = df.agg(dsum(F.col("x")).alias("s")).collect()[0]["s"]
+    # exact reference: quantize each double to the 1e-4 grid, sum exactly,
+    # round to cents HALF_UP (Spark's decimal rounding mode)
+    q = decimal.Decimal("0.0001")
+    exact = sum(decimal.Decimal(r[0]).quantize(q) for r in rows)
+    want = float(
+        exact.quantize(decimal.Decimal("0.01"), rounding=decimal.ROUND_HALF_UP)
+    )
+    assert got == want, (got, want, values)
