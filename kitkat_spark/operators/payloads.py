@@ -6,9 +6,9 @@ per blob, partition keys dictionary-encoded from user_id — mirroring the
 reference's test builder consumer_test.go:346-377), then runs the engine's
 deaggregation path: magic-prefix predicate -> pandas-UDF decode ->
 explode -> dictionary-decoded keys. One corrupt blob is injected and must
-yield 0 rows (consumer.go:177-179). Rows-only check (protobuf has no DuckDB
-twin) — but the expected row count equals count(events), which the driver's
-rows-only gate still pins.
+yield 0 rows (consumer.go:177-179). Value-oracled: the decoded rows are a
+pure SQL function of events (see ORACLE), so the DuckDB twin verifies the
+entire encode -> decode round trip, not just row counts.
 
 q_zlib compresses documents.text, runs the graceful-decompress UDF
 (consumer.go:211-224 semantics), and returns per-doc recovered lengths —
@@ -156,5 +156,18 @@ ORACLE: dict[str, str] = {
         SELECT doc_id, CAST(length(text) AS INT) AS n_chars_rt
         FROM documents
     """,
-    # q_kpl_deagg: rows-only (expected rows = count(events) - 5 corrupt-blob rows)
+    # q_kpl_deagg: the decoded output is a pure SQL function of events —
+    # blob_id = event_id // BLOB_SIZE, partition_key dictionary-decodes back
+    # to 'user-'||user_id, tag_src is the fixture constant, and the one
+    # corrupt blob (blob_id 0) yields no rows. This value-verifies the whole
+    # KPL encode -> decode round trip (the reference's own crown-jewel test,
+    # consumer_test.go:325-377: deaggregate(aggregate(x)) == x).
+    "q_kpl_deagg": f"""
+        SELECT CAST(event_id // {BLOB_SIZE} AS BIGINT) AS blob_id,
+               'user-' || CAST(user_id AS VARCHAR) AS partition_key,
+               event_id,
+               'events' AS tag_src
+        FROM events
+        WHERE event_id // {BLOB_SIZE} <> 0
+    """,
 }

@@ -8,8 +8,9 @@ rows-only-checked by the driver:
   trim + P4 verbose projection) — fully SQL-expressible, DuckDB-oracled.
 - q_consume_pipeline: the full EP2 dataflow over a mixed stream of KPL
   aggregates and plain records (X1 deagg + F2 predicate + inheritance +
-  render). Protobuf has no DuckDB twin -> rows-only; expected rows =
-  2*count(events) - 5 (one corrupt blob drops its 5 inner records).
+  render). The rendered rows are deterministic string functions of events,
+  so this is value-oracled (see ORACLE) — 2*count(events) - 5 rows (one
+  corrupt blob drops its 5 inner records).
 - q_shard_status: A1 conditional aggregation over a shard fixture derived
   from events (active vs closed shard counts) — oracled.
 
@@ -161,5 +162,31 @@ ORACLE: dict[str, str] = {
                CAST(sum(CASE WHEN bucket % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS closed_shards
         FROM (SELECT DISTINCT user_id % {N_SHARD_BUCKETS} AS bucket FROM events)
     """,
-    # q_consume_pipeline: rows-only (protobuf deagg has no DuckDB twin)
+    # q_consume_pipeline: the protobuf wire format has no DuckDB twin, but
+    # the RENDERED rows are a deterministic string function of events: the
+    # plain half mirrors q_consume_plain; the KPL half inherits the outer
+    # blob metadata (blob_id = event_id // 5, arrival = epoch 1_500_000_000 +
+    # blob_id s, seq = 'seq-'||blob_id, shard = blob_id % 8 — see
+    # build_kpl_records) and renders payload 'event_id|value', minus the 5
+    # inner records of the corrupt blob 0. Value-verifies deagg + metadata
+    # inheritance + render end-to-end (consumer.go:183-209). Session TZ and
+    # DuckDB both render the epoch arithmetic as UTC (naive timestamp).
+    "q_consume_pipeline": f"""
+        SELECT strftime(ts, '%Y-%m-%d %H:%M:%S') AS timestamp,
+               '{STREAM}' AS stream,
+               'shardId-' || lpad(CAST(user_id % 8 AS VARCHAR), 12, '0') AS shard_id,
+               CAST(event_id AS VARCHAR) AS sequence_number,
+               event_type || ':' || CAST(event_id AS VARCHAR) AS message
+        FROM events
+        UNION ALL
+        SELECT strftime(TIMESTAMP '1970-01-01 00:00:00'
+                        + to_seconds(1500000000 + event_id // 5),
+                        '%Y-%m-%d %H:%M:%S') AS timestamp,
+               '{STREAM}' AS stream,
+               'shardId-' || lpad(CAST((event_id // 5) % 8 AS VARCHAR), 12, '0') AS shard_id,
+               'seq-' || CAST(event_id // 5 AS VARCHAR) AS sequence_number,
+               CAST(event_id AS VARCHAR) || '|' || CAST(value AS VARCHAR) AS message
+        FROM events
+        WHERE event_id // 5 <> 0
+    """,
 }
