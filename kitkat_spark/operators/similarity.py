@@ -5,10 +5,14 @@
   carries only (id, vec, norm). Queries are broadcast (tiny side), so the
   big side is NEVER shuffled — at 100 TB this is a single map-side pass over
   the embedding table. Per-query top-k via window rank.
-- q_embedding_near_dup: all-pairs cosine >= threshold with *blocking* on the
-  label column — the join key is (label), so candidate pairs only form within
-  a block. This is the IVF idea: at 100 TB, label is replaced by a coarse
-  quantizer cell id (q_ann_ivf below uses a random-hyperplane LSH bucket).
+- q_embedding_near_dup: within-label cosine near-dup pairs with BOUNDED
+  blocks: each label block is sub-bucketed by banded sign-LSH (4 bands x
+  4 hyperplanes, OR-amplified for recall), pair expansion runs through
+  bucket_pairs with a hard bucket cap, and candidates get an exact cosine
+  verify. Label alone is NOT the join key — its cardinality is fixed, so
+  label blocks grow linearly with the corpus and within-block all-pairs
+  would be O((N/L)^2); the band sub-buckets keep candidate volume
+  <= n_buckets * cap^2/2 no matter the corpus size.
 - q_ann_ivf: LSH-bucketed ANN — sign-bit bucket from fixed md5-derived
   hyperplanes, probe = query's own bucket. Fully DuckDB-oracled (the oracle
   replays the bucketing); recall is traded for a bucket-local join.
@@ -29,6 +33,17 @@ TOP_K = 10
 N_QUERIES = 5
 NEAR_DUP_COSINE = 0.35
 LSH_PLANES = 8
+# near-dup sub-bucketing: 4 bands of r sign-planes each, from the same md5
+# hyperplane family as q_ann_ivf. OR-amplification over bands recovers the
+# recall a single monolithic bucket would destroy at this (low) cosine
+# threshold. r is SIZED FROM THE CORPUS (see q_embedding_near_dup): fixed
+# granularity would make cells grow linearly with the data and candidate
+# pairs quadratically — the exact disease the label-only blocking had.
+ND_BANDS = 4
+ND_MIN_ROWS = 4
+ND_MAX_ROWS = 12
+ND_TARGET_BUCKET = 16
+ND_MAX_BUCKET = 1000
 
 
 def _with_norm(df: DataFrame) -> DataFrame:
@@ -65,22 +80,73 @@ def q_similarity_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Blocked all-pairs near-dup: pairs within the same label block whose
-    cosine >= 0.35. Join key = label -> no unblocked N^2."""
-    emb = _with_norm(load_table(spark, sf_dir, "embeddings"))
-    a = emb.select(
-        F.col("label").alias("blk"), F.col("vec_id").alias("vec_a"),
-        F.col("v").alias("va"), F.col("nrm").alias("na"),
+    """Within-label cosine near-dup pairs via corpus-sized banded sign-LSH.
+
+    Candidate key = (label, band_id, band_val): an (ND_BANDS * r)-bit sign
+    signature is sliced into ND_BANDS r-bit bands; a pair is a candidate if
+    ANY band agrees (OR-amplification — per-plane collision prob for cosine
+    c is 1 - acos(c)/pi, so banding keeps recall where one monolithic
+    bucket would drop ~98% of threshold-grade pairs).
+
+    r — the quantizer resolution — is trained from the corpus: r =
+    clamp(ceil(log2(rows_per_label / ND_TARGET_BUCKET)), 4, 12), i.e. cell
+    count tracks corpus size so the EXPECTED bucket stays ~ND_TARGET_BUCKET
+    rows. A fixed r would leave cells growing linearly with the data and
+    in-cell pairs quadratically (measured 3.6x wall at 10x data; ~1x with
+    sizing) — the same disease the plain label join had, one constant
+    smaller. The sizing stats job is the index-training step of a real IVF
+    build and costs one narrow count over the table. Sharper r at larger
+    corpora concentrates recall on higher-cosine pairs — the standard LSH
+    candidate-budget tradeoff, made explicit here. Expansion runs through
+    bucket_pairs with a hard cap bounding any degenerate cell; candidates
+    then get an exact cosine verify from the persisted signature table
+    (same verify-join layout as dedup.py q_near_dedup)."""
+    import math
+
+    from kitkat_spark.operators.dedup import bucket_pairs
+
+    base = _with_norm(
+        load_table(spark, sf_dir, "embeddings").filter(F.size("embedding") > 0)
     )
-    b = emb.select(
-        F.col("label").alias("blk"), F.col("vec_id").alias("vec_b"),
-        F.col("v").alias("vb"), F.col("nrm").alias("nb"),
+    n, labels = base.agg(F.count("*"), F.count_distinct("label")).first()
+    # mirror the oracle arithmetic exactly: (n / labels) / target, floored at 1
+    density = max(float(n) / float(max(labels, 1)) / ND_TARGET_BUCKET, 1.0) if n else 1.0
+    rows = max(ND_MIN_ROWS, min(ND_MAX_ROWS, math.ceil(math.log2(density))))
+    # persisted: feeds banding + both sides of the verify join; at scale this
+    # is the written-out (vec, norm, signature) index table
+    emb = base.withColumn("sig", _make_sign_sig_udf(ND_BANDS * rows)(F.col("v"))).persist()
+    bands = emb.select(
+        "label",
+        F.struct("label", "vec_id").alias("idl"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("sig"), rows * b).bitwiseAND(
+                        F.lit((1 << rows) - 1)
+                    )
+                    for b in range(ND_BANDS)
+                ]
+            )
+        ).alias("band_id", "band_val"),
     )
-    pairs = (
-        a.join(b, ["blk"])
-        .filter(F.col("vec_a") < F.col("vec_b"))
+    # idl struct sorts by (label, vec_id); label is constant within a bucket,
+    # so ordering (hence id_a < id_b on vec_id) is preserved
+    cand = (
+        bucket_pairs(bands, ["label", "band_id", "band_val"], "idl", ND_MAX_BUCKET)
         .select(
-            F.col("blk").alias("label"),
+            F.col("id_a.label").alias("label"),
+            F.col("id_a.vec_id").alias("vec_a"),
+            F.col("id_b.vec_id").alias("vec_b"),
+        )
+        .distinct()
+    )
+    va = emb.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("nrm").alias("na"))
+    vb = emb.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
+    pairs = (
+        cand.join(va, "vec_a")
+        .join(vb, "vec_b")
+        .select(
+            "label",
             "vec_a",
             "vec_b",
             F.round(dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6).alias(
@@ -100,9 +166,9 @@ from functools import lru_cache  # noqa: E402
 import hashlib  # noqa: E402
 
 
-@lru_cache(maxsize=4)
-def _md5_planes(dim: int) -> "np.ndarray":
-    """(dim x LSH_PLANES) hyperplane matrix with md5-derived components in
+@lru_cache(maxsize=8)
+def _md5_planes(dim: int, n_planes: int) -> "np.ndarray":
+    """(dim x n_planes) hyperplane matrix with md5-derived components in
     [-1, 1) — deterministic on every executor (no fitted model to ship) AND
     reproducible by the DuckDB oracle: component (p, d) is
     md5('plane_{p}_{d}') first-15-hex / 2^60 * 2 - 1, the same value DuckDB
@@ -113,7 +179,7 @@ def _md5_planes(dim: int) -> "np.ndarray":
         [
             [
                 int(hashlib.md5(f"plane_{p}_{d}".encode()).hexdigest()[:15], 16)
-                for p in range(LSH_PLANES)
+                for p in range(n_planes)
             ]
             for d in range(dim)
         ],
@@ -122,19 +188,31 @@ def _md5_planes(dim: int) -> "np.ndarray":
     return vals / float(1 << 60) * 2.0 - 1.0
 
 
-@F.pandas_udf(T.LongType())
-def _lsh_bucket_udf(vectors: pd.Series) -> pd.Series:
-    """Sign-bit bucket id from the md5-derived hyperplanes. Embedding dim is
-    constant per table, so the whole Arrow batch stacks into ONE (batch x dim)
-    matrix and a single matmul produces every bucket id."""
-    good = vectors.map(lambda v: v is not None and len(v) > 0)
-    out = np.zeros(len(vectors), dtype=np.int64)
-    if good.any():
-        mat = np.stack([np.asarray(v, dtype=np.float64) for v in vectors[good]])
-        signs = (mat @ _md5_planes(mat.shape[1])) > 0
-        buckets = (signs.astype(np.uint64) << np.arange(LSH_PLANES, dtype=np.uint64)).sum(axis=1)
-        out[np.asarray(good)] = buckets.astype(np.int64)
-    return pd.Series(out)
+def _make_sign_sig_udf(n_planes: int):
+    """Pandas UDF computing an n_planes-bit sign signature from the
+    md5-derived hyperplanes. Embedding dim is constant per table, so the
+    whole Arrow batch stacks into ONE (batch x dim) matrix and a single
+    matmul produces every signature."""
+
+    @F.pandas_udf(T.LongType())
+    def _sig(vectors: pd.Series) -> pd.Series:
+        good = vectors.map(lambda v: v is not None and len(v) > 0)
+        out = np.zeros(len(vectors), dtype=np.int64)
+        if good.any():
+            mat = np.stack([np.asarray(v, dtype=np.float64) for v in vectors[good]])
+            signs = (mat @ _md5_planes(mat.shape[1], n_planes)) > 0
+            buckets = (signs.astype(np.uint64) << np.arange(n_planes, dtype=np.uint64)).sum(
+                axis=1
+            )
+            out[np.asarray(good)] = buckets.astype(np.int64)
+        return pd.Series(out)
+
+    return _sig
+
+
+# 8-plane single bucket for the ANN index; q_embedding_near_dup builds its
+# banded signature UDF per corpus via _make_sign_sig_udf(ND_BANDS * r)
+_lsh_bucket_udf = _make_sign_sig_udf(LSH_PLANES)
 
 
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -340,16 +418,63 @@ ORACLE: dict[str, str] = {
             FROM scored
         ) WHERE rk <= 10
     """,
-    "q_embedding_near_dup": """
+    # Replays the banded sign-LSH sub-bucketing value-for-value (same md5
+    # hyperplane family as q_ann_ivf), INCLUDING the corpus-sized quantizer
+    # resolution r, the bucket-size cap and the exact cosine verify. The r
+    # arithmetic mirrors the Spark driver's float ops step for step.
+    "q_embedding_near_dup": f"""
         WITH e AS (
             SELECT vec_id, label, embedding::DOUBLE[] AS v,
-                   sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+                   sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                       AS nrm
             FROM embeddings
+            WHERE len(embedding) > 0
+        ), params AS (
+            SELECT greatest({ND_MIN_ROWS}, least({ND_MAX_ROWS},
+                   CAST(ceil(log2(greatest(
+                       count(*) * 1.0 / greatest(count(DISTINCT label), 1)
+                           / {ND_TARGET_BUCKET},
+                       1.0))) AS INT))) AS r
+            FROM e
+        ), dims AS (
+            SELECT max(len(embedding)) AS d FROM embeddings
+        ), planes AS (
+            SELECT p, list_transform(generate_series(0, (SELECT d - 1 FROM dims)),
+                   d -> ('0x' || substr(md5('plane_' || p || '_' || d), 1, 15))::BIGINT
+                        / 1152921504606846976.0 * 2 - 1) AS pv
+            FROM UNNEST(generate_series(0,
+                 {ND_BANDS} * (SELECT r FROM params) - 1)) AS t(p)
+        ), sig AS (
+            SELECT vec_id,
+                   sum(CASE WHEN list_dot_product(e.v, pl.pv) > 0
+                            THEN (1::BIGINT << pl.p) ELSE 0 END) AS sig
+            FROM e, planes pl
+            GROUP BY vec_id
+        ), bands AS (
+            SELECT e.vec_id, e.label, b AS band_id,
+                   (s.sig >> ((SELECT r FROM params) * b))
+                       & ((1::BIGINT << (SELECT r FROM params)) - 1) AS band_val
+            FROM sig s JOIN e ON e.vec_id = s.vec_id,
+                 UNNEST(generate_series(0, {ND_BANDS - 1})) AS u(b)
+        ), bsz AS (
+            SELECT label, band_id, band_val, count(*) AS c
+            FROM bands GROUP BY 1, 2, 3
+        ), cand AS (
+            SELECT DISTINCT a.label, a.vec_id AS vec_a, b.vec_id AS vec_b
+            FROM bands a
+            JOIN bands b ON a.label = b.label AND a.band_id = b.band_id
+                        AND a.band_val = b.band_val AND a.vec_id < b.vec_id
+            JOIN bsz s ON s.label = a.label AND s.band_id = a.band_id
+                      AND s.band_val = a.band_val
+                      AND s.c BETWEEN 2 AND {ND_MAX_BUCKET}
         )
-        SELECT a.label AS label, a.vec_id AS vec_a, b.vec_id AS vec_b,
-               round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cosine
-        FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
-        WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= 0.35
+        SELECT c.label AS label, c.vec_a, c.vec_b,
+               round(list_dot_product(ea.v, eb.v) / (ea.nrm * eb.nrm), 6) AS cosine
+        FROM cand c
+        JOIN e ea ON ea.vec_id = c.vec_a
+        JOIN e eb ON eb.vec_id = c.vec_b
+        WHERE round(list_dot_product(ea.v, eb.v) / (ea.nrm * eb.nrm), 6)
+              >= {NEAR_DUP_COSINE}
     """,
     # Replays the LSH bucketing value-for-value: hyperplane components are
     # md5-derived (see _md5_planes), bucket = sum of sign bits, then the

@@ -77,22 +77,41 @@ def adaptive_salted_join(
         raise ValueError(
             f"adaptive_salted_join supports how='inner'/'left' only, got {how!r}"
         )
+    spark = skewed.sparkSession
     if hot_threshold is None:
         # rows-per-task sizing (the 10x stress-run lesson, SCALE_NOTES.md):
         # an absolute threshold that exercises salting on a small fixture
         # classifies a large fraction of keys as hot at 10x the data. A key
         # is only worth salting when it alone overfills a shuffle partition;
-        # 4x headroom keeps the hot list to genuine celebrity keys, so its
-        # size - and the replication cost - stays flat as the data grows.
-        total = skewed.count()
-        parts = int(skewed.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-        hot_threshold = max(1, total // max(parts, 1) // 4)
-    hot = (
-        skewed.groupBy(on)
-        .agg(F.count("*").alias("_n"))
-        .filter(F.col("_n") > hot_threshold)
-        .select(on)
-    )
+        # 4x headroom keeps the hot list to genuine celebrity keys.
+        #
+        # Sizing reuses the SAME per-key aggregation that builds the hot
+        # list: persist the counts, total them (a job over distinct keys,
+        # not a second fact-table scan — the previous form here paid a full
+        # skewed.count() pass before the join even started), then read the
+        # hot list back. The list is structurally tiny: a key needs more
+        # than total/parts/4 rows to qualify, so at most 4*parts keys exist
+        # — safe to collect and ship back as a broadcast-sized local table.
+        counts = skewed.groupBy(on).agg(F.count("*").alias("_n")).persist()
+        try:
+            total = counts.agg(F.sum("_n")).collect()[0][0] or 0
+            try:
+                parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+            except (TypeError, ValueError):
+                # e.g. "auto" on AQE-managed platforms
+                parts = spark.sparkContext.defaultParallelism
+            hot_threshold = max(1, int(total) // max(parts, 1) // 4)
+            hot_rows = counts.filter(F.col("_n") > hot_threshold).select(on).collect()
+        finally:
+            counts.unpersist()
+        hot = spark.createDataFrame(hot_rows, schema=skewed.select(on).schema)
+    else:
+        hot = (
+            skewed.groupBy(on)
+            .agg(F.count("*").alias("_n"))
+            .filter(F.col("_n") > hot_threshold)
+            .select(on)
+        )
     skew_hot = skewed.join(F.broadcast(hot), on, "left_semi")
     skew_cold = skewed.join(F.broadcast(hot), on, "left_anti")
     other_hot = other.join(F.broadcast(hot), on, "left_semi")

@@ -96,3 +96,31 @@ def test_adaptive_salted_join_auto_threshold(spark):
     want = left.join(right, "k")
     assert got.count() == want.count()
     assert got.exceptAll(want).count() == 0
+
+
+def test_adaptive_salted_join_auto_threshold_no_extra_pass(spark):
+    """Default-threshold sizing must come from the SAME per-key aggregation
+    that builds the hot list: bounded construction-time jobs over the
+    persisted counts, and a result plan whose hot list is a LOCAL relation —
+    no re-aggregation of the fact table embedded (the old form paid a full
+    skewed.count() pass up front PLUS re-ran the hot-list groupBy inside
+    each of the three hot/cold join branches)."""
+    from kitkat_spark.operators.skew import adaptive_salted_join
+
+    left = spark.createDataFrame(
+        [(1, i) for i in range(2000)] + [(k, 0) for k in range(2, 50)], ["k", "v"]
+    )
+    right = spark.createDataFrame([(k, f"t{k}") for k in range(50)], ["k", "tag"])
+    sc = spark.sparkContext
+    sc.setJobGroup("salt-sizing", "auto-threshold construction jobs")
+    try:
+        got = adaptive_salted_join(left, right, "k")
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    # two actions (counts-build+total, hot-list readback from cache); AQE
+    # materializes each query stage as its own job, so allow a few — the
+    # point is a small constant, with ONE of them touching the fact table
+    jobs = sc.statusTracker().getJobIdsForGroup("salt-sizing")
+    assert 1 <= len(jobs) <= 6, jobs
+    plan = got._jdf.queryExecution().optimizedPlan().toString()
+    assert "Aggregate" not in plan, plan

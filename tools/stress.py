@@ -56,6 +56,8 @@ SUBSET = [
     "q_simhash",
     "q_incremental_dedup",
     "q_ann_ivf",
+    "q_ann_multiprobe",
+    "q_embedding_near_dup",
     "q_similarity_search",
     "q_pack_sequences",
 ]
@@ -68,16 +70,17 @@ def build(spark, out: str, factor: int) -> None:
             f"{out}/{small}.parquet"
         )
 
-    def replicate(name: str, shift_cols: dict[str, str], extra=None):
+    def max_plus_one(name: str, col: str) -> int:
         df = spark.read.parquet(f"{BASE}/{name}.parquet")
-        strides = {
-            c: df.agg(F.max(c)).collect()[0][0] + 1 for c in set(shift_cols.values())
-        }
+        return df.agg(F.max(col)).collect()[0][0] + 1
+
+    def replicate(name: str, shifts: dict[str, int], extra=None):
+        df = spark.read.parquet(f"{BASE}/{name}.parquet")
         parts = []
         for i in range(factor):
             p = df
-            for col, stride_col in shift_cols.items():
-                p = p.withColumn(col, F.col(col) + F.lit(i * strides[stride_col]))
+            for col, stride in shifts.items():
+                p = p.withColumn(col, F.col(col) + F.lit(i * stride))
             if extra is not None:
                 p = extra(p, i)
             parts.append(p)
@@ -86,23 +89,21 @@ def build(spark, out: str, factor: int) -> None:
             u = u.unionByName(p)
         u.write.mode("overwrite").parquet(f"{out}/{name}.parquet")
 
-    replicate(
-        "orders",
-        {"o_orderkey": "o_orderkey"},
-    )
-    replicate(
-        "lineitem",
-        {"l_orderkey": "l_orderkey"},
-    )
-    replicate("events", {"event_id": "event_id"})
+    # ONE shared orderkey stride for orders AND lineitem: independently
+    # derived strides (max o_orderkey vs max l_orderkey) diverge whenever the
+    # top orders carry no lineitems, silently mis-joining every replica
+    order_stride = max_plus_one("orders", "o_orderkey")
+    replicate("orders", {"o_orderkey": order_stride})
+    replicate("lineitem", {"l_orderkey": order_stride})
+    replicate("events", {"event_id": max_plus_one("events", "event_id")})
     replicate(
         "documents",
-        {"doc_id": "doc_id"},
+        {"doc_id": max_plus_one("documents", "doc_id")},
         extra=lambda p, i: p.withColumn(
             "text", F.concat(F.lit(f"rep{i} "), F.col("text"))
         ),
     )
-    replicate("embeddings", {"vec_id": "vec_id"})
+    replicate("embeddings", {"vec_id": max_plus_one("embeddings", "vec_id")})
 
 
 def main() -> None:
