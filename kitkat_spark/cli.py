@@ -4,9 +4,9 @@ consume.go:19-49) rebuilt as entry points that assemble Structured Streaming
 pipelines.
 
     python -m kitkat_spark.cli consume -s /path/records1,/path/records2 \
-        -i trim_horizon --interval 100 --compress zlib --verbose
+        -I trim_horizon -i 100 -c zlib --verbose
     python -m kitkat_spark.cli produce -s my-stream --source /path/lines \
-        -k fixed-key
+        -k fixed-key --aggregated
     python -m kitkat_spark.cli info -s my-stream -r us-east-1
 
 Sources are Kinesis streams when the path looks like a stream name AND boto3
@@ -37,24 +37,38 @@ def _build_parser() -> argparse.ArgumentParser:
     p.add_argument("--verbose", "-v", action="store_true", help="verbose output (root.go:24)")
     sub = p.add_subparsers(dest="cmd", required=True)
 
+    # short flags mirror the reference exactly (consume.go:24-31): -I is the
+    # ITERATOR and lowercase -i the poll INTERVAL; -t since, -c compress,
+    # -l limit, -r region. Iterator/compress values are case-insensitive
+    # (the reference spells them LATEST / TRIM_HORIZON / ...).
     c = sub.add_parser("consume", aliases=["c"], help="tail streams (consume.go:19)")
     c.add_argument("--stream", "-s", required=True, help="comma-separated streams/paths")
     c.add_argument(
         "--iterator",
-        "-i",
+        "-I",
+        type=str.lower,
         default="latest",
         choices=["latest", "trim_horizon", "at_sequence_number", "at_timestamp"],
     )
-    c.add_argument("--limit", type=int, default=500, help="records per fetch")
-    c.add_argument("--interval", type=int, default=100, help="poll pacing (ms)")
-    c.add_argument("--since", default=None, help="RFC3339 ts (with -i at_timestamp)")
-    c.add_argument("--compress", default=None, choices=["zlib"])
+    c.add_argument(
+        "--region", "-r", default=os.environ.get("AWS_REGION", "us-west-2"),
+        help="AWS region (real-Kinesis sources only; consume.go:24)",
+    )
+    c.add_argument("--limit", "-l", type=int, default=500, help="records per fetch")
+    c.add_argument("--interval", "-i", type=int, default=100, help="poll pacing (ms)")
+    c.add_argument("--since", "-t", default=None, help="RFC3339 ts (with -I at_timestamp)")
+    c.add_argument("--compress", "-c", type=str.lower, default="none", choices=["zlib", "none"])
     c.add_argument("--once", action="store_true", help="drain available data and exit")
 
     pr = sub.add_parser("produce", aliases=["p"], help="publish lines (produce.go:16)")
     pr.add_argument("--stream", "-s", required=True, help="target stream name")
     pr.add_argument("--key", "-k", default=None, help="constant partition key")
-    pr.add_argument("--region", "-r", default=os.environ.get("AWS_REGION"))
+    pr.add_argument("--region", "-r", default=os.environ.get("AWS_REGION", "us-west-2"))
+    pr.add_argument(
+        "--aggregated", "-a", action="store_true",
+        help="produce in KPL aggregated record format (produce.go:27; the "
+        "reference declares this flag but never wires it — here it is real)",
+    )
     pr.add_argument("--source", required=True, help="directory of newline-delimited text")
 
     info = sub.add_parser("info", help="stream description table (consumer.go:88)")
@@ -70,7 +84,7 @@ def _cmd_consume(args: argparse.Namespace) -> int:
         since=args.since,
         limit=args.limit,
         interval_ms=args.interval,
-        compression=args.compress,
+        compression=None if args.compress == "none" else args.compress,
         verbose=args.verbose,
     )
     paths = args.stream.split(",")
@@ -93,7 +107,13 @@ def _cmd_produce(args: argparse.Namespace) -> int:
     except NotImplementedError as exc:
         print(f"error: {exc}", file=sys.stderr)
         return 1
-    q = produce(line_source(spark, args.source), put, key=args.key, verbose=args.verbose)
+    q = produce(
+        line_source(spark, args.source),
+        put,
+        key=args.key,
+        verbose=args.verbose,
+        aggregated=args.aggregated,
+    )
     q.awaitTermination()
     return 0
 

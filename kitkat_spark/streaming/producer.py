@@ -31,6 +31,10 @@ from pyspark.sql.streaming import StreamingQuery
 
 PUT_BATCH_MAX = 500  # public PutRecords limit
 ACK_SAMPLE = 20  # max acks retained per partition / returned to the driver
+# --aggregated: lines packed per KPL blob. The KPL library packs to a byte
+# budget; a record-count budget is equivalent for bounded line lengths and
+# keeps the blob layout deterministic for the round-trip tests.
+KPL_BLOB_RECORDS = 50
 
 
 def line_source(spark: SparkSession, path: str) -> DataFrame:
@@ -72,17 +76,46 @@ def kinesis_put_records(stream_name: str, region: str | None = None) -> PutRecor
     return put
 
 
+def _kpl_blobs(
+    records: Iterable[tuple[str, bytes]], blob_records: int = KPL_BLOB_RECORDS
+) -> Iterable[tuple[str, bytes]]:
+    """Pack consecutive (key, data) records into KPL aggregate blobs of up to
+    ``blob_records`` inner records each (produce.go:27 declares --aggregated
+    but producer.go:37-50 never reads it; this is the real implementation).
+    The blob's outer partition key is the first inner record's key — what the
+    KPL itself does — and the key table dictionary-encodes in first-seen
+    order so the blob bytes are deterministic for a given record order."""
+    from kitkat_spark.functions.kpl import aggregate_records
+
+    def encode(group: list[tuple[str, bytes]]) -> tuple[str, bytes]:
+        pk_table = list(dict.fromkeys(k for k, _ in group))
+        idx = {k: i for i, k in enumerate(pk_table)}
+        recs = [{"partition_key_index": idx[k], "data": d} for k, d in group]
+        return group[0][0], aggregate_records(pk_table, recs)
+
+    group: list[tuple[str, bytes]] = []
+    for rec in records:
+        group.append(rec)
+        if len(group) >= blob_records:
+            yield encode(group)
+            group = []
+    if group:
+        yield encode(group)
+
+
 def _sink_batch(
-    pdf_iter: Iterable, put: PutRecordsFn, verbose: bool
+    pdf_iter: Iterable, put: PutRecordsFn, verbose: bool, aggregated: bool = False
 ) -> tuple[int, list[tuple[str, str]]]:
     """Ship one partition's rows in <=500-record batches; E1: an error in one
     batch is swallowed (logged) and the loop continues; E2: ack summary.
 
-    Returns (n_acks, sample): the count is exact, the sample is capped at
+    Returns (n_acks, sample): the count is exact regardless of ``verbose``
+    (which only controls per-batch ack printing); the sample is capped at
     ACK_SAMPLE. The reference prints every ack (producer.go:47-50), but
     holding per-record acks in task (let alone driver) memory is an OOM at
     100 TB — callers that need every ack should sink them to a table inside
-    ``put`` instead.
+    ``put`` instead. With ``aggregated``, records are packed into KPL blobs
+    first, so acks count blobs, exactly as real Kinesis would ack them.
     """
     n_acks = 0
     sample: list[tuple[str, str]] = []
@@ -94,16 +127,20 @@ def _sink_batch(
             return
         try:
             result = put(list(batch))
+            n_acks += len(result)
+            if len(sample) < ACK_SAMPLE:
+                sample.extend(result[: ACK_SAMPLE - len(sample)])
             if verbose:
-                n_acks += len(result)
-                if len(sample) < ACK_SAMPLE:
-                    sample.extend(result[: ACK_SAMPLE - len(sample)])
+                print(f"acked {len(result)} records (sample: {result[:3]})")
         except Exception as exc:  # noqa: BLE001 - E1 semantics: log + continue
             print(f"put_records failed ({len(batch)} records): {exc}")
         batch.clear()
 
-    for row in pdf_iter:
-        batch.append((row.partitionKey, row.line.encode()))
+    records = ((row.partitionKey, row.line.encode()) for row in pdf_iter)
+    if aggregated:
+        records = _kpl_blobs(records)
+    for rec in records:
+        batch.append(rec)
         if len(batch) >= PUT_BATCH_MAX:
             flush()
     flush()
@@ -117,17 +154,22 @@ def produce(
     verbose: bool = False,
     checkpoint: str | None = None,
     available_now: bool = True,
+    aggregated: bool = False,
 ) -> StreamingQuery:
     """EP1 end-to-end: key assignment then foreachBatch sink.
 
     ``put`` executes on the DRIVER per micro-batch here (collect of the batch)
     would not scale — instead each partition ships its own batches via
     ``foreachPartition``, so sink parallelism equals source partitioning.
+    ``aggregated`` packs KPL blobs per partition before shipping (the
+    --aggregated flag the reference declares but never implemented).
     """
     keyed = assign_partition_key(lines, key)
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df.rdd.foreachPartition(lambda rows: _sink_batch(rows, put, verbose))
+        batch_df.rdd.foreachPartition(
+            lambda rows: _sink_batch(rows, put, verbose, aggregated=aggregated)
+        )
 
     writer = keyed.writeStream.foreachBatch(sink).outputMode("append")
     if available_now:
@@ -138,7 +180,11 @@ def produce(
 
 
 def produce_batch(
-    lines: DataFrame, put: PutRecordsFn, key: str | None = None, verbose: bool = False
+    lines: DataFrame,
+    put: PutRecordsFn,
+    key: str | None = None,
+    verbose: bool = False,
+    aggregated: bool = False,
 ) -> tuple[int, list[tuple[str, str]]]:
     """Batch analog of EP1: returns (total_acks, sample<=ACK_SAMPLE).
 
@@ -147,8 +193,12 @@ def produce_batch(
     O(records), so a 100 TB produce cannot OOM the driver on acks.
     """
     keyed = assign_partition_key(lines, key)
-    per_part = keyed.rdd.mapPartitions(
-        lambda rows: [_sink_batch(rows, put, verbose)]
+    rdd = keyed.rdd
+    if rdd.getNumPartitions() == 0:
+        # e.g. an empty source read: treeReduce would raise on an empty RDD
+        return 0, []
+    per_part = rdd.mapPartitions(
+        lambda rows: [_sink_batch(rows, put, verbose, aggregated=aggregated)]
     )
 
     def merge(

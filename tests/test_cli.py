@@ -20,11 +20,111 @@ def test_cli_consume_once(spark, tmp_path):
     ).write.parquet(src)
     r = subprocess.run(
         [sys.executable, "-m", "kitkat_spark.cli", "consume", "-s", src,
-         "-i", "trim_horizon", "--once"],
+         "-I", "trim_horizon", "--once"],
         capture_output=True, text=True, timeout=240, cwd=REPO,
     )
     assert r.returncode == 0
     assert "hello-cli" in r.stdout
+
+
+def test_flag_parity_with_reference():
+    """Short-flag surface matches the reference CLI exactly: consume has
+    -s/-r/-I iterator/-l limit/-i interval/-t since/-c compress
+    (consume.go:24-31), produce has -s/-r/-k/-a aggregated (produce.go:24-27),
+    and iterator/compress values are case-insensitive like cobra's."""
+    from kitkat_spark.cli import _build_parser
+
+    p = _build_parser()
+    a = p.parse_args(
+        ["consume", "-s", "x", "-I", "TRIM_HORIZON", "-i", "50", "-l", "100",
+         "-t", "2024-01-01T00:00:00Z", "-c", "ZLIB", "-r", "us-east-1"]
+    )
+    assert a.iterator == "trim_horizon"
+    assert a.interval == 50
+    assert a.limit == 100
+    assert a.since == "2024-01-01T00:00:00Z"
+    assert a.compress == "zlib"
+    assert a.region == "us-east-1"
+
+    b = p.parse_args(
+        ["produce", "-s", "st", "-k", "pk", "-r", "us-east-1", "-a", "--source", "d"]
+    )
+    assert b.key == "pk"
+    assert b.region == "us-east-1"
+    assert b.aggregated is True
+    assert p.parse_args(["produce", "-s", "st", "--source", "d"]).aggregated is False
+
+
+def test_produce_aggregated_round_trips_through_consume(spark, tmp_path):
+    """--aggregated end-to-end: lines -> KPL blobs (produce) -> record frames
+    -> the consume pipeline deaggregates back to the original lines. This is
+    the reference's crown-jewel property (consumer_test.go:325-377,
+    deaggregate(aggregate(x)) == x) driven through BOTH CLI dataflows."""
+    import datetime as dt
+
+    from kitkat_spark.functions.kpl import KPL_MAGIC
+    from kitkat_spark.streaming.consumer import ConsumeOptions, consume
+    from kitkat_spark.streaming.producer import produce_batch
+
+    lines = [f"line-{i:03d}" for i in range(120)]  # > KPL_BLOB_RECORDS: several blobs
+    (tmp_path / "in").mkdir()
+    (tmp_path / "in" / "in.txt").write_text("\n".join(lines) + "\n")
+    # put runs inside executor subprocesses — capture through the shared
+    # filesystem, not a driver-side closure
+    cap_dir = tmp_path / "captured"
+    cap_dir.mkdir()
+
+    def put(batch):
+        import pickle
+        import uuid
+
+        (cap_dir / f"{uuid.uuid4().hex}.pkl").write_bytes(pickle.dumps(batch))
+        return [("shardId-0", str(i)) for i in range(len(batch))]
+
+    src = spark.read.text(str(tmp_path / "in"))
+    n_acks, sample = produce_batch(src, put, key="pk", aggregated=True)
+    import pickle
+
+    captured = [
+        rec for f in cap_dir.iterdir() for rec in pickle.loads(f.read_bytes())
+    ]
+    assert n_acks == len(captured) > 0
+    assert len(captured) < len(lines)  # blobs, not lines
+    assert all(blob.startswith(KPL_MAGIC) for _, blob in captured)
+
+    recs = spark.createDataFrame(
+        [
+            (blob, k, str(i), dt.datetime(2024, 1, 1), "shardId-0", "s1", "NONE")
+            for i, (k, blob) in enumerate(captured)
+        ],
+        RECORD_SCHEMA,
+    )
+    out = consume([recs], ConsumeOptions(position="trim_horizon", verbose=False))
+    got = sorted(r.message for r in out.collect())
+    assert got == sorted(lines)
+
+
+def test_produce_batch_empty_source(spark, tmp_path):
+    """Zero-partition / empty input returns (0, []) instead of raising
+    (treeReduce cannot fold an empty RDD)."""
+    from kitkat_spark.streaming.producer import produce_batch
+
+    empty = spark.createDataFrame([], "value string")
+    n, sample = produce_batch(empty, lambda b: [("s", "1")] * len(b))
+    assert (n, sample) == (0, [])
+
+
+def test_produce_acks_counted_without_verbose(spark, tmp_path):
+    """Ack COUNT is exact with verbose=False (only printing is gated)."""
+    from kitkat_spark.streaming.producer import produce_batch
+
+    (tmp_path / "in.txt").write_text("\n".join(f"l{i}" for i in range(10)) + "\n")
+    src = spark.read.text(str(tmp_path))
+    n, sample = produce_batch(
+        src, lambda b: [("s", str(i)) for i in range(len(b))], key="k", verbose=False
+    )
+    assert n == 10
+    assert sample
 
 
 def test_cli_produce_without_boto3_fails_gracefully(tmp_path):
