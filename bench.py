@@ -139,6 +139,8 @@ HEADLINE = [
     "q_window_frame",
     "q_window_ntile",
     "q_winnow_fingerprint",
+    "q_stream_dedup_wm",
+    "q_stream_interval_join_wm",
     # Excluded on purpose (NOT a silent cap): q_cc_chain is the adversarial
     # deep-diameter CC verification query — it deliberately runs ~25 star
     # rounds on a path graph, so its wall time is per-round scheduler
@@ -186,6 +188,25 @@ def main() -> None:
             "report": "min (steady-state; first run pays per-plan codegen compile)",
         },
     }
+    # The driver stores only a 2000-char tail of stdout, which truncates the
+    # per-query head (lost for r2/r4). Persist the full JSON in-repo too,
+    # named for the upcoming round (= latest driver BENCH_r{N} + 1).
+    try:
+        import glob
+        import re
+
+        here = os.path.dirname(os.path.abspath(__file__))
+        rounds = [
+            int(m.group(1))
+            for f in glob.glob(os.path.join(here, "BENCH_r*.json"))
+            if (m := re.search(r"BENCH_r(\d+)\.json$", f))
+        ]
+        local = os.path.join(here, f"BENCH_LOCAL_r{max(rounds, default=0) + 1:02d}.json")
+        with open(local, "w") as fh:
+            json.dump(out, fh, indent=1)
+    except OSError:
+        pass  # read-only checkout: stdout line below is still the contract
+
     print(json.dumps(out))
 
 
@@ -215,8 +236,9 @@ def _drop_persisted(spark) -> None:
     (q_near_dedup's signature table, connected_components' per-round
     checkpoints) so each headline timing is isolated — otherwise later
     queries pay earlier queries' executor-memory pressure."""
-    for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
-        rdd.unpersist()
+    from kitkat_spark.caches import release_caches
+
+    release_caches(spark)
 
 
 if __name__ == "__main__":

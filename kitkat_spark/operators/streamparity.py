@@ -13,6 +13,9 @@ rows-only-checked by the driver:
   corrupt blob drops its 5 inner records).
 - q_shard_status: A1 conditional aggregation over a shard fixture derived
   from events (active vs closed shard counts) — oracled.
+- q_stream_dedup_wm / q_stream_interval_join_wm: REAL Structured Streaming
+  runs (watermarked file replay -> stateful op -> memory sink) shaped so the
+  driver can still value-verify them against a batch SQL oracle.
 
 Scale: fixtures are narrow maps over events; the consume pipeline itself is
 shuffle-free (see streaming/pipeline.py docstring).
@@ -122,6 +125,89 @@ def q_shard_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_dedup_wm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL Structured Streaming dedup, driver-verifiable: events are doubled
+    (every row twice), replayed through a file-stream source with a
+    watermark, deduped with ``dropDuplicatesWithinWatermark`` (streaming/
+    analytics.py stream_dedup), and drained to a memory sink whose table is
+    returned. The doubled input makes the state op load-bearing: broken
+    dedup returns 2x rows and fails the row/hash gate.
+
+    Determinism: the replay lands in one availableNow micro-batch (no
+    maxFilesPerTrigger), so every duplicate meets its twin in the same
+    batch regardless of the watermark delay; output = exactly the distinct
+    events. Scale: state holds only keys within the watermark horizon —
+    eviction as event time advances is the ONLY way exact dedup survives an
+    unbounded stream (unbounded dropDuplicates state grows forever at
+    100 TB/day); the memory sink is test scaffolding, production sinks
+    append to a table/stream.
+    """
+    import os
+
+    from kitkat_spark.streaming.analytics import stream_dedup
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts"
+    )
+    doubled = ev.unionByName(ev)
+    path = os.path.join(
+        "/tmp/kitkat_stream_dedup",
+        spark.sparkContext.applicationId,
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    doubled.write.mode("overwrite").parquet(path)
+    stream = spark.readStream.schema(doubled.schema).parquet(path)
+    deduped = stream_dedup(stream, keys=["event_id"])
+    name = f"stream_dedup_wm_{abs(hash(path)) % 10**8}"
+    q = (
+        deduped.select("event_id", "user_id", "event_type")
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def q_stream_interval_join_wm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL stream-stream interval join, driver-verifiable: events replayed
+    as TWO watermarked file streams, inner-joined on user with a
+    [l_ts, l_ts + 10 min] event-time band (streaming/analytics.py
+    interval_join), drained to a memory sink. The band is what makes the
+    join streamable at all: each side's buffered state evicts once the
+    other side's watermark passes ts + gap, so state is O(rows per
+    watermark horizon), not O(stream) — Spark rejects the unbanded plan
+    outright. Replay lands in one availableNow batch, so the emitted set is
+    exactly the batch band join the oracle computes.
+    """
+    import os
+
+    from kitkat_spark.streaming.analytics import interval_join
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    path = os.path.join(
+        "/tmp/kitkat_stream_ij",
+        spark.sparkContext.applicationId,
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    ev.write.mode("overwrite").parquet(path)
+    left = spark.readStream.schema(ev.schema).parquet(path)
+    right = spark.readStream.schema(ev.schema).parquet(path)
+    name = f"stream_ij_wm_{abs(hash(path)) % 10**8}"
+    q = (
+        interval_join(left, right)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
 def q_stateful_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch analog of the applyInPandasWithState running user profile
     (streaming/stateful.py): cumulative counts/sums + max inter-event gap."""
@@ -131,6 +217,19 @@ def q_stateful_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE: dict[str, str] = {
+    # the doubled stream deduped on event_id is exactly the events table
+    # (event_id is unique there) — DISTINCT expresses it
+    "q_stream_dedup_wm": """
+        SELECT DISTINCT event_id, user_id, event_type FROM events
+    """,
+    "q_stream_interval_join_wm": """
+        SELECT a.user_id, a.event_id AS l_id, b.event_id AS r_id,
+               a.ts AS l_ts, b.ts AS r_ts
+        FROM events a JOIN events b
+          ON a.user_id = b.user_id
+         AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 10 MINUTE
+         AND a.event_id <> b.event_id
+    """,
     "q_stateful_profile": """
         WITH gaps AS (
             SELECT user_id, value,

@@ -67,72 +67,67 @@ for _m in _MODULES:
             _ALL[_name] = getattr(_m, _name)
     ORACLES.update(getattr(_m, "ORACLE", {}))
 
-# The 50 driver-verified slots this round (round 4). Rationale per block:
+# The 50 driver-verified slots this round (round 5). Rationale per block:
 _VERIFY_FIRST = [
-    # -- the 16 queries that crashed in r03 on the events fixture drift;
-    # fixed in sources/tables.py (type-branched ts normalization) and all
-    # re-verified locally against their oracles --
-    "q_stream_tumbling",
-    "q_stream_sliding",
-    "q_sessionize",
-    "q_asof_join",
-    "q_event_growth",
-    "q_json_funcs",
-    "q_stream_enrich",
-    "q_stateful_profile",
-    "q_consume_plain",
-    "q_consume_pipeline",
-    "q_consume_since",
-    "q_shard_status",
-    "q_cohort_retention",
-    "q_funnel",
-    "q_range_join",
+    # -- new or changed this round: the two formerly-rows-only queries now
+    # carry full value oracles (KPL round trip / rendered pipeline), the
+    # embedding near-dup was rebuilt on a corpus-sized LSH quantizer, the
+    # salted join's default sizing path changed, and q_stream_dedup_wm is a
+    # brand-new streaming-native registry entry --
     "q_kpl_deagg",
-    # -- never driver-verified in any round (r02 VERDICT cap-gap finding;
-    # this block closes it: afterwards every registry query has had a
-    # CORRECTNESS row in some round) --
-    "q_text_analysis",
-    "q_token_count",
-    "q_vocab",
-    "q_pii_redact",
-    "q_in_subquery",
-    "q_cross_join_grid",
-    "q_chunk_docs",
-    "q_corpus_mix",
-    "q_length_outliers",
-    "q_merge_upsert",
-    "q_quality_score",
-    # -- r03 hash-fails, fixed this round (decimal sums / BIGINT oracle
-    # casts) --
-    "q_nation_volume",
-    "q_late_priority_lines",
-    "q_pack_sequences",
-    # -- changed this round: monetary sums moved to order-independent
-    # decimal accumulation (functions/numeric.py) on both engines --
-    "q_promo_revenue",
-    "q_small_qty_revenue",
-    "q_disjunctive_join",
-    "q_idle_customers",
-    "q_forecast_revenue",
-    "q_market_share",
-    "q_product_profit",
-    "q_returned_revenue",
-    "q_top_supplier",
-    "q_mjoin_revenue",
-    "q_mjoin_region_revenue",
-    # -- changed this round: LSH-oracle drift fixes (rounded-jaccard filter,
-    # derived dim, empty-vector parity) + convergence guard --
-    "q_ngram_jaccard",
-    "q_dedup_clusters",
-    "q_ann_ivf",
-    "q_near_dedup",
-    # -- new this round --
-    "q_ann_multiprobe",
+    "q_consume_pipeline",
+    "q_stream_dedup_wm",
+    "q_stream_interval_join_wm",
+    "q_embedding_near_dup",
     "q_skew_join_salted",
-    "q_cc_chain",
-    # -- oldest still-unrefreshed greens (r01-only sample) --
-    "q_grouping_sets",
-    "q_knn_classify",
+    # -- every query whose latest driver green is still round 1: refresh
+    # them all under the current code (they are also locally re-proven each
+    # round by tests/test_oracle_parity.py) --
+    "q_hash_join",
+    "q_broadcast_join",
+    "q_semi_anti_join",
+    "q_outer_join",
+    "q_agg_group",
+    "q_agg_distinct",
+    "q_rollup_cube",
+    "q_window_rank",
+    "q_window_frame",
+    "q_window_ntile",
+    "q_window_range",
+    "q_sort_limit",
+    "q_set_ops",
+    "q_scalar_funcs",
+    "q_array_map_funcs",
+    "q_datetime_funcs",
+    "q_conditional_funcs",
+    "q_subquery_scalar",
+    "q_minmax_by",
+    "q_stats_agg",
+    "q_percentiles",
+    "q_string_agg",
+    "q_pivot",
+    "q_first_last",
+    "q_posexplode",
+    "q_histogram",
+    "q_dedup",
+    "q_similarity_search",
+    "q_multimodal",
+    "q_lang_id",
+    "q_fingerprint",
+    "q_stratified_sample",
+    "q_split_leakage",
+    # -- oldest remaining greens (round 3): refresh a representative slice --
+    "q_scan_filter",
+    "q_zlib",
+    "q_part_supplier_count",
+    "q_min_cost_supplier",
+    "q_excess_suppliers",
+    "q_waiting_orders",
+    "q_scd2",
+    "q_exists_join",
+    "q_having_scalar",
+    "q_count_distribution",
+    "q_group_filter_join",
 ]
 
 assert len(_VERIFY_FIRST) == 50, len(_VERIFY_FIRST)

@@ -125,9 +125,10 @@ def main() -> None:
     # warm codegen + python workers on the small side first
     QUERIES["q_scan_filter"](spark, BASE).count()
 
+    from kitkat_spark.caches import release_caches
+
     def drop_persisted():
-        for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
-            rdd.unpersist()
+        release_caches(spark)
 
     results = {}
     for name in args.queries:
