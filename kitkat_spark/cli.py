@@ -88,6 +88,18 @@ def _cmd_consume(args: argparse.Namespace) -> int:
         verbose=args.verbose,
     )
     paths = args.stream.split(",")
+    # entries that are not on-disk record directories are live Kinesis
+    # stream names: those need the connector + boto3 (absent here), so fail
+    # with the produce-path's graceful message instead of a parquet error
+    missing = [p for p in paths if not os.path.exists(p)]
+    if missing:
+        print(
+            f"error: not a replay directory and live Kinesis requires the "
+            f"aws-kinesis connector + boto3 (region {args.region!r}): "
+            + ", ".join(missing),
+            file=sys.stderr,
+        )
+        return 1
     sources = [replay_stream(spark, p, max_files_per_trigger=None) for p in paths]
     df = consume(sources, opts)
     q = start_console(df, opts, available_now=args.once)

@@ -104,6 +104,19 @@ def test_produce_aggregated_round_trips_through_consume(spark, tmp_path):
     assert got == sorted(lines)
 
 
+def test_cli_consume_stream_name_without_connector_fails_gracefully():
+    """A -s entry that is not an on-disk replay dir is a live stream name;
+    without the connector/boto3 the CLI must error cleanly like produce."""
+    r = subprocess.run(
+        [sys.executable, "-m", "kitkat_spark.cli", "consume", "-s", "my-live-stream",
+         "-I", "trim_horizon", "--once", "-r", "us-east-1"],
+        capture_output=True, text=True, timeout=240, cwd=REPO,
+    )
+    assert r.returncode == 1
+    assert "my-live-stream" in r.stderr
+    assert "us-east-1" in r.stderr
+
+
 def test_produce_batch_empty_source(spark, tmp_path):
     """Zero-partition / empty input returns (0, []) instead of raising
     (treeReduce cannot fold an empty RDD)."""
