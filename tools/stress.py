@@ -60,6 +60,7 @@ SUBSET = [
     "q_embedding_near_dup",
     "q_similarity_search",
     "q_pack_sequences",
+    "q_stream_dedup_wm",
 ]
 
 
