@@ -88,11 +88,14 @@ def q_consume_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_consume_since(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F3/F4 AT_TIMESTAMP positioning on replay: event-time lower bound."""
+    """F3/F4 AT_TIMESTAMP positioning on replay: event-time lower bound.
+    The cutoff bisects the fixture's one-month span so the filter is
+    verified on a non-trivial split (~half the rows survive at every sf;
+    the old 2024-03 cutoff green-lit on an empty result)."""
     recs = build_plain_records(spark, sf_dir)
     return consume(
         [recs],
-        ConsumeOptions(position="at_timestamp", since="2024-03-01T00:00:00Z", verbose=False),
+        ConsumeOptions(position="at_timestamp", since="2024-01-15T00:00:00Z", verbose=False),
     )
 
 
@@ -123,6 +126,29 @@ def q_shard_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("closed_shards"),
     )
+
+
+# replay fixtures for the streaming-native queries: written once per
+# (session, sf_dir, variant) — test scaffolding (production reads a real
+# source), so repeat invocations (bench's two passes) measure the streaming
+# op, not the fixture write
+_REPLAY_CACHE: dict[tuple[str, str, str], str] = {}
+
+
+def _replay_path(spark: SparkSession, sf_dir: str, variant: str, df_fn) -> str:
+    import os
+
+    key = (spark.sparkContext.applicationId, sf_dir, variant)
+    if key not in _REPLAY_CACHE:
+        path = os.path.join(
+            "/tmp/kitkat_replay",
+            spark.sparkContext.applicationId,
+            variant,
+            os.path.basename(os.path.normpath(sf_dir)),
+        )
+        df_fn().write.mode("overwrite").parquet(path)
+        _REPLAY_CACHE[key] = path
+    return _REPLAY_CACHE[key]
 
 
 class _state_partitions:
@@ -169,20 +195,13 @@ def q_stream_dedup_wm(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB/day); the memory sink is test scaffolding, production sinks
     append to a table/stream.
     """
-    import os
-
     from kitkat_spark.streaming.analytics import stream_dedup
 
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "user_id", "event_type", "ts"
     )
     doubled = ev.unionByName(ev)
-    path = os.path.join(
-        "/tmp/kitkat_stream_dedup",
-        spark.sparkContext.applicationId,
-        os.path.basename(os.path.normpath(sf_dir)),
-    )
-    doubled.write.mode("overwrite").parquet(path)
+    path = _replay_path(spark, sf_dir, "dedup_doubled", lambda: doubled)
     stream = spark.readStream.schema(doubled.schema).parquet(path)
     deduped = stream_dedup(stream, keys=["event_id"])
     name = f"stream_dedup_wm_{abs(hash(path)) % 10**8}"
@@ -210,17 +229,10 @@ def q_stream_interval_join_wm(spark: SparkSession, sf_dir: str) -> DataFrame:
     outright. Replay lands in one availableNow batch, so the emitted set is
     exactly the batch band join the oracle computes.
     """
-    import os
-
     from kitkat_spark.streaming.analytics import interval_join
 
     ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
-    path = os.path.join(
-        "/tmp/kitkat_stream_ij",
-        spark.sparkContext.applicationId,
-        os.path.basename(os.path.normpath(sf_dir)),
-    )
-    ev.write.mode("overwrite").parquet(path)
+    path = _replay_path(spark, sf_dir, "interval_join", lambda: ev)
     left = spark.readStream.schema(ev.schema).parquet(path)
     right = spark.readStream.schema(ev.schema).parquet(path)
     name = f"stream_ij_wm_{abs(hash(path)) % 10**8}"
@@ -283,7 +295,7 @@ ORACLE: dict[str, str] = {
         SELECT strftime(ts, '%Y-%m-%d %H:%M:%S') AS timestamp,
                event_type || ':' || CAST(event_id AS VARCHAR) AS message
         FROM events
-        WHERE ts >= TIMESTAMP '2024-03-01 00:00:00'
+        WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'
     """,
     "q_shard_status": f"""
         SELECT CAST(sum(CASE WHEN bucket % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS active_shards,

@@ -80,6 +80,7 @@ _VERIFY_FIRST = [
     "q_stream_interval_join_wm",
     "q_embedding_near_dup",
     "q_skew_join_salted",
+    "q_consume_since",
     # -- every query whose latest driver green is still round 1: refresh
     # them all under the current code (they are also locally re-proven each
     # round by tests/test_oracle_parity.py) --
@@ -127,7 +128,6 @@ _VERIFY_FIRST = [
     "q_exists_join",
     "q_having_scalar",
     "q_count_distribution",
-    "q_group_filter_join",
 ]
 
 assert len(_VERIFY_FIRST) == 50, len(_VERIFY_FIRST)
