@@ -94,6 +94,40 @@ def test_streaming_dedup_drops_watermarked_duplicates(spark, tmp_path):
     assert got.n == got.d == 200
 
 
+def test_streaming_dedup_across_micro_batches(spark, tmp_path):
+    """Duplicates arriving in DIFFERENT micro-batches must not re-emit: a
+    second copy is either matched against the state store (still within the
+    watermark delay) or dropped as late data (older than the advanced
+    watermark) — either way the append output carries each key exactly
+    once. This is the cross-batch state property the single-batch test
+    above cannot see."""
+    src = str(tmp_path / "xbatch")
+    ev = load_table(spark, SF, "events").limit(200)
+    ev.coalesce(1).write.mode("append").parquet(src)  # file 1: copy A
+    ev.coalesce(1).write.mode("append").parquet(src)  # file 2: copy B
+    schema = spark.read.parquet(src).schema
+    stream = stream_dedup(
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("t_dedup_xb")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_xb"))
+        .start()
+    )
+    q.awaitTermination(180)
+    fed = [p for p in q.recentProgress if p["numInputRows"] > 0]
+    assert len(fed) >= 2, "replay did not split into multiple micro-batches"
+    got = spark.sql(
+        "SELECT count(*) AS n, count(DISTINCT event_id) AS d FROM t_dedup_xb"
+    ).collect()[0]
+    assert got.n == got.d == 200
+
+
 def test_streaming_enrich_equals_batch(spark, events_stream_path):
     """Stream-static enrichment (q_stream_enrich's shape): the event stream
     joined to the customer dimension — a stream-static broadcast join needs
