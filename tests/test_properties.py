@@ -119,3 +119,30 @@ def test_dsum_matches_exact_decimal_any_partitioning(values, n_parts):
         exact.quantize(decimal.Decimal("0.01"), rounding=decimal.ROUND_HALF_UP)
     )
     assert got == want, (got, want, values)
+
+
+# --- producer-side KPL packing (_kpl_blobs, the --aggregated path) --------
+
+producer_records = st.lists(st.tuples(keys, payloads), min_size=0, max_size=40)
+
+
+@given(producer_records, st.integers(min_value=1, max_value=7))
+@settings(max_examples=200, deadline=None)
+def test_kpl_blobs_pack_unpack_property(records, blob_records):
+    """produce --aggregated packing: for ANY record stream and blob size,
+    deaggregating the emitted blobs in order reproduces the records exactly
+    (keys dictionary-decode, payloads byte-identical), blob count is
+    ceil(n / blob_records), and each blob's outer key is its first inner
+    record's key."""
+    from kitkat_spark.streaming.producer import _kpl_blobs
+
+    blobs = list(_kpl_blobs(iter(records), blob_records=blob_records))
+    n = len(records)
+    assert len(blobs) == (n + blob_records - 1) // blob_records
+    out = []
+    for i, (outer_key, blob) in enumerate(blobs):
+        inner = deaggregate_blob(blob)
+        assert 1 <= len(inner) <= blob_records
+        assert outer_key == inner[0]["partition_key"]
+        out.extend((r["partition_key"], r["data"]) for r in inner)
+    assert out == records
