@@ -357,7 +357,53 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.col("new_id").alias("doc_id"), "fp")
 
 
+SHUFFLE_SHARDS = 16
+SHUFFLE_SEED = "shuf1"
+
+
+def q_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus shuffle + shard assignment — the final 'write
+    training shards' step of a data pipeline: every document gets a
+    pseudo-random but SEEDED, layout-invariant position, so the exact
+    training order is reproducible across reruns, cluster layouts, and
+    engines (md5_long of seed||doc_id; the oracle replays it).
+
+    shard = key mod N; position = rank within the shard by (key, doc_id).
+    Scale: one shuffle — the per-shard window partitions by shard. With
+    shards sized to training-file granularity (thousands at 100 TB) each
+    window partition is one task; the production form writes
+    partitionBy(shard) with sortWithinPartitions(key) and lets position be
+    implicit file order rather than materializing row_number."""
+    from kitkat_spark.functions.text import md5_long
+
+    docs = load_table(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id",
+        md5_long(
+            F.concat(F.lit(SHUFFLE_SEED + "|"), F.col("doc_id").cast("string"))
+        ).alias("k"),
+    )
+    w = W.partitionBy(F.pmod(F.col("k"), F.lit(SHUFFLE_SHARDS))).orderBy("k", "doc_id")
+    return keyed.select(
+        F.pmod(F.col("k"), F.lit(SHUFFLE_SHARDS)).alias("shard"),
+        F.row_number().over(w).alias("pos"),
+        "doc_id",
+    )
+
+
 ORACLE: dict[str, str] = {
+    "q_shuffle_shards": f"""
+        WITH k AS (
+            SELECT doc_id,
+                   ('0x' || substr(md5('{SHUFFLE_SEED}|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS k
+            FROM documents
+        )
+        SELECT CAST(k % {SHUFFLE_SHARDS} AS BIGINT) AS shard,
+               CAST(row_number() OVER (
+                   PARTITION BY k % {SHUFFLE_SHARDS} ORDER BY k, doc_id) AS INT) AS pos,
+               doc_id
+        FROM k
+    """,
     "q_corpus_pipeline": """
         WITH b AS (
             SELECT quantile_cont(n_chars, 0.05) AS lo,
