@@ -249,6 +249,54 @@ def q_stream_interval_join_wm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def q_consume_dlq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1 as a driver row: the dead-letter consume (streaming/sinks.py
+    consume_with_dlq) over the mixed KPL+plain stream. Good records render
+    to a parquet append sink, undecodable ones (exactly the corrupt blob 0
+    the fixture injects) quarantine with a reason — the split the reference
+    performs silently (consumer.go:177-179) made observable. Output is the
+    per-disposition row count read back from BOTH sinks, so the driver
+    value-checks that nothing was dropped on the floor: rendered =
+    2*count(events) - 5, quarantined:kpl_decode_failed = 1. Re-invocation
+    is a no-op thanks to the checkpointed offsets (availableNow over a
+    caught-up source appends nothing), which is itself the effectively-once
+    property the sink claims."""
+    import os
+
+    from kitkat_spark.streaming.sinks import consume_with_dlq
+
+    mixed = build_kpl_records(spark, sf_dir).unionByName(
+        build_plain_records(spark, sf_dir)
+    )
+    src = _replay_path(spark, sf_dir, "dlq_mixed", lambda: mixed)
+    base = os.path.join(
+        "/tmp/kitkat_dlq",
+        spark.sparkContext.applicationId,
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    stream = spark.readStream.schema(mixed.schema).parquet(src)
+    with _state_partitions(spark):
+        q = consume_with_dlq(
+            stream,
+            good_path=os.path.join(base, "good"),
+            dlq_path=os.path.join(base, "dlq"),
+            checkpoint=os.path.join(base, "ckpt"),
+            verbose=True,
+        )
+        q.awaitTermination()
+    rendered = spark.read.parquet(os.path.join(base, "good")).select(
+        F.lit("rendered").alias("disposition")
+    )
+    quarantined = spark.read.parquet(os.path.join(base, "dlq")).select(
+        F.concat(F.lit("quarantined:"), F.col("reason")).alias("disposition")
+    )
+    return (
+        rendered.unionByName(quarantined)
+        .groupBy("disposition")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+
+
 def q_stateful_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch analog of the applyInPandasWithState running user profile
     (streaming/stateful.py): cumulative counts/sums + max inter-event gap."""
@@ -270,6 +318,16 @@ ORACLE: dict[str, str] = {
           ON a.user_id = b.user_id
          AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 10 MINUTE
          AND a.event_id <> b.event_id
+    """,
+    # rendered = plain (count) + decodable KPL inner records (count - 5);
+    # the one corrupt blob quarantines with its decode reason
+    "q_consume_dlq": """
+        SELECT 'rendered' AS disposition,
+               CAST(2 * count(*) - 5 AS BIGINT) AS n
+        FROM events
+        UNION ALL
+        SELECT 'quarantined:kpl_decode_failed' AS disposition,
+               CAST(1 AS BIGINT) AS n
     """,
     "q_stateful_profile": """
         WITH gaps AS (

@@ -82,6 +82,7 @@ _VERIFY_FIRST = [
     "q_skew_join_salted",
     "q_consume_since",
     "q_shuffle_shards",
+    "q_consume_dlq",
     # -- every query whose latest driver green is still round 1: refresh
     # them all under the current code (they are also locally re-proven each
     # round by tests/test_oracle_parity.py) --
@@ -127,7 +128,6 @@ _VERIFY_FIRST = [
     "q_waiting_orders",
     "q_scd2",
     "q_exists_join",
-    "q_having_scalar",
 ]
 
 assert len(_VERIFY_FIRST) == 50, len(_VERIFY_FIRST)
