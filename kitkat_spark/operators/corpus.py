@@ -357,7 +357,8 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.col("new_id").alias("doc_id"), "fp")
 
 
-SHUFFLE_SHARDS = 16
+SHUFFLE_MIN_SHARDS = 16
+SHUFFLE_DOCS_PER_SHARD = 1024
 SHUFFLE_SEED = "shuf1"
 
 
@@ -369,38 +370,52 @@ def q_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines (md5_long of seed||doc_id; the oracle replays it).
 
     shard = key mod N; position = rank within the shard by (key, doc_id).
-    Scale: one shuffle — the per-shard window partitions by shard. With
-    shards sized to training-file granularity (thousands at 100 TB) each
-    window partition is one task; the production form writes
-    partitionBy(shard) with sortWithinPartitions(key) and lets position be
-    implicit file order rather than materializing row_number."""
+    N is SIZED FROM THE CORPUS — max(16, ceil(docs / 1024)) — so each
+    shard-window stays ~training-file-sized no matter the corpus (a fixed
+    N would make every window partition grow linearly with the data, the
+    same fixed-resolution disease the near-dup quantizer had; the sizing
+    count is the same one-scan 'train the layout' step). One shuffle — the
+    per-shard window; the production form writes partitionBy(shard) with
+    sortWithinPartitions(key) and lets position be implicit file order
+    rather than materializing row_number."""
+    import math
+
     from kitkat_spark.functions.text import md5_long
 
     docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    # mirror the oracle arithmetic exactly: ceil(n / docs_per_shard)
+    shards = max(SHUFFLE_MIN_SHARDS, math.ceil(n_docs / SHUFFLE_DOCS_PER_SHARD))
     keyed = docs.select(
         "doc_id",
         md5_long(
             F.concat(F.lit(SHUFFLE_SEED + "|"), F.col("doc_id").cast("string"))
         ).alias("k"),
     )
-    w = W.partitionBy(F.pmod(F.col("k"), F.lit(SHUFFLE_SHARDS))).orderBy("k", "doc_id")
+    w = W.partitionBy(F.pmod(F.col("k"), F.lit(shards))).orderBy("k", "doc_id")
     return keyed.select(
-        F.pmod(F.col("k"), F.lit(SHUFFLE_SHARDS)).alias("shard"),
+        F.pmod(F.col("k"), F.lit(shards)).alias("shard"),
         F.row_number().over(w).alias("pos"),
         "doc_id",
     )
 
 
 ORACLE: dict[str, str] = {
+    # replays the corpus-sized shard count (max(16, ceil(n/1024))) and the
+    # md5 key arithmetic value-for-value
     "q_shuffle_shards": f"""
-        WITH k AS (
+        WITH params AS (
+            SELECT greatest({SHUFFLE_MIN_SHARDS},
+                   CAST(ceil(count(*) * 1.0 / {SHUFFLE_DOCS_PER_SHARD}) AS BIGINT)) AS n
+            FROM documents
+        ), k AS (
             SELECT doc_id,
                    ('0x' || substr(md5('{SHUFFLE_SEED}|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS k
             FROM documents
         )
-        SELECT CAST(k % {SHUFFLE_SHARDS} AS BIGINT) AS shard,
+        SELECT CAST(k % (SELECT n FROM params) AS BIGINT) AS shard,
                CAST(row_number() OVER (
-                   PARTITION BY k % {SHUFFLE_SHARDS} ORDER BY k, doc_id) AS INT) AS pos,
+                   PARTITION BY k % (SELECT n FROM params) ORDER BY k, doc_id) AS INT) AS pos,
                doc_id
         FROM k
     """,
