@@ -61,6 +61,7 @@ SUBSET = [
     "q_similarity_search",
     "q_pack_sequences",
     "q_stream_dedup_wm",
+    "q_shuffle_shards",
 ]
 
 
