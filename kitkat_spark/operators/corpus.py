@@ -296,17 +296,30 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashes == equality on strings up to 2^-64 collisions; the DuckDB oracle
     verifies the string-level overlap)."""
     par = spark.sparkContext.defaultParallelism
-    docs = load_table(spark, sf_dir, "documents").repartition(par)
-    sh = docs.select(
-        "doc_id",
-        F.explode(full_shingle_hashes(tokens(F.col("text")), DECON_NGRAM)).alias("s"),
-    )
+    docs = load_table(spark, sf_dir, "documents")
+
+    def shingled(side):
+        return side.select(
+            "doc_id",
+            F.explode(full_shingle_hashes(tokens(F.col("text")), DECON_NGRAM)).alias("s"),
+        )
+
+    # Derive each side from its OWN filtered scan so the doc_id predicates
+    # reach the parquet reader: the bench side then reads ~|eval set| rows
+    # instead of re-scanning and re-shingling the whole corpus. (The
+    # previous shape filtered ABOVE a shared repartition, which blocked
+    # pushdown and ran the full tokenize+hash scan once per branch — 18
+    # xxhash64 copies in the executed plan, caught by the round-5 plan
+    # sweep. A persist() of the shared shingle table also fixes the double
+    # scan but materializes an exploded table as large as the corpus;
+    # measured slower at sf0.1 and strictly worse at 100 TB than reading
+    # 20 rows.)
     bench = (
-        sh.filter(F.col("doc_id") < BENCH_DOCS)
+        shingled(docs.filter(F.col("doc_id") < BENCH_DOCS))
         .select("s", F.col("doc_id").alias("bench_id"))
         .distinct()
     )
-    corp = sh.filter(F.col("doc_id") >= BENCH_DOCS)
+    corp = shingled(docs.filter(F.col("doc_id") >= BENCH_DOCS).repartition(par))
     return (
         corp.join(F.broadcast(bench), "s")
         .groupBy("doc_id")
