@@ -210,3 +210,19 @@ def test_expensive_hash_subtrees_not_reinlined(spark):
         plan = explain_str(QUERIES[name](spark, SF))
         n = plan.count(needle)
         assert n <= cap, f"{name}: {n} {needle} subtrees in plan (cap {cap})"
+
+
+def test_decontaminate_bench_side_filter_pushed_down(spark):
+    """q_decontaminate must derive each join side from its OWN filtered
+    scan: the doc_id predicates reach the parquet reader, so the benchmark
+    branch reads ~|eval set| rows at any corpus size. Filtering above a
+    shared repartition blocked pushdown and full-scanned + re-shingled the
+    corpus once per branch (caught by the round-5 plan sweep)."""
+    plan = (
+        QUERIES["q_decontaminate"](spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "LessThan(doc_id,20)" in plan, "bench-side predicate not pushed to scan"
+    assert "GreaterThanOrEqual(doc_id,20)" in plan, "corpus-side predicate not pushed"
