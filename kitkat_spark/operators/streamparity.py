@@ -1,8 +1,8 @@
 """Batch-analog queries for the kitkat streaming-parity surface (§2.A).
 
 The streaming module (kitkat_spark/streaming/) is pure transforms, so the
-SAME pipeline code runs here over batch record fixtures and gets oracle- or
-rows-only-checked by the driver:
+SAME pipeline code runs here over batch record fixtures and every query is
+value-oracled by the driver:
 
 - q_consume_plain: plain-record consume (P2 ts-format + P3 single-newline
   trim + P4 verbose projection) — fully SQL-expressible, DuckDB-oracled.
@@ -82,7 +82,7 @@ def q_consume_plain(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_consume_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full EP2: mixed KPL + plain stream, deagg + render (rows-only)."""
+    """Full EP2: mixed KPL + plain stream, deagg + render (value-oracled)."""
     mixed = [build_kpl_records(spark, sf_dir), build_plain_records(spark, sf_dir)]
     return consume(mixed, ConsumeOptions(position="trim_horizon", verbose=True))
 
