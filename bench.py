@@ -143,6 +143,7 @@ HEADLINE = [
     "q_stream_interval_join_wm",
     "q_shuffle_shards",
     "q_consume_dlq",
+    "q_ann_kmeans_ivf",
     # Excluded on purpose (NOT a silent cap): q_cc_chain is the adversarial
     # deep-diameter CC verification query — it deliberately runs ~25 star
     # rounds on a path graph, so its wall time is per-round scheduler

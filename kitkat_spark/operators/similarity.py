@@ -316,6 +316,69 @@ def q_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
 N_CENTROIDS = 8
 
 
+def q_ann_kmeans_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with a k-means-style coarse quantizer — the second real IVF
+    index alongside the sign-LSH one (q_ann_ivf): corpus vectors are
+    assigned to their nearest-centroid cell (exactly the q_centroid_assign
+    pass; centroids deterministic as vectors vec_id < 8), and each query
+    ranks candidates ONLY within its own cell.
+
+    Scale: the assignment IS the stored IVF layout — write the corpus
+    partitioned by cell and the probe join is cell-local; the corpus never
+    reshuffles per query, the tiny query side broadcasts. Recall recovery
+    at n_probe > 1 fans out the query side only (the q_ann_multiprobe
+    move). The persisted (vec, norm, cell) table feeds both join sides, so
+    the assignment cross join runs once."""
+    emb = _with_norm(
+        load_table(spark, sf_dir, "embeddings").filter(F.size("embedding") > 0)
+    )
+    cents = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("cn"),
+    )
+    scored = emb.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "v",
+        "nrm",
+        "centroid_id",
+        F.round(dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cn")), 6).alias(
+            "c_cos"
+        ),
+    )
+    w = W.partitionBy("vec_id").orderBy(F.col("c_cos").desc(), "centroid_id")
+    indexed = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "v", "nrm", F.col("centroid_id").alias("cell"))
+        .persist()
+    )
+    queries = indexed.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+        "cell",
+    )
+    cand = indexed.select(F.col("vec_id").alias("cand_id"), "v", "nrm", "cell")
+    pairs = (
+        cand.join(F.broadcast(queries), "cell")
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            F.round(dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm")), 6).alias(
+                "cosine"
+            ),
+        )
+    )
+    wq = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), "cand_id")
+    return (
+        pairs.withColumn("rk", F.row_number().over(wq))
+        .filter(F.col("rk") <= TOP_K)
+        .select("query_id", "cand_id", "cosine", "rk")
+    )
+
+
 def q_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nearest-centroid assignment (the IVF/k-means training-step primitive):
     every vector assigned to its most-cosine-similar centroid, centroids
@@ -383,6 +446,44 @@ ORACLE: dict[str, str] = {
                count(*) AS n_vecs
         FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS t(i)
         GROUP BY 1, 2
+    """,
+    # replays the nearest-centroid cell assignment, then the cell-local
+    # top-k — value-verifying the k-means IVF index end to end
+    "q_ann_kmeans_ivf": f"""
+        WITH e AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v,
+                   sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                       AS nrm
+            FROM embeddings
+            WHERE len(embedding) > 0
+        ), cents AS (
+            SELECT vec_id AS centroid_id, v AS cv, nrm AS cn
+            FROM e WHERE vec_id < {N_CENTROIDS}
+        ), assigned AS (
+            SELECT vec_id, centroid_id AS cell FROM (
+                SELECT e.vec_id, c.centroid_id,
+                       row_number() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY round(list_dot_product(e.v, c.cv)
+                                          / (e.nrm * c.cn), 6) DESC,
+                                    c.centroid_id) AS rk
+                FROM e CROSS JOIN cents c
+            ) WHERE rk = 1
+        ), scored AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+                   round(list_dot_product(eq.v, ec.v) / (eq.nrm * ec.nrm), 6)
+                       AS cosine
+            FROM assigned q
+            JOIN assigned c ON c.cell = q.cell AND c.vec_id <> q.vec_id
+            JOIN e eq ON eq.vec_id = q.vec_id
+            JOIN e ec ON ec.vec_id = c.vec_id
+            WHERE q.vec_id < {N_QUERIES}
+        )
+        SELECT query_id, cand_id, cosine, rk FROM (
+            SELECT *, CAST(row_number() OVER (
+                PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS INT) AS rk
+            FROM scored
+        ) WHERE rk <= {TOP_K}
     """,
     "q_centroid_assign": """
         WITH e AS (

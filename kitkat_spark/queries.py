@@ -83,6 +83,7 @@ _VERIFY_FIRST = [
     "q_consume_since",
     "q_shuffle_shards",
     "q_consume_dlq",
+    "q_ann_kmeans_ivf",
     # -- every query whose latest driver green is still round 1: refresh
     # them all under the current code (they are also locally re-proven each
     # round by tests/test_oracle_parity.py) --
@@ -127,7 +128,6 @@ _VERIFY_FIRST = [
     "q_excess_suppliers",
     "q_waiting_orders",
     "q_scd2",
-    "q_exists_join",
 ]
 
 assert len(_VERIFY_FIRST) == 50, len(_VERIFY_FIRST)
