@@ -413,7 +413,78 @@ def q_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SPAN_TOKENS = 10
+
+
+def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated-span audit (the C4/RefinedWeb within-corpus span dedup, at
+    span granularity rather than whole-document): every document splits into
+    non-overlapping SPAN_TOKENS-word spans, each span fingerprints (md5),
+    and an occurrence is a duplicate iff ANOTHER occurrence of the same
+    fingerprint precedes it in (doc_id, start) order. Output: per-document
+    span counts + duplicated-span fraction — the signal used to drop or
+    trim boilerplate-heavy documents.
+
+    Plan: the span fan-out is a codegen'd Generate (map-side, ~n_tokens/10
+    rows per doc, NO shuffle — same shape as q_chunk_docs); first-occurrence
+    marking is ONE window shuffle keyed on the fingerprint (exactly the
+    shuffle an exact-dedup groupBy would pay; the groupBy(fp)+join-back
+    alternative pays two); the per-doc rollup partial-aggregates map-side.
+    A viral span (site boilerplate repeated millions of times) concentrates
+    one fp key — the window only sorts within that key, and a production
+    run caps it the way q_ngram_jaccard's DF_CAP bounds hot shingles:
+    spans past the cap are duplicates by definition, no sort needed.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select("doc_id", F.split("text", " ", -1).alias("w")).filter(
+        F.size("w") > 0
+    )
+    spans = d.select(
+        "doc_id",
+        "w",
+        F.explode(F.sequence(F.lit(1), F.size("w"), F.lit(SPAN_TOKENS))).alias(
+            "start"
+        ),
+    ).select(
+        "doc_id",
+        "start",
+        F.md5(F.concat_ws(" ", F.slice("w", F.col("start"), SPAN_TOKENS))).alias("fp"),
+    )
+    w_fp = W.partitionBy("fp").orderBy("doc_id", "start")
+    marked = spans.select(
+        "doc_id",
+        F.when(F.row_number().over(w_fp) > 1, 1).otherwise(0).alias("dup"),
+    )
+    return marked.groupBy("doc_id").agg(
+        F.count("*").alias("n_spans"),
+        F.sum("dup").cast("long").alias("n_dup_spans"),
+        F.round(F.sum("dup") / F.count("*"), 4).alias("dup_frac"),
+    )
+
+
 ORACLE: dict[str, str] = {
+    "q_span_dedup": f"""
+        WITH d AS (
+            SELECT doc_id, str_split(text, ' ') AS w FROM documents
+        ),
+        spans AS (
+            SELECT doc_id, start,
+                   md5(array_to_string(w[start:start+{SPAN_TOKENS - 1}], ' ')) AS fp
+            FROM d, unnest(generate_series(1, len(w), {SPAN_TOKENS})) AS t(start)
+            WHERE len(w) > 0
+        ),
+        marked AS (
+            SELECT doc_id,
+                   CASE WHEN row_number() OVER (
+                            PARTITION BY fp ORDER BY doc_id, start) > 1
+                        THEN 1 ELSE 0 END AS dup
+            FROM spans
+        )
+        SELECT doc_id, count(*) AS n_spans,
+               CAST(sum(dup) AS BIGINT) AS n_dup_spans,
+               round(sum(dup) * 1.0 / count(*), 4) AS dup_frac
+        FROM marked GROUP BY doc_id
+    """,
     # replays the corpus-sized shard count (max(16, ceil(n/1024))) and the
     # md5 key arithmetic value-for-value
     "q_shuffle_shards": f"""

@@ -160,9 +160,116 @@ def q_cc_chain(spark, sf_dir):
     return cc.select(F.col("u").alias("doc_id"), "label")
 
 
+PR_ITERS = 3
+PR_SCALE = 1_000_000  # rank unit: 1.0 == 1e6 (fixed-point int64)
+
+
+def pagerank_fixed(edges: DataFrame, iters: int = PR_ITERS) -> DataFrame:
+    """Fixed-iteration PageRank over an UNDIRECTED edge list, in exact
+    fixed-point int64 arithmetic so the result is bit-identical across
+    engines and shuffle layouts.
+
+    Floating-point PageRank is not oracle-checkable: the per-node sum of
+    neighbor contributions is order-dependent in IEEE doubles, and iterating
+    compounds the divergence. Instead ranks live as int64 micro-units
+    (1.0 == 1e6) and every step is integer arithmetic with truncating
+    division — associative, commutative, deterministic:
+
+        contrib(u) = rank(u) div deg(u)
+        rank'(v)   = 0.15*SCALE + (850 * sum_in(contrib)) div 1000
+
+    Plan per iteration: ONE join (edges ⋈ ranks, both keyed on the node id)
+    + ONE partial-aggregated groupBy on the destination — the minimal
+    shuffle shape for message passing. The degree is attached to the edge
+    list ONCE up front (`sym`), so iterations never re-aggregate it; `sym`
+    is localCheckpoint'ed to keep each iteration's lineage flat. High-degree
+    hubs concentrate one groupBy key; the sum combines map-side, so the
+    skew cost is bounded by partial-agg merge, not row movement. Symmetric
+    edges mean every node has in-degree >= 1 — no dangling-mass term.
+
+    At 100 TB this is the GraphX/Pregel layout expressed in DataFrames:
+    edges co-partition with ranks on the node key, per-iteration cost is
+    |E| shuffle bytes, and the iteration count is fixed (power iteration
+    converges geometrically; 3 rounds is the verification setting — a
+    production run raises `iters`, the shape is identical).
+    """
+    sym = edges.union(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).distinct()
+    deg = sym.groupBy("u").agg(F.count("*").alias("deg"))
+    sym = sym.join(deg, "u").localCheckpoint(eager=True)
+    ranks = deg.select("u", F.lit(PR_SCALE).cast("long").alias("rank"))
+    for _ in range(iters):
+        contribs = sym.join(ranks, "u").select(
+            F.col("v").alias("node"),
+            F.expr("rank div deg").alias("contrib"),
+        )
+        ranks = (
+            contribs.groupBy("node")
+            .agg(F.sum("contrib").alias("s"))
+            .select(
+                F.col("node").alias("u"),
+                (F.lit(150_000) + F.expr("(850 * s) div 1000")).alias("rank"),
+            )
+        )
+    return ranks
+
+
+def q_pagerank(spark, sf_dir):
+    """PageRank over the customer–supplier trade graph: an edge links a
+    customer to every supplier that shipped one of its orders (distinct
+    pairs via orders ⋈ lineitem). Node ids interleave (cust*2, supp*2+1) so
+    the two key spaces stay disjoint. 3 exact fixed-point iterations; the
+    DuckDB oracle unrolls the same three message-passing rounds as CTEs —
+    a value-level cross-engine check of an iterative graph algorithm.
+    """
+    from kitkat_spark.sources import load_table
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("u"),
+            (F.col("l_suppkey") * 2 + 1).alias("v"),
+        )
+        .distinct()
+    )
+    ranks = pagerank_fixed(edges)
+    return ranks.select(
+        F.col("u").alias("node"),
+        F.when(F.col("u") % 2 == 0, F.lit("customer"))
+        .otherwise(F.lit("supplier"))
+        .alias("kind"),
+        F.col("rank"),
+    )
+
+
 ORACLE = {
     "q_cc_chain": """
         SELECT doc_id, (SELECT min(doc_id) FROM documents) AS label
         FROM documents
+    """,
+    # the same three fixed-point rounds, unrolled; // is floor division ==
+    # Spark's `div` on the non-negative values here
+    "q_pagerank": """
+        WITH e AS (
+            SELECT DISTINCT o_custkey * 2 AS u, l_suppkey * 2 + 1 AS v
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        ),
+        sym AS (SELECT u, v FROM e UNION SELECT v AS u, u AS v FROM e),
+        deg AS (SELECT u, count(*) AS deg FROM sym GROUP BY u),
+        g AS (SELECT sym.u, sym.v, deg.deg FROM sym JOIN deg ON sym.u = deg.u),
+        r0 AS (SELECT u, CAST(1000000 AS BIGINT) AS rank FROM deg),
+        r1 AS (SELECT g.v AS u, 150000 + (850 * sum(r0.rank // g.deg)) // 1000 AS rank
+               FROM g JOIN r0 ON g.u = r0.u GROUP BY g.v),
+        r2 AS (SELECT g.v AS u, 150000 + (850 * sum(r1.rank // g.deg)) // 1000 AS rank
+               FROM g JOIN r1 ON g.u = r1.u GROUP BY g.v),
+        r3 AS (SELECT g.v AS u, 150000 + (850 * sum(r2.rank // g.deg)) // 1000 AS rank
+               FROM g JOIN r2 ON g.u = r2.u GROUP BY g.v)
+        SELECT u AS node,
+               CASE WHEN u % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind,
+               CAST(rank AS BIGINT) AS rank
+        FROM r3
     """,
 }

@@ -249,6 +249,44 @@ def q_stream_interval_join_wm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def q_stream_session_wm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL streaming session windows, driver-verifiable: events replayed
+    through a watermarked file stream into the native ``session_window``
+    aggregation (streaming/analytics.py session_counts — dynamic-gap state
+    merged by the state store), drained via a memory sink in APPEND mode.
+
+    Append mode only emits a session once the watermark passes its end, so
+    the emitted set is exactly the sessions with
+    ``session_end <= max(ts) - watermark_delay`` — sessions still open (or
+    closed but inside the final watermark horizon) when the replay exhausts
+    remain in state, unemitted. That tail-withholding is not a test
+    artifact, it IS the streaming contract (a session can always be
+    extended until the watermark seals it), and it is deterministic for a
+    fixed fixture, so the batch oracle replays it: gap-and-island sessions
+    (new session when the inter-event gap >= 30 min, the half-open-window
+    merge rule of session_window) filtered to sealed ends. Value-verifies
+    window merging, state eviction, and the append-mode finalization
+    boundary in one row set.
+    """
+    from kitkat_spark.streaming.analytics import session_counts
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    path = _replay_path(spark, sf_dir, "session_wm", lambda: ev)
+    stream = spark.readStream.schema(ev.schema).parquet(path)
+    name = f"stream_session_wm_{abs(hash(path)) % 10**8}"
+    with _state_partitions(spark):
+        q = (
+            session_counts(stream)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(name)
+
+
 def q_consume_dlq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E1 as a driver row: the dead-letter consume (streaming/sinks.py
     consume_with_dlq) over the mixed KPL+plain stream. Good records render
@@ -310,6 +348,34 @@ ORACLE: dict[str, str] = {
     # (event_id is unique there) — DISTINCT expresses it
     "q_stream_dedup_wm": """
         SELECT DISTINCT event_id, user_id, event_type FROM events
+    """,
+    # gap-and-island twin of session_window (new session when gap >= 30 min
+    # — the half-open merge rule), filtered to the sessions append mode
+    # seals: end <= final watermark = max(ts) - 10 min
+    "q_stream_session_wm": """
+        WITH x AS (
+            SELECT user_id, ts,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                        THEN 1 ELSE 0 END AS new_s
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        s AS (
+            SELECT user_id, ts,
+                   sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+            FROM x
+        ),
+        agg AS (
+            SELECT min(ts) AS session_start,
+                   max(ts) + INTERVAL 30 MINUTE AS session_end,
+                   user_id, count(*) AS n_events
+            FROM s GROUP BY user_id, sid
+        )
+        SELECT session_start, session_end, user_id, n_events
+        FROM agg
+        WHERE session_end <= (SELECT max(ts) - INTERVAL 10 MINUTE FROM events)
     """,
     "q_stream_interval_join_wm": """
         SELECT a.user_id, a.event_id AS l_id, b.event_id AS r_id,

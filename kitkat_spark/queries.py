@@ -28,7 +28,9 @@ from kitkat_spark.operators import (
     multimodal,
     payloads,
     pipelines,
+    profiling,
     relational,
+    runtimefilter,
     sampling,
     similarity,
     skew,
@@ -42,6 +44,8 @@ from kitkat_spark.operators import (
 _MODULES = (
     relational,
     graph,
+    profiling,
+    runtimefilter,
     sampling,
     skew,
     analytic,
@@ -69,11 +73,18 @@ for _m in _MODULES:
 
 # The 50 driver-verified slots this round (round 5). Rationale per block:
 _VERIFY_FIRST = [
-    # -- new or changed this round: the two formerly-rows-only queries now
+    # -- new or changed this round: five brand-new queries (Bloom-pruned
+    # join, fixed-point PageRank, span-level dedup, column profiler,
+    # streaming session windows), the two formerly-rows-only queries now
     # carry full value oracles (KPL round trip / rendered pipeline), the
     # embedding near-dup was rebuilt on a corpus-sized LSH quantizer, the
-    # salted join's default sizing path changed, and q_stream_dedup_wm is a
-    # brand-new streaming-native registry entry --
+    # salted join's default sizing path changed, and q_stream_dedup_wm /
+    # q_stream_interval_join_wm are new streaming-native registry entries --
+    "q_bloom_join",
+    "q_pagerank",
+    "q_span_dedup",
+    "q_column_profile",
+    "q_stream_session_wm",
     "q_kpl_deagg",
     "q_consume_pipeline",
     "q_stream_dedup_wm",
@@ -123,11 +134,6 @@ _VERIFY_FIRST = [
     # -- oldest remaining greens (round 3): refresh a representative slice --
     "q_scan_filter",
     "q_zlib",
-    "q_part_supplier_count",
-    "q_min_cost_supplier",
-    "q_excess_suppliers",
-    "q_waiting_orders",
-    "q_scd2",
 ]
 
 assert len(_VERIFY_FIRST) == 50, len(_VERIFY_FIRST)

@@ -74,3 +74,35 @@ def test_hybrid_cc_falls_back_to_star_on_deep_graphs(spark):
     got = {r["u"]: r["label"] for r in connected_components(edges, max_iter=3).collect()}
     assert len(got) == 201
     assert set(got.values()) == {0}
+
+
+def test_pagerank_fixed_point_hand_check(spark):
+    """One iteration on the path 1-2-3, checked against hand-computed exact
+    fixed-point values: contribs are rank div deg, update is
+    150000 + (850 * sum) div 1000 — no floats anywhere."""
+    from pyspark.sql import functions as F
+
+    from kitkat_spark.operators.graph import pagerank_fixed
+
+    edges = spark.createDataFrame([(1, 2), (2, 3)], ["u", "v"])
+    got = {r["u"]: r["rank"] for r in pagerank_fixed(edges, iters=1).collect()}
+    # deg: {1:1, 2:2, 3:1}; contribs into 2 = 1e6 + 1e6, into 1/3 = 5e5
+    assert got == {1: 575_000, 2: 1_850_000, 3: 575_000}
+
+
+def test_pagerank_mass_is_conserved_approximately(spark):
+    """On a 200-node random graph, total rank stays within truncation loss
+    of N * SCALE (each node truncates < deg micro-units per round)."""
+    import random
+
+    from kitkat_spark.operators.graph import PR_SCALE, pagerank_fixed
+
+    rng = random.Random(7)
+    edges = spark.createDataFrame(
+        list({(rng.randrange(200), rng.randrange(200)) for _ in range(400)}),
+        ["u", "v"],
+    )
+    ranks = pagerank_fixed(edges, iters=3).collect()
+    n = len(ranks)
+    total = sum(r["rank"] for r in ranks)
+    assert 0.97 * n * PR_SCALE < total <= n * PR_SCALE + 1

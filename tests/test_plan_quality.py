@@ -17,7 +17,7 @@ from kitkat_spark.plans import (
     shuffle_count,
     wholestage_codegen_count,
 )
-from kitkat_spark.plans.explain import read_schema_columns
+from kitkat_spark.plans.explain import explain_str, read_schema_columns
 from kitkat_spark.queries import QUERIES
 
 SF = "/root/testdata/sf0.001"
@@ -226,3 +226,24 @@ def test_decontaminate_bench_side_filter_pushed_down(spark):
     )
     assert "LessThan(doc_id,20)" in plan, "bench-side predicate not pushed to scan"
     assert "GreaterThanOrEqual(doc_id,20)" in plan, "corpus-side predicate not pushed"
+
+
+def test_column_profile_is_one_scan(spark):
+    """k exact distinct aggregates must plan as ONE scan + Expand + partial
+    agg — never one scan per column (the naive per-column loop)."""
+    df = QUERIES["q_column_profile"](spark, SF)
+    scans = read_schema_columns(df)
+    assert len(scans) == 1, f"profile re-scanned the table: {len(scans)} scans"
+    facts = plan_facts(df)
+    assert facts["python_udf_nodes"] == 0
+    assert "Expand" in explain_str(df, "simple"), "distinct aggs should Expand"
+
+
+def test_span_dedup_single_dedup_shuffle(spark):
+    """Span fan-out is a narrow Generate; the only wide stages are the
+    fingerprint window and the per-doc rollup (2 shuffles), plus AQE reads.
+    A groupBy+join-back formulation would add a third."""
+    df = QUERIES["q_span_dedup"](spark, SF)
+    facts = plan_facts(df)
+    assert facts["shuffles"] <= 2, f"span dedup shuffles: {facts['shuffles']}"
+    assert facts["python_udf_nodes"] == 0
