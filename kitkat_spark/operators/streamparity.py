@@ -131,11 +131,15 @@ def q_shard_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 # replay fixtures for the streaming-native queries: written once per
 # (session, sf_dir, variant) — test scaffolding (production reads a real
 # source), so repeat invocations (bench's two passes) measure the streaming
-# op, not the fixture write
-_REPLAY_CACHE: dict[tuple[str, str, str], str] = {}
+# op, not the fixture write. Caches (path, row_count): the count prices the
+# state-partition sizing below and is known for free at write time.
+_REPLAY_CACHE: dict[tuple[str, str, str], tuple[str, int]] = {}
+
+# target rows per state-store task (see _state_partitions)
+STATE_ROWS_PER_TASK = 16_384
 
 
-def _replay_path(spark: SparkSession, sf_dir: str, variant: str, df_fn) -> str:
+def _replay_info(spark: SparkSession, sf_dir: str, variant: str, df_fn) -> tuple[str, int]:
     import os
 
     key = (spark.sparkContext.applicationId, sf_dir, variant)
@@ -146,29 +150,50 @@ def _replay_path(spark: SparkSession, sf_dir: str, variant: str, df_fn) -> str:
             variant,
             os.path.basename(os.path.normpath(sf_dir)),
         )
-        df_fn().write.mode("overwrite").parquet(path)
-        _REPLAY_CACHE[key] = path
+        df = df_fn()
+        df.write.mode("overwrite").parquet(path)
+        _REPLAY_CACHE[key] = (path, df.count())
     return _REPLAY_CACHE[key]
 
 
-class _state_partitions:
-    """Pin spark.sql.shuffle.partitions to the cluster parallelism while a
-    streaming query PLANS (state-store partition count is frozen from this
-    conf at first start). The relational default (200 under a vanilla
-    session) is a fine shuffle width but a poor state-store count on a
-    32-core local run — 200 state partitions x 2 stateful ops measured 27 s
-    vs ~7 s right-sized. Restores the previous value on exit, so the host
-    session's relational queries are untouched."""
+def _replay_path(spark: SparkSession, sf_dir: str, variant: str, df_fn) -> str:
+    return _replay_info(spark, sf_dir, variant, df_fn)[0]
 
-    def __init__(self, spark: SparkSession):
+
+class _state_partitions:
+    """Size spark.sql.shuffle.partitions for the STATE STORE while a
+    streaming query PLANS (the state-partition count is frozen from this
+    conf at first start, for the life of the checkpoint).
+
+    Why not just inherit the session default? Each state partition is not a
+    shuffle bucket but a set of persistent stores (a stream-stream join
+    keeps FOUR per partition) that pay per-micro-batch fixed costs: delta
+    files, snapshot maintenance, commit round-trips. Oversizing multiplies
+    that fixed cost: the relational default of 200 measured 27 s for the
+    sessionize pipeline vs ~7 s at 32; pinning to local parallelism (32)
+    still paid 6 s for the interval join whose batch holds only 100k rows —
+    rows-per-task sizing (ceil(rows / 16k), floor 4, capped at the cluster
+    parallelism) runs the same join in 2.7 s with identical results. Same
+    lesson as the skew-join threshold (skew.py): absolute knobs rot as data
+    scales; per-task budgets transfer. On a real cluster the batch rate is
+    estimated from the source (e.g. maxFilesPerTrigger x file size), and a
+    checkpoint keeps whatever count it started with — resizing requires a
+    new checkpoint (repartition-state via offline rewrite at 100 TB).
+
+    Restores the previous conf on exit, so the host session's relational
+    queries are untouched."""
+
+    def __init__(self, spark: SparkSession, rows_per_batch: int | None = None):
         self.spark = spark
+        par = spark.sparkContext.defaultParallelism
+        if rows_per_batch is None:
+            self.n = par
+        else:
+            self.n = min(par, max(4, -(-rows_per_batch // STATE_ROWS_PER_TASK)))
 
     def __enter__(self):
         self.prev = self.spark.conf.get("spark.sql.shuffle.partitions", None)
-        self.spark.conf.set(
-            "spark.sql.shuffle.partitions",
-            str(self.spark.sparkContext.defaultParallelism),
-        )
+        self.spark.conf.set("spark.sql.shuffle.partitions", str(self.n))
 
     def __exit__(self, *exc):
         if self.prev is None:
@@ -201,11 +226,11 @@ def q_stream_dedup_wm(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id", "event_type", "ts"
     )
     doubled = ev.unionByName(ev)
-    path = _replay_path(spark, sf_dir, "dedup_doubled", lambda: doubled)
+    path, n_rows = _replay_info(spark, sf_dir, "dedup_doubled", lambda: doubled)
     stream = spark.readStream.schema(doubled.schema).parquet(path)
     deduped = stream_dedup(stream, keys=["event_id"])
     name = f"stream_dedup_wm_{abs(hash(path)) % 10**8}"
-    with _state_partitions(spark):
+    with _state_partitions(spark, n_rows):
         q = (
             deduped.select("event_id", "user_id", "event_type")
             .writeStream.format("memory")
@@ -232,11 +257,11 @@ def q_stream_interval_join_wm(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kitkat_spark.streaming.analytics import interval_join
 
     ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
-    path = _replay_path(spark, sf_dir, "interval_join", lambda: ev)
+    path, n_rows = _replay_info(spark, sf_dir, "interval_join", lambda: ev)
     left = spark.readStream.schema(ev.schema).parquet(path)
     right = spark.readStream.schema(ev.schema).parquet(path)
     name = f"stream_ij_wm_{abs(hash(path)) % 10**8}"
-    with _state_partitions(spark):
+    with _state_partitions(spark, n_rows):
         q = (
             interval_join(left, right)
             .writeStream.format("memory")
@@ -271,10 +296,10 @@ def q_stream_session_wm(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kitkat_spark.streaming.analytics import session_counts
 
     ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
-    path = _replay_path(spark, sf_dir, "session_wm", lambda: ev)
+    path, n_rows = _replay_info(spark, sf_dir, "session_wm", lambda: ev)
     stream = spark.readStream.schema(ev.schema).parquet(path)
     name = f"stream_session_wm_{abs(hash(path)) % 10**8}"
-    with _state_partitions(spark):
+    with _state_partitions(spark, n_rows):
         q = (
             session_counts(stream)
             .writeStream.format("memory")
@@ -306,14 +331,14 @@ def q_consume_dlq(spark: SparkSession, sf_dir: str) -> DataFrame:
     mixed = build_kpl_records(spark, sf_dir).unionByName(
         build_plain_records(spark, sf_dir)
     )
-    src = _replay_path(spark, sf_dir, "dlq_mixed", lambda: mixed)
+    src, n_rows = _replay_info(spark, sf_dir, "dlq_mixed", lambda: mixed)
     base = os.path.join(
         "/tmp/kitkat_dlq",
         spark.sparkContext.applicationId,
         os.path.basename(os.path.normpath(sf_dir)),
     )
     stream = spark.readStream.schema(mixed.schema).parquet(src)
-    with _state_partitions(spark):
+    with _state_partitions(spark, n_rows):
         q = consume_with_dlq(
             stream,
             good_path=os.path.join(base, "good"),
