@@ -141,9 +141,16 @@ HEADLINE = [
     "q_winnow_fingerprint",
     "q_stream_dedup_wm",
     "q_stream_interval_join_wm",
+    "q_stream_session_wm",
     "q_shuffle_shards",
     "q_consume_dlq",
     "q_ann_kmeans_ivf",
+    "q_bloom_join",
+    "q_pagerank",
+    "q_span_dedup",
+    "q_column_profile",
+    "q_count_min",
+    "q_triangle_count",
     # Excluded on purpose (NOT a silent cap): q_cc_chain is the adversarial
     # deep-diameter CC verification query — it deliberately runs ~25 star
     # rounds on a path graph, so its wall time is per-round scheduler

@@ -1,33 +1,37 @@
-"""Table profiling: per-column statistics in one scan (SURVEY.md §2.B
-extension surface — the data-quality audit step every ingestion pipeline
-runs before training; the reference streams records without ever inspecting
-them, consumer.go renders and moves on).
+"""Table profiling: per-column statistics (SURVEY.md §2.B extension surface
+— the data-quality audit step every ingestion pipeline runs before
+training; the reference streams records without ever inspecting them,
+consumer.go renders and moves on).
 
 q_column_profile computes, for every profiled column of `events`, the row
 count, null count, exact distinct count, and min/max — emitted in long
 format (one row per column) because that is what a quality dashboard or a
 schema-drift diff consumes.
 
-Plan shape: ONE wide aggregation over ONE scan. The k exact
-count_distinct aggregates make Catalyst plan an Expand (each input row
-fans out k+1 times, one branch per distinct aggregate) followed by partial
-aggregation — still a single pass over the data with map-side combine, and
-the expand rows are narrow (each branch nulls out every column but its
-own). At 100 TB the move is to swap `count_distinct` for
-`approx_count_distinct` (HyperLogLog): the Expand disappears, the whole
-profile collapses to one partial-agg pass, and the sketch is mergeable
-across incremental loads — kept exact here because exactness is what the
-cross-engine oracle verifies (HLL estimates are engine-specific and not
-comparable). min/max/count are already single-pass regardless.
+Plan shape — one column-pruned branch per column, unioned. The obvious
+"single wide aggregation" alternative (all k count_distincts in one agg)
+plans through RewriteDistinctAggregates: an Expand to k+1 branches whose
+first-stage grouping key is the UNION of every distinct column — a wide
+composite key over ~sum(per-column cardinalities) rows that all shuffles
+and re-hashes (measured 3.8 s vs 0.8 s for this formulation at sf0.1).
+Per-column branches instead each read exactly ONE column from parquet
+(columnar scans mean k single-column reads cost the same bytes as one
+full-width read), aggregate with a NARROW key through the standard
+two-phase distinct (partial per value, merge, count), and the union's
+branches schedule concurrently within the job. At 100 TB the further move
+is `approx_count_distinct` (HyperLogLog): collapses each branch to one
+partial-agg pass with O(1) state and the sketches merge across incremental
+loads — kept exact here because exactness is what the cross-engine oracle
+verifies (HLL estimates are engine-specific and not comparable).
 
-The wide->long pivot happens on the 1-row aggregate via inline(array(...))
-— driver-light, no second scan, no unpivot shuffle. Timestamps are
-profiled through an explicit second-truncated string projection so the
-min/max render identically in every engine (same practice as the consume
-renderer, streamparity.py).
+Timestamps are profiled through an explicit second-truncated string
+projection so min/max render identically in every engine (same practice as
+the consume renderer, streamparity.py).
 """
 
 from __future__ import annotations
+
+import functools
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -37,29 +41,33 @@ from kitkat_spark.sources import load_table
 PROFILE_COLS = ["event_id", "user_id", "event_type", "value", "props", "ts"]
 
 
-def profile(df: DataFrame, cols: list[str]) -> DataFrame:
-    """One-scan long-format profile of ``cols`` (see module docstring)."""
-    aggs = [F.count(F.lit(1)).alias("n_rows")]
-    for c in cols:
-        aggs += [
-            F.count(c).alias(f"nn_{c}"),
-            F.count_distinct(F.col(c)).alias(f"nd_{c}"),
-            F.min(c).cast("string").alias(f"mn_{c}"),
-            F.max(c).cast("string").alias(f"mx_{c}"),
-        ]
-    row = df.agg(*aggs)
-    structs = [
-        F.struct(
-            F.lit(c).alias("column_name"),
-            F.col("n_rows").alias("n_rows"),
-            (F.col("n_rows") - F.col(f"nn_{c}")).alias("n_nulls"),
-            F.col(f"nd_{c}").alias("n_distinct"),
-            F.col(f"mn_{c}").alias("min_value"),
-            F.col(f"mx_{c}").alias("max_value"),
+def _profile_one(df: DataFrame, c: str) -> DataFrame:
+    return (
+        df.select(F.col(c))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            (F.count(F.lit(1)) - F.count(c)).alias("n_nulls"),
+            F.count_distinct(F.col(c)).alias("n_distinct"),
+            F.min(c).cast("string").alias("min_value"),
+            F.max(c).cast("string").alias("max_value"),
         )
-        for c in cols
-    ]
-    return row.select(F.inline(F.array(*structs)))
+        .select(
+            F.lit(c).alias("column_name"),
+            "n_rows",
+            "n_nulls",
+            "n_distinct",
+            "min_value",
+            "max_value",
+        )
+    )
+
+
+def profile(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Long-format profile of ``cols``: one column-pruned agg branch per
+    column, unioned (see module docstring for why not one wide agg)."""
+    return functools.reduce(
+        DataFrame.unionByName, [_profile_one(df, c) for c in cols]
+    )
 
 
 def q_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -33,6 +33,7 @@ from kitkat_spark.operators import (
     runtimefilter,
     sampling,
     similarity,
+    sketches,
     skew,
     tpchx,
     warehouse,
@@ -47,6 +48,7 @@ _MODULES = (
     profiling,
     runtimefilter,
     sampling,
+    sketches,
     skew,
     analytic,
     temporal,
@@ -73,9 +75,10 @@ for _m in _MODULES:
 
 # The 50 driver-verified slots this round (round 5). Rationale per block:
 _VERIFY_FIRST = [
-    # -- new or changed this round: five brand-new queries (Bloom-pruned
+    # -- new or changed this round: seven brand-new queries (Bloom-pruned
     # join, fixed-point PageRank, span-level dedup, column profiler,
-    # streaming session windows), the two formerly-rows-only queries now
+    # streaming session windows, Count-Min heavy hitters, degree-oriented
+    # triangle count), the two formerly-rows-only queries now
     # carry full value oracles (KPL round trip / rendered pipeline), the
     # embedding near-dup was rebuilt on a corpus-sized LSH quantizer, the
     # salted join's default sizing path changed, and q_stream_dedup_wm /
@@ -85,6 +88,8 @@ _VERIFY_FIRST = [
     "q_span_dedup",
     "q_column_profile",
     "q_stream_session_wm",
+    "q_count_min",
+    "q_triangle_count",
     "q_kpl_deagg",
     "q_consume_pipeline",
     "q_stream_dedup_wm",
@@ -131,9 +136,6 @@ _VERIFY_FIRST = [
     "q_fingerprint",
     "q_stratified_sample",
     "q_split_leakage",
-    # -- oldest remaining greens (round 3): refresh a representative slice --
-    "q_scan_filter",
-    "q_zlib",
 ]
 
 assert len(_VERIFY_FIRST) == 50, len(_VERIFY_FIRST)

@@ -228,15 +228,18 @@ def test_decontaminate_bench_side_filter_pushed_down(spark):
     assert "GreaterThanOrEqual(doc_id,20)" in plan, "corpus-side predicate not pushed"
 
 
-def test_column_profile_is_one_scan(spark):
-    """k exact distinct aggregates must plan as ONE scan + Expand + partial
-    agg — never one scan per column (the naive per-column loop)."""
+def test_column_profile_branches_are_column_pruned(spark):
+    """Each per-column branch must read ONLY its column (columnar scans make
+    k single-column reads cost the bytes of one full-width read), and the
+    plan must NOT go through RewriteDistinctAggregates' Expand — the wide
+    composite grouping key it builds measured 4.8x slower at sf0.1."""
     df = QUERIES["q_column_profile"](spark, SF)
     scans = read_schema_columns(df)
-    assert len(scans) == 1, f"profile re-scanned the table: {len(scans)} scans"
+    assert len(scans) == 6, f"expected one pruned scan per column: {scans}"
+    assert all(len(cols) == 1 for cols in scans), f"branch reads extra columns: {scans}"
     facts = plan_facts(df)
     assert facts["python_udf_nodes"] == 0
-    assert "Expand" in explain_str(df, "simple"), "distinct aggs should Expand"
+    assert "Expand" not in explain_str(df, "simple"), "wide-key Expand crept back"
 
 
 def test_span_dedup_single_dedup_shuffle(spark):
