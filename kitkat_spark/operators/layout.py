@@ -1,0 +1,100 @@
+"""Data-layout operators: Z-order (Morton) clustering for multi-dimensional
+data skipping (SURVEY.md §2.B extension surface — the write-side layout move
+behind Delta/Iceberg `OPTIMIZE ZORDER BY`; the reference writes nothing but
+console lines).
+
+Why it matters at 100 TB: parquet skips row groups by min/max stats, and
+stats are only tight for columns the data is SORTED by. A linear sort on
+`l_partkey` makes part-predicates skip almost everything but leaves
+`l_suppkey` ranges as wide as the table — every supplier query still scans
+every file. Interleaving the bits of both keys (the Morton curve) bounds the
+RANGE OF BOTH dimensions within any contiguous z-run: split the curve into
+2^k buckets and each bucket spans ~2^(bits-k/2) values per dimension, so
+point/range predicates on EITHER column prune most buckets.
+
+q_zorder_cluster assigns every lineitem row its z-value over
+(l_partkey mod 256, l_suppkey mod 256), buckets the curve into 256
+file-sized runs (z div 256), and emits per-bucket row counts + min/max of
+both dimensions — exactly the footer stats a writer following
+``sources/writer.py`` would produce after
+``repartitionByRange(zorder_key).sortWithinPartitions(zorder_key)``. The
+oracle replays the bit arithmetic; a plan-side test asserts the per-bucket
+spans are ~sqrt of a linear sort's (the skipping property itself, not just
+the arithmetic).
+
+All pure int64 bit arithmetic (shift/AND/OR with CONSTANT shift amounts —
+codegen'd, engine-portable, no UDF); the aggregation is one map-side
+combinable shuffle keyed on the bucket.
+"""
+
+from __future__ import annotations
+
+import functools
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kitkat_spark.sources import load_table
+
+Z_BITS = 8  # bits per dimension -> 16-bit z-value
+Z_BUCKETS = 256  # contiguous curve runs ("files")
+
+
+def zorder_key(x: Column, y: Column, bits: int = Z_BITS) -> Column:
+    """Morton-interleave two non-negative ints (low ``bits`` bits each):
+    bit i of x lands at 2i, bit i of y at 2i+1. Constant shift amounts keep
+    every term a codegen'd JVM expression."""
+    parts = []
+    for i in range(bits):
+        parts.append(F.shiftleft(F.shiftright(x, i).bitwiseAND(F.lit(1)), 2 * i))
+        parts.append(
+            F.shiftleft(F.shiftright(y, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        )
+    return functools.reduce(Column.bitwiseOR, parts)
+
+
+def q_zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-z-bucket footer stats for lineitem clustered on
+    (part, supplier): count + min/max of both dimensions."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.pmod(F.col("l_partkey"), F.lit(1 << Z_BITS)).cast("int").alias("pk"),
+        F.pmod(F.col("l_suppkey"), F.lit(1 << Z_BITS)).cast("int").alias("sk"),
+    )
+    z = zorder_key(F.col("pk"), F.col("sk"))
+    run = (1 << (2 * Z_BITS)) // Z_BUCKETS
+    return (
+        li.withColumn("bucket", F.floor(z / F.lit(run)).cast("int"))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("pk").alias("min_pk"),
+            F.max("pk").alias("max_pk"),
+            F.min("sk").alias("min_sk"),
+            F.max("sk").alias("max_sk"),
+        )
+    )
+
+
+ORACLE: dict[str, str] = {
+    "q_zorder_cluster": f"""
+        WITH d AS (
+            SELECT CAST(l_partkey % {1 << Z_BITS} AS INT) AS pk,
+                   CAST(l_suppkey % {1 << Z_BITS} AS INT) AS sk
+            FROM lineitem
+        ),
+        z AS (
+            SELECT pk, sk,
+                   ({' | '.join(
+                       f"(((pk >> {i}) & 1) << {2 * i}) | "
+                       f"(((sk >> {i}) & 1) << {2 * i + 1})"
+                       for i in range(Z_BITS)
+                   )}) AS zv
+            FROM d
+        )
+        SELECT CAST(zv // {(1 << (2 * Z_BITS)) // Z_BUCKETS} AS INT) AS bucket,
+               count(*) AS n_rows,
+               min(pk) AS min_pk, max(pk) AS max_pk,
+               min(sk) AS min_sk, max(sk) AS max_sk
+        FROM z GROUP BY 1
+    """,
+}

@@ -25,6 +25,7 @@ from kitkat_spark.operators import (
     corpus,
     dedup,
     graph,
+    layout,
     multimodal,
     payloads,
     pipelines,
@@ -45,6 +46,7 @@ from kitkat_spark.operators import (
 _MODULES = (
     relational,
     graph,
+    layout,
     profiling,
     runtimefilter,
     sampling,
@@ -90,6 +92,7 @@ _VERIFY_FIRST = [
     "q_stream_session_wm",
     "q_count_min",
     "q_triangle_count",
+    "q_zorder_cluster",
     "q_kpl_deagg",
     "q_consume_pipeline",
     "q_stream_dedup_wm",
@@ -134,7 +137,6 @@ _VERIFY_FIRST = [
     "q_multimodal",
     "q_lang_id",
     "q_fingerprint",
-    "q_stratified_sample",
     "q_split_leakage",
 ]
 

@@ -250,3 +250,19 @@ def test_span_dedup_single_dedup_shuffle(spark):
     facts = plan_facts(df)
     assert facts["shuffles"] <= 2, f"span dedup shuffles: {facts['shuffles']}"
     assert facts["python_udf_nodes"] == 0
+
+
+def test_zorder_buckets_bound_both_dimensions(spark):
+    """The data-skipping property itself: every 256-z-run bucket is a 16x16
+    Morton tile, so BOTH dimensions span <= 16 values per bucket — a linear
+    sort on one key would leave the other dimension spanning ~the full 256.
+    This is what makes footer min/max stats prunable for either predicate."""
+    rows = QUERIES["q_zorder_cluster"](spark, SF).collect()
+    assert len(rows) > 1
+    for r in rows:
+        assert r["max_pk"] - r["min_pk"] <= 15, r
+        assert r["max_sk"] - r["min_sk"] <= 15, r
+    df = QUERIES["q_zorder_cluster"](spark, SF)
+    facts = plan_facts(df)
+    assert facts["python_udf_nodes"] == 0
+    assert facts["shuffles"] <= 1, "one map-side-combinable bucket agg only"

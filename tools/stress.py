@@ -62,6 +62,20 @@ SUBSET = [
     "q_pack_sequences",
     "q_stream_dedup_wm",
     "q_shuffle_shards",
+    # round-5 additions. q_span_dedup: replicas are near-identical docs, so
+    # almost every span collects ~10 copies under one window key — hot-key
+    # probe. q_triangle_count: replicated lineitems repeat the same part
+    # pairs, multiplying co-occurrence support x10 — the support threshold
+    # ADMITS far more edges at 10x (deliberate densification probe).
+    # q_pagerank: |E| growth is sub-linear (same dim keys) but per-round
+    # join volume tracks it. q_count_min: the grid is fixed-size — must be
+    # flat. q_bloom_join / q_stream_interval_join_wm: linear scan + state.
+    "q_span_dedup",
+    "q_count_min",
+    "q_triangle_count",
+    "q_pagerank",
+    "q_bloom_join",
+    "q_stream_interval_join_wm",
 ]
 
 
