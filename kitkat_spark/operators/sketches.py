@@ -103,7 +103,132 @@ def q_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est.select("token", "n_true", "n_cms")
 
 
+HIST_BINS = 256
+HIST_QS = (0.5, 0.9, 0.99)
+
+
+def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram-sketch quantiles vs exact: estimate p50/p90/p99 of
+    lineitem's `l_extendedprice` from a fixed 256-bin equi-width histogram
+    and report the estimate next to the exact interpolated percentile.
+
+    Why a histogram sketch at 100 TB: exact percentiles need the sorted
+    value stream (or all values per group); the histogram is a FIXED
+    256-long state built in one partial-agg shuffle whose key domain is the
+    bin index, mergeable by addition across shards/days — the same
+    bounded-state argument as the Count-Min grid, for rank statistics.
+    (Spark's own approx_percentile is a t-digest sketch — better error for
+    the same state, but its estimates are engine-specific and not
+    oracle-comparable; the equi-width histogram is deterministic
+    arithmetic, so DuckDB rebuilds it bin-for-bin.)
+
+    Estimate = upper edge of the first bin whose cumulative count reaches
+    q*N (error <= one bin width = range/256). The bin arithmetic is written
+    identically in both engines so IEEE evaluation matches bit-for-bit.
+    The cumulative window runs over 256 rows — single-partition by design,
+    irrelevant at any scale."""
+    from pyspark.sql import Window as W
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_extendedprice").alias("x")
+    )
+    bounds = li.agg(
+        F.min("x").alias("mn"), F.max("x").alias("mx"), F.count("*").alias("n")
+    )
+    binned = li.crossJoin(F.broadcast(bounds)).select(
+        F.least(
+            F.lit(HIST_BINS - 1),
+            F.floor((F.col("x") - F.col("mn")) * HIST_BINS / (F.col("mx") - F.col("mn"))),
+        )
+        .cast("int")
+        .alias("bin"),
+        "mn",
+        "mx",
+        "n",
+    )
+    hist = binned.groupBy("bin", "mn", "mx", "n").agg(F.count("*").alias("cnt"))
+    cum = hist.withColumn(
+        "cum",
+        F.sum("cnt").over(
+            W.orderBy("bin").rowsBetween(W.unboundedPreceding, W.currentRow)
+        ),
+    )
+    qs = spark.range(1).select(
+        F.explode(F.array(*[F.lit(q) for q in HIST_QS])).alias("q")
+    )
+    est = (
+        cum.crossJoin(F.broadcast(qs))
+        .filter(F.col("cum") >= F.col("q") * F.col("n"))
+        .groupBy("q", "mn", "mx")
+        .agg(F.min("bin").alias("bin"))
+        .select(
+            "q",
+            F.round(
+                F.col("mn")
+                + (F.col("bin") + 1) * (F.col("mx") - F.col("mn")) / HIST_BINS,
+                4,
+            ).alias("est"),
+        )
+    )
+    pct = F.percentile("x", F.array(*[F.lit(q) for q in HIST_QS]))
+    exact = li.agg(
+        *[
+            F.round(F.element_at(pct, i + 1), 4).alias(f"ex{i}")
+            for i in range(len(HIST_QS))
+        ]
+    ).select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(q).alias("q"), F.col(f"ex{i}").alias("exact")
+                    )
+                    for i, q in enumerate(HIST_QS)
+                ]
+            )
+        ).alias("e")
+    ).select("e.q", "e.exact")
+    return est.join(exact, "q").select(
+        "q", "est", "exact", F.round(F.col("est") - F.col("exact"), 4).alias("err")
+    )
+
+
 ORACLE: dict[str, str] = {
+    "q_quantile_sketch": f"""
+        WITH b AS (
+            SELECT min(l_extendedprice) AS mn, max(l_extendedprice) AS mx,
+                   count(*) AS n
+            FROM lineitem
+        ),
+        binned AS (
+            SELECT CAST(least({HIST_BINS - 1},
+                       floor((l_extendedprice - mn) * {HIST_BINS} / (mx - mn)))
+                   AS INT) AS bin, mn, mx, n
+            FROM lineitem, b
+        ),
+        hist AS (
+            SELECT bin, mn, mx, n, count(*) AS cnt
+            FROM binned GROUP BY bin, mn, mx, n
+        ),
+        cum AS (
+            SELECT bin, mn, mx, n,
+                   sum(cnt) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cum
+            FROM hist
+        ),
+        qs AS (SELECT CAST(unnest([{', '.join(str(q) for q in HIST_QS)}]) AS DOUBLE) AS q),
+        est AS (
+            SELECT q, round(mn + (min(bin) + 1) * (mx - mn) / {HIST_BINS}, 4) AS est
+            FROM cum, qs WHERE cum >= q * n GROUP BY q, mn, mx
+        ),
+        exact AS (
+            SELECT q, round(CASE q
+                {' '.join(f"WHEN {q} THEN quantile_cont(l_extendedprice, {q})" for q in HIST_QS)}
+                END, 4) AS exact
+            FROM lineitem, qs GROUP BY q
+        )
+        SELECT est.q, est, exact, round(est - exact, 4) AS err
+        FROM est JOIN exact ON est.q = exact.q
+    """,
     "q_count_min": f"""
         WITH toks AS (
             SELECT unnest(string_split(text, ' ')) AS token FROM documents

@@ -93,6 +93,8 @@ _VERIFY_FIRST = [
     "q_count_min",
     "q_triangle_count",
     "q_zorder_cluster",
+    "q_bucketed_join",
+    "q_quantile_sketch",
     "q_kpl_deagg",
     "q_consume_pipeline",
     "q_stream_dedup_wm",
@@ -115,7 +117,6 @@ _VERIFY_FIRST = [
     "q_rollup_cube",
     "q_window_rank",
     "q_window_frame",
-    "q_window_ntile",
     "q_window_range",
     "q_sort_limit",
     "q_set_ops",
@@ -131,7 +132,6 @@ _VERIFY_FIRST = [
     "q_pivot",
     "q_first_last",
     "q_posexplode",
-    "q_histogram",
     "q_dedup",
     "q_similarity_search",
     "q_multimodal",

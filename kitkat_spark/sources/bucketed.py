@@ -27,8 +27,15 @@ def bucketize(
     table_name: str | None = None,
 ) -> str:
     """Write ``table`` bucketed+sorted by ``key``; returns the table name.
-    Idempotent per session (skips if the table already exists)."""
-    name = table_name or f"{table}_b{n_buckets}_{key}"
+    Idempotent per session (skips if the table already exists). The default
+    name embeds the sf dir: one session may bucketize the same table at
+    several scales (tests at sf0.001, the driver at sf0.01) and a shared
+    name would silently serve the wrong data."""
+    import os
+    import re
+
+    sf_tag = re.sub(r"[^A-Za-z0-9]", "_", os.path.basename(os.path.normpath(sf_dir)))
+    name = table_name or f"{table}_b{n_buckets}_{key}_{sf_tag}"
     if not spark.catalog.tableExists(name):
         # a previous session may have left the managed location behind with
         # no catalog entry — saveAsTable refuses to reuse it; clear it
