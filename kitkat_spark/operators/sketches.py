@@ -68,17 +68,38 @@ def q_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-vs-sketch audit: the top-20 tokens by TRUE term frequency,
     each with its Count-Min estimate (min over the D grid cells). n_cms >=
     n_true always; equality means no collision landed in any of the
-    token's D cells. One token-stream scan feeds both sides; the exact
+    token's D cells.
+
+    ONE corpus pass: the exact (token, n) frequency table — which this
+    query needs anyway for its verification side — also SEEDS the grid
+    (each vocab row contributes its D cells weighted by n; summing weights
+    per cell equals counting the raw stream, and the explode runs over
+    |vocab| rows instead of |corpus| tokens). A production pipeline that
+    keeps only the sketch skips the frequency table and feeds
+    ``cms_counters`` the raw stream — same grid, no exact pass. The exact
     side's orderBy+limit is TakeOrderedAndProject (per-partition heap)."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(F.explode(tokens(F.col("text"))).alias("token"))
-    counters = cms_counters(toks)
-    top = (
-        toks.groupBy("token")
-        .agg(F.count("*").alias("n_true"))
-        .orderBy(F.col("n_true").desc(), "token")
-        .limit(CMS_TOP_K)
+    freq = toks.groupBy("token").agg(F.count("*").alias("n_true")).persist()
+    counters = (
+        freq.select(
+            F.col("n_true").alias("n"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(s).alias("seed"),
+                            _bucket(F.col("token"), s).alias("bucket"),
+                        )
+                        for s in range(CMS_D)
+                    ]
+                )
+            ).alias("c"),
+        )
+        .groupBy("c.seed", "c.bucket")
+        .agg(F.sum("n").alias("n"))
     )
+    top = freq.orderBy(F.col("n_true").desc(), "token").limit(CMS_TOP_K)
     probes = top.select(
         "token",
         "n_true",
@@ -132,10 +153,20 @@ def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         F.col("l_extendedprice").alias("x")
     )
+    # bounds AND the exact verification percentiles in ONE 1-row agg — the
+    # histogram pass below is then the only other scan (2 total)
+    pct_all = F.percentile("x", F.array(*[F.lit(q) for q in HIST_QS]))
     bounds = li.agg(
-        F.min("x").alias("mn"), F.max("x").alias("mx"), F.count("*").alias("n")
+        F.min("x").alias("mn"),
+        F.max("x").alias("mx"),
+        F.count("*").alias("n"),
+        *[
+            F.round(F.element_at(pct_all, i + 1), 4).alias(f"ex{i}")
+            for i in range(len(HIST_QS))
+        ],
     )
-    binned = li.crossJoin(F.broadcast(bounds)).select(
+    bounds = bounds.persist()
+    binned = li.crossJoin(F.broadcast(bounds.select("mn", "mx", "n"))).select(
         F.least(
             F.lit(HIST_BINS - 1),
             F.floor((F.col("x") - F.col("mn")) * HIST_BINS / (F.col("mx") - F.col("mn"))),
@@ -170,13 +201,7 @@ def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("est"),
         )
     )
-    pct = F.percentile("x", F.array(*[F.lit(q) for q in HIST_QS]))
-    exact = li.agg(
-        *[
-            F.round(F.element_at(pct, i + 1), 4).alias(f"ex{i}")
-            for i in range(len(HIST_QS))
-        ]
-    ).select(
+    exact = bounds.select(
         F.explode(
             F.array(
                 *[

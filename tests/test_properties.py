@@ -146,3 +146,33 @@ def test_kpl_blobs_pack_unpack_property(records, blob_records):
         assert outer_key == inner[0]["partition_key"]
         out.extend((r["partition_key"], r["data"]) for r in inner)
     assert out == records
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=255),
+            st.integers(min_value=0, max_value=255),
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+@settings(max_examples=40, deadline=None)
+def test_zorder_interleave_is_bijective_and_tile_local(pairs):
+    """Pure-Python twin of layout.zorder_key's arithmetic: interleaving is
+    injective on (x, y) pairs, and the 256-run bucket id is exactly the
+    4-bit interleave of (x//16, y//16) — i.e. every bucket is one 16x16
+    tile, the fact the operator's data-skipping claim rests on."""
+
+    def z(x, y, bits=8):
+        v = 0
+        for i in range(bits):
+            v |= ((x >> i) & 1) << (2 * i)
+            v |= ((y >> i) & 1) << (2 * i + 1)
+        return v
+
+    zs = [z(x, y) for x, y in pairs]
+    assert len(set(zs)) == len(set(pairs))  # injective
+    for (x, y), v in zip(pairs, zs):
+        assert v // 256 == z(x // 16, y // 16, bits=4)  # bucket == tile id
