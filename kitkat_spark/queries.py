@@ -25,6 +25,7 @@ from kitkat_spark.operators import (
     corpus,
     dedup,
     graph,
+    interchange,
     layout,
     multimodal,
     payloads,
@@ -46,6 +47,7 @@ from kitkat_spark.operators import (
 _MODULES = (
     relational,
     graph,
+    interchange,
     layout,
     profiling,
     runtimefilter,
@@ -95,6 +97,7 @@ _VERIFY_FIRST = [
     "q_zorder_cluster",
     "q_bucketed_join",
     "q_quantile_sketch",
+    "q_format_roundtrip",
     "q_kpl_deagg",
     "q_consume_pipeline",
     "q_stream_dedup_wm",
@@ -124,7 +127,6 @@ _VERIFY_FIRST = [
     "q_array_map_funcs",
     "q_datetime_funcs",
     "q_conditional_funcs",
-    "q_subquery_scalar",
     "q_minmax_by",
     "q_stats_agg",
     "q_percentiles",

@@ -29,6 +29,14 @@ CASES = [
     # LSH family: md5-derived hashes and data-dependent bucket caps must
     # make candidate generation layout-independent too
     "q_near_dedup",
+    # round-5: iterative fixed-point arithmetic (the reason PageRank is
+    # int64, not float — float message passing WOULD flip under layouts),
+    # sketch grids (Count-Min sums, histogram bins), and the Bloom-pruned
+    # join (bitmap content must not depend on how the dim was partitioned)
+    "q_pagerank",
+    "q_count_min",
+    "q_quantile_sketch",
+    "q_bloom_join",
 ]
 
 
