@@ -283,10 +283,12 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     lo_first = (F.col("deg_u") < F.col("deg_v")) | (
         (F.col("deg_u") == F.col("deg_v")) & (F.col("u") < F.col("v"))
     )
+    # the oriented table self-joins (x ⋈ y): checkpoint so the degree-join
+    # subtree isn't evaluated once per side
     oriented = withdeg.select(
         F.when(lo_first, F.col("u")).otherwise(F.col("v")).alias("src"),
         F.when(lo_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
-    )
+    ).localCheckpoint(eager=True)
     x, y = oriented.alias("x"), oriented.alias("y")
     wedges = (
         x.join(y, "src")
@@ -329,7 +331,13 @@ def q_triangle_count(spark, sf_dir):
         .agg(F.count("*").alias("w"))
         .filter(F.col("w") >= TRIANGLE_MIN_SUPPORT)
         .select("u", "v")
-        .persist()
+        # eager checkpoint, not lazy persist: the edge table feeds FOUR
+        # consumers (degrees, orientation, wedge self-join, closure join) —
+        # lazily-cached, each consumer's plan re-embeds the whole
+        # lineitem-pair build (22 Exchanges in the plan report); the
+        # checkpoint computes it once and every consumer scans the
+        # materialized relation
+        .localCheckpoint(eager=True)
     )
     return triangle_count(edges)
 
