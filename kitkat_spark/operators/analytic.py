@@ -258,7 +258,79 @@ def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type linear trend of event value over time, as the closed-form
+    least-squares slope: slope = covar_pop(epoch, value) / var_pop(epoch)
+    (+ intercept and correlation). All algebraic aggregates — O(1) partial
+    state, ONE map-side-combinable shuffle, no model-fitting UDF; at 100 TB
+    this is the cheapest possible per-group regression (same pass also
+    yields r² = corr²). Scaled to per-day units so the rounded output is
+    stable across engines' summation orders."""
+    ev = load_table(spark, sf_dir, "events")
+    x = F.col("ts").cast("double")
+    y = F.col("value")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.round((F.covar_pop(x, y) / F.var_pop(x)) * 86400, 4).alias(
+            "slope_per_day"
+        ),
+        F.round(
+            F.avg(y) - (F.covar_pop(x, y) / F.var_pop(x)) * F.avg(x), 4
+        ).alias("intercept"),
+        F.round(F.corr(x, y), 4).alias("corr"),
+    )
+
+
+ZSCORE_THRESHOLD = 3.0
+
+
+def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type z-score outliers: events whose value sits more than 3
+    population standard deviations from their type's mean. The per-type
+    stats are a tiny aggregate broadcast BACK onto the scan (the
+    q_length_outliers pattern) — the event stream itself never shuffles,
+    so the filter is a narrow map at any scale; the same shape runs
+    incrementally in streaming with the stats as a slowly-updating
+    broadcast side."""
+    ev = load_table(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(
+        F.avg("value").alias("mu"), F.stddev_pop("value").alias("sigma")
+    )
+    z = (F.col("value") - F.col("mu")) / F.col("sigma")
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .filter(F.abs(z) > ZSCORE_THRESHOLD)
+        .select(
+            "event_id",
+            "event_type",
+            F.round("value", 2).alias("value"),
+            F.round(z, 4).alias("zscore"),
+        )
+    )
+
+
 ORACLE: dict[str, str] = {
+    "q_trend_slope": """
+        SELECT event_type,
+               count(*) AS n_events,
+               round((covar_pop(epoch(ts), value) / var_pop(epoch(ts))) * 86400, 4)
+                   AS slope_per_day,
+               round(avg(value) - (covar_pop(epoch(ts), value) / var_pop(epoch(ts)))
+                     * avg(epoch(ts)), 4) AS intercept,
+               round(corr(epoch(ts), value), 4) AS corr
+        FROM events GROUP BY event_type
+    """,
+    "q_anomaly_zscore": """
+        WITH s AS (
+            SELECT event_type, avg(value) AS mu, stddev_pop(value) AS sigma
+            FROM events GROUP BY event_type
+        )
+        SELECT event_id, e.event_type,
+               round(value, 2) AS value,
+               round((value - mu) / sigma, 4) AS zscore
+        FROM events e JOIN s ON e.event_type = s.event_type
+        WHERE abs((value - mu) / sigma) > 3.0
+    """,
     "q_mjoin_revenue": f"""
         SELECT l_orderkey,
                {dsum_sql("l_extendedprice * (1 - l_discount)")} AS revenue,

@@ -98,6 +98,8 @@ _VERIFY_FIRST = [
     "q_bucketed_join",
     "q_quantile_sketch",
     "q_format_roundtrip",
+    "q_trend_slope",
+    "q_anomaly_zscore",
     "q_kpl_deagg",
     "q_consume_pipeline",
     "q_stream_dedup_wm",
@@ -125,8 +127,6 @@ _VERIFY_FIRST = [
     "q_set_ops",
     "q_scalar_funcs",
     "q_array_map_funcs",
-    "q_datetime_funcs",
-    "q_conditional_funcs",
     "q_minmax_by",
     "q_stats_agg",
     "q_percentiles",
