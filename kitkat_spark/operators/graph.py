@@ -206,13 +206,22 @@ def pagerank_fixed(edges: DataFrame, iters: int = PR_ITERS) -> DataFrame:
     sym = canon.union(
         canon.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )
-    deg = sym.groupBy("u").agg(F.count("*").alias("deg"))
-    # repartition on the join key BEFORE checkpointing: the checkpointed
-    # relation retains its hash partitioning, so each iteration's
+    # degree via a partitionBy-window, not groupBy+join-back: ONE shuffle
+    # both attaches deg to every edge AND leaves the table hash-partitioned
+    # on the join key (no orderBy -> no sort, just a whole-partition count).
+    # The eager checkpoint retains that partitioning, so each iteration's
     # sym ⋈ ranks join exchanges only the (node, rank) side — the |E|-row
-    # edge table is shuffled once for the whole run, not once per round
-    sym = sym.join(deg, "u").repartition("u").localCheckpoint(eager=True)
-    ranks = deg.select("u", F.lit(PR_SCALE).cast("long").alias("rank"))
+    # edge table is shuffled once for the whole run, not once per round.
+    from pyspark.sql import Window as W
+
+    sym = sym.withColumn(
+        "deg", F.count("*").over(W.partitionBy("u"))
+    ).localCheckpoint(eager=True)
+    ranks = (
+        sym.select("u")
+        .distinct()
+        .select("u", F.lit(PR_SCALE).cast("long").alias("rank"))
+    )
     for _ in range(iters):
         contribs = sym.join(ranks, "u").select(
             F.col("v").alias("node"),
