@@ -157,6 +157,8 @@ HEADLINE = [
     "q_format_roundtrip",
     "q_trend_slope",
     "q_anomaly_zscore",
+    "q_groupmap_normalize",
+    "q_stream_dedup_agg_wm",
     # Excluded on purpose (NOT a silent cap): q_cc_chain is the adversarial
     # deep-diameter CC verification query — it deliberately runs ~25 star
     # rounds on a path graph, so its wall time is per-round scheduler

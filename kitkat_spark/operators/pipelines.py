@@ -270,7 +270,50 @@ def q_cross_join_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_groupmap_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user min-max normalization via ``applyInPandas`` — the Arrow
+    grouped-map path, driver-verified. The normalization itself is
+    deliberately SQL-expressible (the oracle is two window aggregates), so
+    the thing under value-level test is the MACHINERY: group shuffling,
+    Arrow batch transfer, pandas execution, schema enforcement — the same
+    path a per-group model-scoring or feature-engineering UDF rides when
+    the logic genuinely can't be expressed in built-ins.
+
+    Scale: one shuffle on the grouping key; each group must fit a worker's
+    memory (per-user event counts here; at 100 TB you bound group size or
+    pre-aggregate). The pandas body is whole-column numpy arithmetic (no
+    Python row loop), and rounding happens JVM-side AFTER the UDF so the
+    engine-portable half-away-from-zero rule applies (numpy rounds
+    half-even — a cross-engine hash mismatch waiting to happen).
+    """
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_id", "value")
+
+    def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
+        lo = pdf["value"].min()
+        rng = pdf["value"].max() - lo
+        pdf = pdf.assign(
+            norm=0.5 if rng == 0 else (pdf["value"] - lo) / rng
+        )
+        return pdf[["user_id", "event_id", "norm"]]
+
+    out = ev.groupBy("user_id").applyInPandas(
+        normalize, "user_id long, event_id long, norm double"
+    )
+    return out.select("user_id", "event_id", F.round("norm", 6).alias("norm"))
+
+
 ORACLE: dict[str, str] = {
+    "q_groupmap_normalize": """
+        SELECT user_id, event_id,
+               round(CASE WHEN max(value) OVER w = min(value) OVER w THEN 0.5
+                          ELSE (value - min(value) OVER w)
+                               / (max(value) OVER w - min(value) OVER w)
+                     END, 6) AS norm
+        FROM events
+        WINDOW w AS (PARTITION BY user_id)
+    """,
     "q_bigram_lm": """
         WITH toks AS (
             SELECT string_split(text, ' ') AS w FROM documents

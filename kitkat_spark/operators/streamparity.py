@@ -312,6 +312,50 @@ def q_stream_session_wm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def q_stream_dedup_agg_wm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHAINED stateful streaming — dedup feeding a windowed aggregation in
+    ONE query (the multiple-stateful-operators capability, with watermark
+    propagation between the two state stores): doubled events replay
+    through a watermarked file stream, ``dropDuplicatesWithinWatermark``
+    suppresses the duplicates, and the surviving rows flow straight into a
+    1-hour tumbling count per event_type, drained in APPEND mode.
+
+    Both state stores are load-bearing for the value check: broken dedup
+    doubles every count; broken window sealing changes the emitted set.
+    Append mode seals a window once the (propagated) watermark passes its
+    end, so the emitted rows are exactly the hourly counts of DISTINCT
+    events for windows with end <= max(ts) - delay — which the batch
+    oracle states directly. This is the canonical streaming-pipeline shape
+    (dedupe-then-aggregate) that pre-3.4 Spark forced into two queries
+    with an intermediate sink.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts"
+    )
+    doubled = ev.unionByName(ev)
+    path, n_rows = _replay_info(spark, sf_dir, "dedup_doubled", lambda: doubled)
+    stream = (
+        spark.readStream.schema(doubled.schema)
+        .parquet(path)
+        .withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+    )
+    name = f"stream_dedup_agg_wm_{abs(hash(path)) % 10**8}"
+    with _state_partitions(spark, n_rows):
+        q = (
+            stream.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(name)
+
+
 def q_consume_dlq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E1 as a driver row: the dead-letter consume (streaming/sinks.py
     consume_with_dlq) over the mixed KPL+plain stream. Good records render
@@ -373,6 +417,17 @@ ORACLE: dict[str, str] = {
     # (event_id is unique there) — DISTINCT expresses it
     "q_stream_dedup_wm": """
         SELECT DISTINCT event_id, user_id, event_type FROM events
+    """,
+    # dedup collapses the doubled stream to distinct events; append mode
+    # seals hourly windows whose end the final watermark passed
+    "q_stream_dedup_agg_wm": """
+        SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+               event_type,
+               count(*) AS n_events
+        FROM events
+        GROUP BY 1, 2
+        HAVING CAST(date_trunc('hour', ts) AS TIMESTAMP) + INTERVAL 1 HOUR
+               <= (SELECT max(ts) - INTERVAL 10 MINUTE FROM events)
     """,
     # gap-and-island twin of session_window (new session when gap >= 30 min
     # — the half-open merge rule), filtered to the sessions append mode

@@ -100,6 +100,8 @@ _VERIFY_FIRST = [
     "q_format_roundtrip",
     "q_trend_slope",
     "q_anomaly_zscore",
+    "q_groupmap_normalize",
+    "q_stream_dedup_agg_wm",
     "q_kpl_deagg",
     "q_consume_pipeline",
     "q_stream_dedup_wm",
@@ -130,10 +132,8 @@ _VERIFY_FIRST = [
     "q_minmax_by",
     "q_stats_agg",
     "q_percentiles",
-    "q_string_agg",
     "q_pivot",
     "q_first_last",
-    "q_posexplode",
     "q_dedup",
     "q_similarity_search",
     "q_multimodal",
