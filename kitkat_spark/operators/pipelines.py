@@ -285,6 +285,13 @@ def q_groupmap_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     Python row loop), and rounding happens JVM-side AFTER the UDF so the
     engine-portable half-away-from-zero rule applies (numpy rounds
     half-even — a cross-engine hash mismatch waiting to happen).
+
+    The UDF tax, quantified: this grouped-map runs 3.6 s at sf0.1 where
+    the pure-window JVM formulation (exactly the oracle's shape) runs
+    0.13 s — 28x, dominated by per-group pandas construction over 1,500
+    small groups. That ratio IS the lesson the repo's "UDFs are the slow
+    path" rule encodes; reach for applyInPandas only when the per-group
+    logic has no built-in expression, and batch small groups if you can.
     """
     import pandas as pd
 

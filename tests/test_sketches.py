@@ -46,3 +46,35 @@ def test_lsh_near_dedup_recall_vs_exact_jaccard(spark):
     assert exact, "fixture should contain near-dup pairs"
     recall = len(lsh & exact) / len(exact)
     assert recall >= 0.8, f"LSH recall {recall:.3f} below banding expectation"
+
+
+def test_cms_raw_stream_equals_vocab_weighted_grid(spark):
+    """The production raw-stream grid (cms_counters) and q_count_min's
+    vocab-weighted build must produce the IDENTICAL grid — summing weights
+    per cell is counting the stream."""
+    from pyspark.sql import functions as F
+
+    from kitkat_spark.operators.sketches import CMS_D, cms_counters
+
+    toks = spark.createDataFrame(
+        [("a",)] * 5 + [("b",)] * 3 + [("c",)] * 1, ["token"]
+    )
+    raw = {(r["seed"], r["bucket"]): r["n"] for r in cms_counters(toks).collect()}
+    assert sum(raw.values()) == CMS_D * 9  # every token hits D cells
+    # weighted build from the frequency table
+    from kitkat_spark.operators.sketches import _bucket
+
+    freq = toks.groupBy("token").agg(F.count("*").alias("n"))
+    cells = freq.select(
+        "n",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(s).alias("seed"), _bucket(F.col("token"), s).alias("bucket"))
+                    for s in range(CMS_D)
+                ]
+            )
+        ).alias("c"),
+    ).groupBy("c.seed", "c.bucket").agg(F.sum("n").alias("n"))
+    weighted = {(r["seed"], r["bucket"]): r["n"] for r in cells.collect()}
+    assert raw == weighted
