@@ -356,6 +356,90 @@ def q_stream_dedup_agg_wm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def q_stream_late_drop_wm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The watermark's LATE-DATA DROP, actually exercised: every other
+    streaming query here replays in one batch, where the watermark starts
+    at -inf and nothing is ever late. This one runs the scheduled-
+    incremental pattern — TWO sequential ``availableNow`` runs against one
+    checkpoint (the cron'd-batch deployment shape). Run 1 processes the
+    real events table and COMMITS its watermark (max(ts) - 10 min) to the
+    checkpoint; the source then gains poison — copies of 10% of the events
+    shifted back 3 DAYS with fresh event_ids — and run 2, restoring the
+    committed watermark, must drop every one of them (observed
+    numRowsDroppedByWatermark == late-row count) before the 1-hour
+    tumbling aggregation. Output: the parquet sink's sealed per-type
+    hourly counts.
+
+    The value check is load-bearing in both directions: if late rows leak
+    in, historical windows reappear/inflate and the hash fails; if the
+    watermark over-advances, on-time windows vanish. The oracle is the
+    on-time half only — counts over the ORIGINAL events in sealed windows.
+    This is the semantics that bounds state at 100 TB: accepting
+    arbitrarily late rows means keeping every window open forever.
+
+    Why two RUNS rather than two batches of one run: Spark filters late
+    events with the watermark as of the PREVIOUS batch's start (eviction
+    uses the current one), so within a single availableNow replay the
+    batch right after the data that advanced the watermark is still
+    admitted — measured here: a one-run two-batch version leaked all 100
+    late rows (numRowsDroppedByWatermark=0) where the committed-restart
+    form drops them. Across a checkpoint restart the late-event watermark
+    IS the committed one — the deployment-relevant guarantee.
+    """
+    import os
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type", "ts")
+    key = (spark.sparkContext.applicationId, sf_dir, "late_drop")
+    if key not in _REPLAY_CACHE:
+        base = os.path.join(
+            "/tmp/kitkat_replay",
+            spark.sparkContext.applicationId,
+            "late_drop",
+            os.path.basename(os.path.normpath(sf_dir)),
+        )
+        src = os.path.join(base, "src")
+        sink = os.path.join(base, "sink")
+        ckpt = os.path.join(base, "ckpt")
+        n_rows = ev.count()
+
+        def run_once() -> None:
+            stream = (
+                spark.readStream.schema(ev.schema)
+                .parquet(src)
+                .withWatermark("ts", "10 minutes")
+                .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+                .agg(F.count("*").alias("n_events"))
+                .select(
+                    F.col("w.start").alias("window_start"),
+                    "event_type",
+                    "n_events",
+                )
+            )
+            with _state_partitions(spark, n_rows):
+                q = (
+                    stream.writeStream.format("parquet")
+                    .option("path", sink)
+                    .option("checkpointLocation", ckpt)
+                    .outputMode("append")
+                    .trigger(availableNow=True)
+                    .start()
+                )
+                q.awaitTermination()
+
+        ev.coalesce(1).write.mode("append").parquet(src)
+        run_once()
+        late = ev.filter(F.pmod("event_id", F.lit(100)) < 10).select(
+            (F.col("event_id") + F.lit(1_000_000_000)).alias("event_id"),
+            "event_type",
+            (F.col("ts") - F.expr("INTERVAL 3 DAYS")).alias("ts"),
+        )
+        late.coalesce(1).write.mode("append").parquet(src)
+        run_once()
+        _REPLAY_CACHE[key] = (sink, n_rows)
+    sink, _ = _REPLAY_CACHE[key]
+    return spark.read.parquet(sink)
+
+
 def q_consume_dlq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E1 as a driver row: the dead-letter consume (streaming/sinks.py
     consume_with_dlq) over the mixed KPL+plain stream. Good records render
@@ -417,6 +501,18 @@ ORACLE: dict[str, str] = {
     # (event_id is unique there) — DISTINCT expresses it
     "q_stream_dedup_wm": """
         SELECT DISTINCT event_id, user_id, event_type FROM events
+    """,
+    # the on-time half only: batch 2's 3-days-late rows must be dropped by
+    # the watermark, so emitted counts are the ORIGINAL events in windows
+    # the final watermark sealed
+    "q_stream_late_drop_wm": """
+        SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+               event_type,
+               count(*) AS n_events
+        FROM events
+        GROUP BY 1, 2
+        HAVING CAST(date_trunc('hour', ts) AS TIMESTAMP) + INTERVAL 1 HOUR
+               <= (SELECT max(ts) - INTERVAL 10 MINUTE FROM events)
     """,
     # dedup collapses the doubled stream to distinct events; append mode
     # seals hourly windows whose end the final watermark passed

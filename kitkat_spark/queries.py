@@ -102,6 +102,7 @@ _VERIFY_FIRST = [
     "q_anomaly_zscore",
     "q_groupmap_normalize",
     "q_stream_dedup_agg_wm",
+    "q_stream_late_drop_wm",
     "q_kpl_deagg",
     "q_consume_pipeline",
     "q_stream_dedup_wm",
@@ -120,7 +121,6 @@ _VERIFY_FIRST = [
     "q_semi_anti_join",
     "q_outer_join",
     "q_agg_group",
-    "q_agg_distinct",
     "q_rollup_cube",
     "q_window_rank",
     "q_window_frame",
