@@ -462,7 +462,109 @@ def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MANIFEST_SEED = "manifest1"
+
+
+def q_train_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The train-ready manifest — the composed END of the data pipeline, as
+    one driver-verified query: exact dedup → split assignment → seeded
+    shard shuffle → within-shard position. Its output is literally what a
+    training job consumes: for every SURVIVING document, which split it
+    belongs to and (for train) which shard file and position it occupies.
+
+    Stages (each individually oracled elsewhere; this query verifies their
+    COMPOSITION end-to-end):
+    1. exact dedup: whitespace-normalized md5 fingerprint, keep the min
+       doc_id per fingerprint (q_dedup / q_incremental_dedup's rule);
+    2. split: deterministic Knuth hash-mod bucketing, 80/10/10
+       (sampling.split_column — layout- and rerun-invariant);
+    3. shard: train docs get a seeded md5 order key; shard = key mod N
+       with N SIZED FROM THE SURVIVING TRAIN COUNT (max(16, ceil(n/1024)),
+       q_shuffle_shards' corpus-sized rule); valid/test stay shard -1
+       (eval sets ship whole);
+    4. position: rank within the shard by (key, doc_id) — the exact
+       training order, reproducible across engines and cluster layouts.
+
+    Plan: one fp window (the dedup shuffle), a codegen'd split/shard
+    projection, one per-shard window (each shard ~1024 rows at any corpus
+    size, because N scales). The sizing count runs on the deduped train
+    subset — one cheap aggregate, the same 'train the layout' step the
+    shuffle-shards query prices. No stage rescans the corpus.
+    """
+    import math
+
+    from kitkat_spark.functions.text import md5_long
+    from kitkat_spark.operators.sampling import split_column
+
+    docs = load_table(spark, sf_dir, "documents")
+    fp = F.md5(F.lower(F.regexp_replace("text", r"\s+", " ")))
+    w_fp = W.partitionBy("fp").orderBy("doc_id")
+    survivors = (
+        docs.select("doc_id", fp.alias("fp"))
+        .withColumn("rn", F.row_number().over(w_fp))
+        .filter(F.col("rn") == 1)
+        .select("doc_id")
+        .withColumn("split", split_column(F.col("doc_id")))
+    )
+    n_train = survivors.filter(F.col("split") == "train").count()
+    shards = max(SHUFFLE_MIN_SHARDS, math.ceil(n_train / SHUFFLE_DOCS_PER_SHARD))
+    keyed = survivors.withColumn(
+        "k",
+        md5_long(
+            F.concat(F.lit(MANIFEST_SEED + "|"), F.col("doc_id").cast("string"))
+        ),
+    ).withColumn(
+        "shard",
+        F.when(
+            F.col("split") == "train", F.pmod(F.col("k"), F.lit(shards)).cast("int")
+        ).otherwise(F.lit(-1)),
+    )
+    w_shard = W.partitionBy("split", "shard").orderBy("k", "doc_id")
+    return keyed.select(
+        "doc_id",
+        "split",
+        "shard",
+        F.row_number().over(w_shard).alias("pos"),
+    )
+
+
 ORACLE: dict[str, str] = {
+    "q_train_manifest": f"""
+        WITH surv AS (
+            SELECT doc_id,
+                   CASE WHEN ((doc_id * 2654435761) % 4294967296) % 100 < 80 THEN 'train'
+                        WHEN ((doc_id * 2654435761) % 4294967296) % 100 < 90 THEN 'valid'
+                        ELSE 'test' END AS split
+            FROM (
+                SELECT doc_id,
+                       row_number() OVER (
+                           PARTITION BY md5(lower(regexp_replace(text, '\\s+', ' ', 'g')))
+                           ORDER BY doc_id) AS rn
+                FROM documents
+            ) WHERE rn = 1
+        ),
+        params AS (
+            SELECT greatest({SHUFFLE_MIN_SHARDS},
+                   CAST(ceil(count(*) * 1.0 / {SHUFFLE_DOCS_PER_SHARD}) AS BIGINT)) AS n
+            FROM surv WHERE split = 'train'
+        ),
+        keyed AS (
+            SELECT doc_id, split,
+                   ('0x' || substr(md5('{MANIFEST_SEED}|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS k
+            FROM surv
+        ),
+        sharded AS (
+            SELECT doc_id, split, k,
+                   CASE WHEN split = 'train'
+                        THEN CAST(k % (SELECT n FROM params) AS INT)
+                        ELSE -1 END AS shard
+            FROM keyed
+        )
+        SELECT doc_id, split, shard,
+               CAST(row_number() OVER (
+                   PARTITION BY split, shard ORDER BY k, doc_id) AS INT) AS pos
+        FROM sharded
+    """,
     "q_span_dedup": f"""
         WITH d AS (
             SELECT doc_id, str_split(text, ' ') AS w FROM documents

@@ -103,6 +103,7 @@ _VERIFY_FIRST = [
     "q_groupmap_normalize",
     "q_stream_dedup_agg_wm",
     "q_stream_late_drop_wm",
+    "q_train_manifest",
     "q_kpl_deagg",
     "q_consume_pipeline",
     "q_stream_dedup_wm",
@@ -123,7 +124,6 @@ _VERIFY_FIRST = [
     "q_agg_group",
     "q_rollup_cube",
     "q_window_rank",
-    "q_window_frame",
     "q_window_range",
     "q_sort_limit",
     "q_set_ops",
