@@ -266,3 +266,13 @@ def test_zorder_buckets_bound_both_dimensions(spark):
     facts = plan_facts(df)
     assert facts["python_udf_nodes"] == 0
     assert facts["shuffles"] <= 1, "one map-side-combinable bucket agg only"
+
+
+def test_train_manifest_minimal_shuffles(spark):
+    """The composed pipeline end must not multiply shuffles: one fingerprint
+    window, one per-shard window, plus the split/shard projection (codegen)
+    — the sizing count is a separate cheap job, not a plan stage."""
+    df = QUERIES["q_train_manifest"](spark, SF)
+    facts = plan_facts(df)
+    assert facts["shuffles"] <= 3, facts
+    assert facts["python_udf_nodes"] == 0
