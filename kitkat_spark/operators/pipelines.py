@@ -270,6 +270,70 @@ def q_cross_join_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PMI_VOCAB = 50
+PMI_MIN_COOC = 5
+
+
+def q_token_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information over token co-occurrence — the
+    association-mining step behind collocation extraction and
+    word-embedding preprocessing: for pairs of frequent tokens,
+    PMI = ln(df(a,b) * N / (df(a) * df(b))) over document-level presence.
+
+    The 100 TB discipline is the VOCABULARY BOUND: raw pair space is
+    |tokens per doc|^2 per document (quadratic, the same disease as
+    all-pairs dedup). Restricting to the top-PMI_VOCAB tokens by document
+    frequency bounds the per-doc pair fan-out at C(50,2) CONSTANT, and the
+    expansion runs as a codegen'd nested-transform over each doc's sorted
+    in-vocab token array — no self-join, no shuffle for pair generation;
+    the only shuffles are the vocabulary agg, the per-doc set agg, and the
+    pair count (all map-side combinable). df(a), df(b) ride in via a
+    broadcast of the 50-row vocab. The oracle replays co-occurrence with a
+    document self-join — fine at oracle scale, exactly the shuffle shape
+    the array expansion avoids."""
+    docs = load_table(spark, sf_dir, "documents")
+    dt = docs.select(
+        "doc_id", F.explode(F.array_distinct(tokens(F.col("text")))).alias("token")
+    )
+    vocab = (
+        dt.groupBy("token")
+        .agg(F.count("*").alias("df"))
+        .orderBy(F.col("df").desc(), "token")
+        .limit(PMI_VOCAB)
+    )
+    in_vocab = dt.join(F.broadcast(vocab.select("token")), "token")
+    per_doc = in_vocab.groupBy("doc_id").agg(
+        F.array_sort(F.collect_set("token")).alias("ts")
+    )
+    pairs = per_doc.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ts, (x, i) -> "
+                "transform(slice(ts, i + 2, size(ts)), y -> struct(x AS a, y AS b))))"
+            )
+        ).alias("p")
+    ).select("p.a", "p.b")
+    cooc = pairs.groupBy("a", "b").agg(F.count("*").alias("df_ab"))
+    n_docs = docs.select(F.count("*").alias("n"))
+    va = vocab.select(F.col("token").alias("a"), F.col("df").alias("df_a"))
+    vb = vocab.select(F.col("token").alias("b"), F.col("df").alias("df_b"))
+    return (
+        cooc.filter(F.col("df_ab") >= PMI_MIN_COOC)
+        .join(F.broadcast(va), "a")
+        .join(F.broadcast(vb), "b")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "a",
+            "b",
+            "df_ab",
+            F.round(
+                F.log(F.col("df_ab") * F.col("n") / (F.col("df_a") * F.col("df_b"))),
+                4,
+            ).alias("pmi"),
+        )
+    )
+
+
 def q_groupmap_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user min-max normalization via ``applyInPandas`` — the Arrow
     grouped-map path, driver-verified. The normalization itself is
@@ -312,6 +376,32 @@ def q_groupmap_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE: dict[str, str] = {
+    "q_token_pmi": f"""
+        WITH dt AS (
+            SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
+            FROM documents
+        ),
+        vocab AS (
+            SELECT token, count(*) AS df FROM dt GROUP BY token
+            ORDER BY df DESC, token LIMIT {PMI_VOCAB}
+        ),
+        iv AS (
+            SELECT dt.doc_id, dt.token FROM dt JOIN vocab USING (token)
+        ),
+        cooc AS (
+            SELECT x.token AS a, y.token AS b, count(*) AS df_ab
+            FROM iv x JOIN iv y
+              ON x.doc_id = y.doc_id AND x.token < y.token
+            GROUP BY 1, 2
+            HAVING count(*) >= {PMI_MIN_COOC}
+        )
+        SELECT a, b, df_ab,
+               round(ln(df_ab * (SELECT count(*) FROM documents)
+                        / (va.df * vb.df)), 4) AS pmi
+        FROM cooc
+        JOIN vocab va ON va.token = a
+        JOIN vocab vb ON vb.token = b
+    """,
     "q_groupmap_normalize": """
         SELECT user_id, event_id,
                round(CASE WHEN max(value) OVER w = min(value) OVER w THEN 0.5

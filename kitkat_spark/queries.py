@@ -104,6 +104,7 @@ _VERIFY_FIRST = [
     "q_stream_dedup_agg_wm",
     "q_stream_late_drop_wm",
     "q_train_manifest",
+    "q_token_pmi",
     "q_kpl_deagg",
     "q_consume_pipeline",
     "q_stream_dedup_wm",
@@ -132,7 +133,6 @@ _VERIFY_FIRST = [
     "q_minmax_by",
     "q_stats_agg",
     "q_percentiles",
-    "q_pivot",
     "q_first_last",
     "q_dedup",
     "q_similarity_search",
