@@ -162,6 +162,8 @@ HEADLINE = [
     "q_stream_late_drop_wm",
     "q_train_manifest",
     "q_token_pmi",
+    "q_weighted_sample",
+    "q_bm25",
     # Excluded on purpose (NOT a silent cap): q_cc_chain is the adversarial
     # deep-diameter CC verification query — it deliberately runs ~25 star
     # rounds on a path graph, so its wall time is per-round scheduler

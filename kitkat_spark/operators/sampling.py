@@ -23,7 +23,7 @@ aggregate) one map-side-combinable shuffle. No join, no window, no UDF.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from kitkat_spark.sources import load_table
@@ -114,7 +114,63 @@ def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+WS_K = 500
+WS_SEED = "ws1"
+
+
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement via Efraimidis–Spirakis
+    priorities (Inf. Proc. Letters 2006 — public literature): each doc gets
+    priority u^(1/w) for uniform u and weight w, and the k largest
+    priorities ARE a weighted sample without replacement. Used here to
+    draw 500 documents weighted by length — the corpus-mixing draw that
+    up-weights long documents exactly proportionally.
+
+    Determinism (the whole point vs ``df.sample``): u is md5-derived from
+    the doc_id ([[functions/text.py]] md5_long / 2^60 — layout-invariant,
+    rerun-invariant, engine-replayable), and ordering uses the equivalent
+    monotone key ln(u)/w (one log instead of a pow). One scan + a
+    TakeOrderedAndProject top-k (per-partition heap, k-row merge — no
+    global sort); at 100 TB the same single pass draws the sample from any
+    corpus, and restricting to per-source strata turns it into weighted
+    stratified sampling with a partitionBy window."""
+    from kitkat_spark.functions.text import md5_long
+
+    docs = load_table(spark, sf_dir, "documents")
+    u = (
+        md5_long(
+            F.concat(F.lit(WS_SEED + "|"), F.col("doc_id").cast("string"))
+        ).cast("double")
+        / F.lit(float(1 << 60))
+    )
+    key = F.log(u) / F.col("n_chars")
+    ranked = (
+        docs.select("doc_id", "source", "n_chars", key.alias("k"))
+        .orderBy(F.col("k").desc(), "doc_id")
+        .limit(WS_K)
+    )
+    w = W.orderBy(F.col("k").desc(), "doc_id")
+    return ranked.select(
+        F.row_number().over(w).alias("rk"), "doc_id", "source", "n_chars"
+    )
+
+
 ORACLE: dict[str, str] = {
+    "q_weighted_sample": f"""
+        WITH keyed AS (
+            SELECT doc_id, source, n_chars,
+                   ln(('0x' || substr(md5('{WS_SEED}|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                      / 1152921504606846976.0) / n_chars AS k
+            FROM documents
+        ),
+        top AS (
+            SELECT doc_id, source, n_chars, k
+            FROM keyed ORDER BY k DESC, doc_id LIMIT {WS_K}
+        )
+        SELECT CAST(row_number() OVER (ORDER BY k DESC, doc_id) AS INT) AS rk,
+               doc_id, source, n_chars
+        FROM top
+    """,
     "q_split_leakage": """
         WITH d AS (
             SELECT md5(substr(lower(regexp_replace(text, '\\s+', ' ', 'g')), 1, 200)) AS fp,

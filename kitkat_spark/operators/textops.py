@@ -245,7 +245,107 @@ def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_QUERY = ("spark", "join", "fast")
+BM25_TOP = 20
+
+
+def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranking of the corpus for a fixed keyword query (Robertson &
+    Zaragoza, "The Probabilistic Relevance Framework: BM25 and Beyond",
+    FnTIR 2009 — public literature): the lexical-retrieval scorer behind
+    every search/RAG hybrid pipeline, as pure DataFrame algebra.
+
+      score(d) = Σ_q idf(q) · tf·(k1+1) / (tf + k1·(1-b+b·len/avglen)),
+      idf(q) = ln((N - df + 0.5)/(df + 0.5) + 1)
+
+    Plan: term frequencies come from ONE exploded pass FILTERED to the
+    query's 3 tokens before the shuffle (the scan fans out but only query-
+    token rows survive to the groupBy); N/avglen are a broadcast 1-row
+    agg; df per query token is a broadcast 3-row agg. Ranking orders by
+    the ROUNDED score then doc_id — float summation order may flip last
+    bits across engines, and a rank boundary must never depend on an ulp.
+    Top-k is TakeOrderedAndProject. At 100 TB the same shape serves any
+    query batch: explode once, semi-join the query-token set, score —
+    cost tracks matching postings, not the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", F.size(tokens(F.col("text"))).alias("len"), tokens(F.col("text")).alias("w")
+    )
+    stats = base.agg(
+        F.count("*").alias("n_docs"), F.avg("len").alias("avglen")
+    )
+    tf = (
+        base.select("doc_id", "len", F.explode("w").alias("token"))
+        .filter(F.col("token").isin(*BM25_QUERY))
+        .groupBy("doc_id", "len", "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_t = tf.groupBy("token").agg(F.count("*").alias("df"))
+    scored = (
+        tf.join(F.broadcast(df_t), "token")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            (
+                F.log(
+                    (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+                )
+                * (F.col("tf") * (BM25_K1 + 1))
+                / (
+                    F.col("tf")
+                    + BM25_K1
+                    * (1 - BM25_B + BM25_B * F.col("len") / F.col("avglen"))
+                )
+            ).alias("contrib"),
+        )
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("contrib"), 4).alias("score"))
+    )
+    from pyspark.sql import Window as W
+
+    ranked = scored.orderBy(F.col("score").desc(), "doc_id").limit(BM25_TOP)
+    w = W.orderBy(F.col("score").desc(), "doc_id")
+    return ranked.select(F.row_number().over(w).alias("rk"), "doc_id", "score")
+
+
 ORACLE: dict[str, str] = {
+    "q_bm25": f"""
+        WITH base AS (
+            SELECT doc_id, len(string_split(text, ' ')) AS len,
+                   string_split(text, ' ') AS w
+            FROM documents
+        ),
+        stats AS (
+            SELECT count(*) AS n_docs, avg(len) AS avglen FROM base
+        ),
+        tf AS (
+            SELECT doc_id, len, token, count(*) AS tf
+            FROM (SELECT doc_id, len, unnest(w) AS token FROM base)
+            WHERE token IN ({', '.join(repr(t) for t in BM25_QUERY)})
+            GROUP BY doc_id, len, token
+        ),
+        dft AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+        scored AS (
+            SELECT tf.doc_id,
+                   round(sum(
+                       ln((stats.n_docs - dft.df + 0.5) / (dft.df + 0.5) + 1.0)
+                       * (tf.tf * ({BM25_K1} + 1))
+                       / (tf.tf + {BM25_K1}
+                          * (1 - {BM25_B} + {BM25_B} * tf.len / stats.avglen))
+                   ), 4) AS score
+            FROM tf JOIN dft USING (token), stats
+            GROUP BY tf.doc_id
+        ),
+        top AS (
+            SELECT doc_id, score FROM scored
+            ORDER BY score DESC, doc_id LIMIT {BM25_TOP}
+        )
+        SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rk,
+               doc_id, score
+        FROM top
+    """,
     # Replays winnowing value-for-value: md5-derived rolling k-gram hashes
     # (identical to functions/text.py md5_long mod MINHASH_PRIME), then the
     # min of each w-hash window via a ROWS window frame, then per-doc

@@ -79,14 +79,14 @@ for _m in _MODULES:
 
 # The 50 driver-verified slots this round (round 5). Rationale per block:
 _VERIFY_FIRST = [
-    # -- new or changed this round: seven brand-new queries (Bloom-pruned
-    # join, fixed-point PageRank, span-level dedup, column profiler,
-    # streaming session windows, Count-Min heavy hitters, degree-oriented
-    # triangle count), the two formerly-rows-only queries now
-    # carry full value oracles (KPL round trip / rendered pipeline), the
-    # embedding near-dup was rebuilt on a corpus-sized LSH quantizer, the
-    # salted join's default sizing path changed, and q_stream_dedup_wm /
-    # q_stream_interval_join_wm are new streaming-native registry entries --
+    # -- new or changed this round: twenty brand-new queries (runtime
+    # filters, graph algorithms, sketches, layout, profiling, interchange,
+    # regression/anomaly, grouped-map, four streaming-native additions,
+    # the composed train manifest, PMI, weighted sampling, BM25), the two
+    # formerly-rows-only queries now carry full value oracles (KPL round
+    # trip / rendered pipeline), the embedding near-dup was rebuilt on a
+    # corpus-sized LSH quantizer, and the salted join's default sizing
+    # path changed --
     "q_bloom_join",
     "q_pagerank",
     "q_span_dedup",
@@ -105,6 +105,8 @@ _VERIFY_FIRST = [
     "q_stream_late_drop_wm",
     "q_train_manifest",
     "q_token_pmi",
+    "q_weighted_sample",
+    "q_bm25",
     "q_kpl_deagg",
     "q_consume_pipeline",
     "q_stream_dedup_wm",
@@ -125,8 +127,6 @@ _VERIFY_FIRST = [
     "q_agg_group",
     "q_rollup_cube",
     "q_window_rank",
-    "q_window_range",
-    "q_sort_limit",
     "q_set_ops",
     "q_scalar_funcs",
     "q_array_map_funcs",
