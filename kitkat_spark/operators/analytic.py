@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from kitkat_spark.functions.numeric import dsum, dsum_sql
+from kitkat_spark.functions.numeric import DEC_REV_SQL, drev, dsum, dsum_sql
 from kitkat_spark.functions.vectors import dot, norm2
 from kitkat_spark.sources import load_table
 
@@ -49,7 +49,7 @@ def q_mjoin_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
-            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
+            dsum(drev()).alias("revenue")
         )
         .orderBy(F.col("revenue").desc(), "l_orderkey")
         .limit(10)
@@ -81,7 +81,7 @@ def q_mjoin_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("n_name")
         .agg(
-            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
+            dsum(drev()).alias("revenue")
         )
         .select("n_name", "revenue")
     )
@@ -195,7 +195,7 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT l_returnflag, l_linestatus,
                grouping(l_returnflag) AS g_flag,
                grouping(l_linestatus) AS g_status,
-               round(sum(l_extendedprice), 2) AS sum_price,
+               CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_price,
                count(*) AS n_rows
         FROM gs_lineitem
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
@@ -333,7 +333,7 @@ ORACLE: dict[str, str] = {
     """,
     "q_mjoin_revenue": f"""
         SELECT l_orderkey,
-               {dsum_sql("l_extendedprice * (1 - l_discount)")} AS revenue,
+               {dsum_sql(DEC_REV_SQL)} AS revenue,
                o_orderdate, o_orderpriority
         FROM customer
         JOIN orders ON c_custkey = o_custkey
@@ -347,7 +347,7 @@ ORACLE: dict[str, str] = {
     """,
     "q_mjoin_region_revenue": f"""
         SELECT n_name,
-               {dsum_sql("l_extendedprice * (1 - l_discount)")} AS revenue
+               {dsum_sql(DEC_REV_SQL)} AS revenue
         FROM lineitem
         JOIN orders ON l_orderkey = o_orderkey
         JOIN customer ON o_custkey = c_custkey
@@ -410,7 +410,7 @@ ORACLE: dict[str, str] = {
         SELECT l_returnflag, l_linestatus,
                grouping(l_returnflag) AS g_flag,
                grouping(l_linestatus) AS g_status,
-               round(sum(l_extendedprice), 2) AS sum_price,
+               CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_price,
                count(*) AS n_rows
         FROM lineitem
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))

@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from kitkat_spark.functions.text import _zipped_ngrams, tokens
-from kitkat_spark.functions.numeric import dsum
+from kitkat_spark.functions.numeric import DEC_REV_SQL, drev, dsum, dsum_dec, dsum_dec_sql
 from kitkat_spark.sources import load_table
 
 VOCAB_TOP_K = 50
@@ -231,11 +231,11 @@ def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     — the melt costs nothing; do it AFTER aggregation, never on the fact
     table (melting first would triple the shuffled rows)."""
     li = load_table(spark, sf_dir, "lineitem")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    disc_price = drev()
     agg = li.groupBy("l_returnflag").agg(
         dsum("l_quantity").alias("qty"),
         dsum("l_extendedprice").alias("price"),
-        dsum(disc_price).alias("disc_price"),
+        dsum_dec(disc_price).alias("disc_price"),
     )
     return agg.unpivot("l_returnflag", ["qty", "price", "disc_price"], "metric", "value")
 
@@ -521,15 +521,14 @@ ORACLE: dict[str, str] = {
               SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
         GROUP BY o_orderstatus
     """,
-    "q_unpivot": """
+    "q_unpivot": f"""
         WITH a AS (
             SELECT l_returnflag,
                    CAST(round(sum(CAST(l_quantity AS DECIMAL(18,4))), 2)
                         AS DOUBLE) AS qty,
                    CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))), 2)
                         AS DOUBLE) AS price,
-                   CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
-                                       AS DECIMAL(18,4))), 2) AS DOUBLE) AS disc_price
+                   {dsum_dec_sql(DEC_REV_SQL)} AS disc_price
             FROM lineitem GROUP BY l_returnflag
         )
         SELECT l_returnflag, 'qty' AS metric, qty AS value FROM a

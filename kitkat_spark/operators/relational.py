@@ -20,7 +20,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from kitkat_spark.functions.numeric import dsum, dsum_sql
+from kitkat_spark.functions.numeric import (
+    DEC_REV_SQL,
+    RATE,
+    drate,
+    drev,
+    dsum,
+    dsum_dec,
+    dsum_dec_sql,
+    dsum_sql,
+)
 from kitkat_spark.sources import load_table
 
 
@@ -195,15 +204,18 @@ def q_agg_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 shape: multi-aggregate hash aggregation with partial (map-side)
     combine; the filter pushes to the scan."""
     li = load_table(spark, sf_dir, "lineitem")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # decimal-exact products: double multiply + double->decimal cast rounds
+    # differently in Spark vs DuckDB at ulp boundaries (see functions/numeric.py)
+    disc_price = drev()
+    charge = disc_price * (F.lit(1).cast(RATE) + drate("l_tax"))
     return (
         li.filter(F.col("l_shipdate") <= "1998-09-02")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             dsum("l_quantity").alias("sum_qty"),
             dsum("l_extendedprice").alias("sum_base_price"),
-            dsum(disc_price).alias("sum_disc_price"),
-            dsum(disc_price * (1 + F.col("l_tax"))).alias("sum_charge"),
+            dsum_dec(disc_price).alias("sum_disc_price"),
+            dsum_dec(charge).alias("sum_charge"),
             F.round(
                 F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast("double")
                 / F.count("l_quantity"),
@@ -561,16 +573,14 @@ ORACLE: dict[str, str] = {
                round(quantile_cont(l_extendedprice, 0.75), 4) AS p75
         FROM lineitem GROUP BY l_linestatus
     """,
-    "q_agg_group": """
+    "q_agg_group": f"""
         SELECT l_returnflag, l_linestatus,
                CAST(round(sum(CAST(l_quantity AS DECIMAL(18,4))), 2)
                     AS DOUBLE) AS sum_qty,
                CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))), 2)
                     AS DOUBLE) AS sum_base_price,
-               CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
-                                   AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_disc_price,
-               CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
-                                   AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_charge,
+               {dsum_dec_sql(DEC_REV_SQL)} AS sum_disc_price,
+               {dsum_dec_sql(DEC_REV_SQL + " * (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2)))")} AS sum_charge,
                round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
                      / count(l_quantity), 4) AS avg_qty,
                round(CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE)

@@ -45,6 +45,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from kitkat_spark.functions.numeric import DEC_REV_SQL, drev, dsum_dec, dsum_dec_sql
 from kitkat_spark.sources import load_table
 
 N_WORDS = 2048  # 64-bit blocks -> 16 KiB, 2^17 bits total
@@ -189,18 +190,16 @@ def q_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = bloom_pruned_join(li, dim, "l_suppkey", "s_suppkey")
     return joined.groupBy("s_suppkey", "s_name").agg(
         F.count("*").alias("n_lines"),
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-            "revenue"
-        ),
+        dsum_dec(drev()).alias("revenue"),
     )
 
 
 ORACLE: dict[str, str] = {
     # the plain join: Bloom pruning must not change a single row
-    "q_bloom_join": """
+    "q_bloom_join": f"""
         SELECT s_suppkey, s_name,
                count(*) AS n_lines,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+               {dsum_dec_sql(DEC_REV_SQL)} AS revenue
         FROM lineitem
         JOIN supplier ON l_suppkey = s_suppkey
         JOIN nation ON s_nationkey = n_nationkey

@@ -150,13 +150,41 @@ def q_skew_join_salted(spark, sf_dir):
     )
 
 
-ORACLE = {
-    "q_skew_join_salted": """
+def q_skew_join_auto(spark, sf_dir):
+    """Driver-verified PRODUCTION skew join: same lineitem⋈orders shape as
+    :func:`q_skew_join_salted` but with ``hot_threshold=None``, i.e. the
+    rows-per-task auto-sizing path a real deployment runs (threshold =
+    total/shuffle_partitions/4, hot list collected from the same per-key
+    agg). On a uniform fixture the hot list is usually empty and everything
+    takes the plain-join branch — which is exactly the correct production
+    behavior to verify: salting engages only for genuine celebrity keys,
+    and the result is row-for-row the plain join either way (the oracle)."""
+    from pyspark.sql import functions as F
+
+    from kitkat_spark.functions.numeric import dsum
+    from kitkat_spark.sources import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    joined = adaptive_salted_join(li, orders, "l_orderkey", hot_threshold=None)
+    return joined.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_lines"),
+        dsum("l_quantity").alias("total_qty"),
+    )
+
+
+_PLAIN_JOIN_SQL = """
         SELECT o_orderpriority,
                count(*) AS n_lines,
                CAST(round(sum(CAST(l_quantity AS DECIMAL(18,4))), 2)
                     AS DOUBLE) AS total_qty
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         GROUP BY o_orderpriority
-    """,
+    """
+
+ORACLE = {
+    "q_skew_join_salted": _PLAIN_JOIN_SQL,
+    "q_skew_join_auto": _PLAIN_JOIN_SQL,
 }

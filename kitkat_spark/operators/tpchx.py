@@ -32,21 +32,33 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from kitkat_spark.functions.numeric import dsum, dsum_sql
+from kitkat_spark.functions.numeric import (
+    DEC_REV_SQL,
+    QTY,
+    RATE,
+    dmoney,
+    drate,
+    drev,
+    dsum,
+    dsum_dec,
+    dsum_dec_sql,
+    dsum_sql,
+)
 from kitkat_spark.sources import load_table
 
-# Shared oracle fragment: exact fixed-point revenue sum (see functions/
-# numeric.py — float sums are partition-order dependent; decimal is not).
-_REV_SQL = "l_extendedprice * (1 - l_discount)"
+# Shared oracle fragment: decimal-exact revenue product (see functions/
+# numeric.py — double products cast to decimal round differently per engine;
+# factor-wise decimal casts make the multiply exact and engine-identical).
+_REV_SQL = DEC_REV_SQL
 
 PROMO_MONTH = ("1996-09-01", "1996-10-01")
 SMALL_QTY_FACTOR = 0.2
 IDLE_MIN_BAL = 0.0
 
 def _rev() -> F.Column:
-    """Discounted revenue expression (Column creation needs a live session,
-    so this can't be a module-level constant)."""
-    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    """Decimal-exact discounted revenue expression (Column creation needs a
+    live session, so this can't be a module-level constant)."""
+    return drev()
 
 
 def q_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -93,7 +105,7 @@ def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
                 100.0
                 * F.sum(
                     F.when(F.col("p_type") == "PROMO", _rev())
-                    .otherwise(0.0)
+                    .otherwise(F.lit(0).cast(RATE))
                     .cast("decimal(18,4)")
                 ).cast("double")
                 / F.sum(_rev().cast("decimal(18,4)")).cast("double"),
@@ -224,7 +236,7 @@ def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"),
+            dsum(dmoney("l_extendedprice") * drate("l_discount")).alias("revenue"),
             F.count("*").alias("n_lines"),
         )
     )
@@ -298,7 +310,7 @@ def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         supplier.s_nationkey == F.col("sn_key"),
     ).select("s_suppkey", "supp_nation")
     econ_parts = part.filter(F.col("p_type") == "ECONOMY").select("p_partkey")
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    rev = drev()
     return (
         li.join(F.broadcast(econ_parts), li.l_partkey == econ_parts.p_partkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
@@ -309,7 +321,7 @@ def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(
                 F.sum(
                     F.when(F.col("supp_nation") == "NATION_3", rev)
-                    .otherwise(0.0)
+                    .otherwise(F.lit(0).cast(RATE))
                     .cast("decimal(18,4)")
                 ).cast("double")
                 / F.sum(rev.cast("decimal(18,4)")).cast("double"),
@@ -339,8 +351,8 @@ def q_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey
     ).select("s_suppkey", "n_name")
     amount = (
-        F.col("l_extendedprice") * (1 - F.col("l_discount"))
-        - 0.6 * F.col("p_retailprice") * F.col("l_quantity")
+        drev()
+        - F.lit(0.6).cast(RATE) * dmoney("p_retailprice") * F.col("l_quantity").cast(QTY)
     )
     return (
         li.join(F.broadcast(widget_parts), li.l_partkey == widget_parts.p_partkey)
@@ -349,7 +361,7 @@ def q_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(
             F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year")
         )
-        .agg(dsum(amount).alias("profit"))
+        .agg(dsum_dec(amount).alias("profit"))
     )
 
 
@@ -363,7 +375,7 @@ def q_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
     nation = load_table(spark, sf_dir, "nation")
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    rev = drev()
     q_orders = orders.filter(
         (F.col("o_orderdate") >= "1996-10-01") & (F.col("o_orderdate") < "1997-01-01")
     )
@@ -407,7 +419,7 @@ def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     max). Ties all surface, as in the spec."""
     li = load_table(spark, sf_dir, "lineitem")
     supplier = load_table(spark, sf_dir, "supplier")
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    rev = drev()
     per_supp = (
         li.filter(
             (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
@@ -512,8 +524,9 @@ ORACLE: dict[str, str] = {
     """,
     "q_promo_revenue": f"""
         SELECT round(100.0 * CAST(sum(CAST(CASE WHEN p_type = 'PROMO'
-                                      THEN l_extendedprice * (1 - l_discount)
-                                      ELSE 0.0 END AS DECIMAL(18,4))) AS DOUBLE)
+                                      THEN {_REV_SQL}
+                                      ELSE CAST(0 AS DECIMAL(4,2)) END
+                                      AS DECIMAL(18,4))) AS DOUBLE)
                      / CAST(sum(CAST({_REV_SQL} AS DECIMAL(18,4))) AS DOUBLE),
                      2) AS promo_pct,
                count(*) AS n_lines
@@ -574,7 +587,7 @@ ORACLE: dict[str, str] = {
         GROUP BY c_nationkey
     """,
     "q_forecast_revenue": f"""
-        SELECT {dsum_sql("l_extendedprice * l_discount")} AS revenue,
+        SELECT {dsum_sql("CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(4,2))")} AS revenue,
                count(*) AS n_lines
         FROM lineitem
         WHERE l_shipdate >= TIMESTAMP '1996-01-01'
@@ -603,8 +616,9 @@ ORACLE: dict[str, str] = {
     "q_market_share": f"""
         SELECT CAST(year(o_orderdate) AS INT) AS o_year,
                round(CAST(sum(CAST(CASE WHEN sn.n_name = 'NATION_3'
-                              THEN l_extendedprice * (1 - l_discount)
-                              ELSE 0.0 END AS DECIMAL(18,4))) AS DOUBLE)
+                              THEN {_REV_SQL}
+                              ELSE CAST(0 AS DECIMAL(4,2)) END
+                              AS DECIMAL(18,4))) AS DOUBLE)
                      / CAST(sum(CAST({_REV_SQL} AS DECIMAL(18,4))) AS DOUBLE),
                      6) AS mkt_share,
                {dsum_sql(_REV_SQL)} AS total_revenue
@@ -620,7 +634,7 @@ ORACLE: dict[str, str] = {
     """,
     "q_product_profit": f"""
         SELECT n.n_name AS nation, CAST(year(o.o_orderdate) AS INT) AS o_year,
-               {dsum_sql("l_extendedprice * (1 - l_discount) - 0.6 * p.p_retailprice * l_quantity")} AS profit
+               {dsum_dec_sql(DEC_REV_SQL + " - CAST(0.6 AS DECIMAL(4,2)) * CAST(p.p_retailprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(8,2))")} AS profit
         FROM lineitem
         JOIN part p ON l_partkey = p.p_partkey AND p.p_name LIKE '%widget%'
         JOIN supplier s ON l_suppkey = s.s_suppkey

@@ -16,9 +16,12 @@ prior round AND covered by the local pytest oracle-parity suite
 
 from __future__ import annotations
 
+import functools
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+
+from kitkat_spark.caches import release_caches
 
 from kitkat_spark.operators import (
     analytic,
@@ -68,13 +71,30 @@ _MODULES = (
     tpchx,
 )
 
+def _cache_scoped(fn):
+    """Release blocks persisted by the PREVIOUS query before building this
+    one. Several operators persist() true optimizer boundaries that are
+    consumed lazily (the caller collects after the builder returns), so the
+    builder itself cannot unpersist them — instead each registry call sweeps
+    its predecessor's blocks, bounding a long-lived session's cache
+    footprint to ONE query's working set (cache INTENT survives, so reused
+    handles re-materialize; see caches.py)."""
+
+    @functools.wraps(fn)
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        release_caches(spark)
+        return fn(spark, sf_dir)
+
+    return run
+
+
 _ALL: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
 
 for _m in _MODULES:
     for _name in dir(_m):
         if _name.startswith("q_"):
-            _ALL[_name] = getattr(_m, _name)
+            _ALL[_name] = _cache_scoped(getattr(_m, _name))
     ORACLES.update(getattr(_m, "ORACLE", {}))
 
 # The 50 driver-verified slots this round (round 5). Rationale per block:

@@ -2,13 +2,14 @@
 
 Runs a Spark query and its oracle SQL on the same sf dir, then compares
 row count, column names, and order-insensitive values (sorted rows, columns
-sorted by name, doubles compared with tolerance). Used by
-tests/test_oracle_parity.py so mismatches surface before the driver runs.
+sorted by name). The value compare is EXACT — the driver hashes exact
+values, so any local tolerance makes this gate strictly weaker than the
+driver's (round-5 lesson: q_agg_group drifted by rel ~3.5e-11, inside the
+old rel_tol=1e-6, and failed only at the driver). Queries are responsible
+for rounding their own outputs to engine-portable values.
 """
 
 from __future__ import annotations
-
-import math
 
 import duckdb
 
@@ -34,7 +35,7 @@ def _norm(v):
     if isinstance(v, bool):
         return bool(v)
     if isinstance(v, float):
-        return round(v, 6)
+        return float(v)
     if isinstance(v, int):
         return int(v)
     if hasattr(v, "isoformat"):  # datetime-likes -> µs precision string
@@ -65,22 +66,10 @@ def compare(spark_df, oracle_sql: str, sf_dir: str) -> list[str]:
     )
     bad = 0
     for a, b in zip(s_norm, o_norm):
-        if a != b and not _close(a, b):
+        if a != b:
             bad += 1
             if bad <= 3:
                 problems.append(f"row mismatch: spark={a!r} oracle={b!r}")
     if bad > 3:
         problems.append(f"... {bad} mismatched rows total of {len(s_norm)}")
     return problems
-
-
-def _close(a: tuple, b: tuple) -> bool:
-    if len(a) != len(b):
-        return False
-    for x, y in zip(a, b):
-        if isinstance(x, float) and isinstance(y, float):
-            if not math.isclose(x, y, rel_tol=1e-6, abs_tol=1e-5):
-                return False
-        elif x != y:
-            return False
-    return True
