@@ -72,12 +72,15 @@ def profile(df: DataFrame, cols: list[str]) -> DataFrame:
 
 def q_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full-column profile of `events`; ts profiled via the second-truncated
-    render so min/max strings are engine-portable."""
+    render and the double `value` via a fixed-scale decimal projection —
+    default double->string casts are NOT engine-portable (Java
+    Double.toString goes scientific for |x| >= 1e7 or < 1e-3 while DuckDB
+    renders plainly), so min/max must never surface a raw double render."""
     ev = load_table(spark, sf_dir, "events").select(
         "event_id",
         "user_id",
         "event_type",
-        "value",
+        F.col("value").cast("decimal(18,4)").alias("value"),
         "props",
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
     )
@@ -102,7 +105,7 @@ ORACLE: dict[str, str] = {
             ("event_id", "event_id"),
             ("user_id", "user_id"),
             ("event_type", "event_type"),
-            ("value", "value"),
+            ("value", "CAST(value AS DECIMAL(18,4))"),
             ("props", "props"),
             ("ts", "strftime(ts, '%Y-%m-%d %H:%M:%S')"),
         ]

@@ -233,12 +233,24 @@ def q_agg_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact multi-column distinct aggregation (expands to per-distinct
-    aggregates; Spark rewrites via expand + two-phase agg)."""
+    aggregates; Spark rewrites via expand + two-phase agg) PLUS the scale
+    path: ``approx_count_distinct`` (HyperLogLog++, rsd 2%) — O(1) agg
+    state and mergeable partials instead of the Expand's k-fold scan. The
+    HLL estimate itself is engine-specific, so what's driver-verified is a
+    bounded-relative-error flag against the exact count (same
+    sketch-vs-exact pattern as q_count_min / q_quantile_sketch): the
+    oracle asserts TRUE, i.e. |approx/exact - 1| <= 10% (5x the rsd)."""
     li = load_table(spark, sf_dir, "lineitem")
+    exact_parts = F.countDistinct("l_partkey")
+    approx_parts = F.approx_count_distinct("l_partkey", rsd=0.02)
     return li.groupBy("l_returnflag").agg(
-        F.countDistinct("l_partkey").alias("n_parts"),
+        exact_parts.alias("n_parts"),
         F.countDistinct("l_suppkey").alias("n_supps"),
         F.count("*").alias("n_rows"),
+        (
+            F.abs(approx_parts.cast("double") / exact_parts.cast("double") - 1.0)
+            <= 0.10
+        ).alias("approx_parts_ok"),
     )
 
 
@@ -594,7 +606,8 @@ ORACLE: dict[str, str] = {
         SELECT l_returnflag,
                count(DISTINCT l_partkey) AS n_parts,
                count(DISTINCT l_suppkey) AS n_supps,
-               count(*) AS n_rows
+               count(*) AS n_rows,
+               TRUE AS approx_parts_ok
         FROM lineitem
         GROUP BY l_returnflag
     """,

@@ -137,13 +137,18 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kitkat_spark.functions.text import md5_long
 
     docs = load_table(spark, sf_dir, "documents")
+    # greatest(raw, 1): md5_long = 0 would make ln diverge per engine
+    # (Spark F.log(0) -> NULL, DuckDB ln(0) raises); rounding the rank key
+    # keeps the top-k cut off ulp boundaries (JVM Math.log and DuckDB ln are
+    # not guaranteed identically rounded — the q_bm25 lesson).
     u = (
-        md5_long(
-            F.concat(F.lit(WS_SEED + "|"), F.col("doc_id").cast("string"))
+        F.greatest(
+            md5_long(F.concat(F.lit(WS_SEED + "|"), F.col("doc_id").cast("string"))),
+            F.lit(1),
         ).cast("double")
         / F.lit(float(1 << 60))
     )
-    key = F.log(u) / F.col("n_chars")
+    key = F.round(F.log(u) / F.col("n_chars"), 12)
     ranked = (
         docs.select("doc_id", "source", "n_chars", key.alias("k"))
         .orderBy(F.col("k").desc(), "doc_id")
@@ -159,8 +164,8 @@ ORACLE: dict[str, str] = {
     "q_weighted_sample": f"""
         WITH keyed AS (
             SELECT doc_id, source, n_chars,
-                   ln(('0x' || substr(md5('{WS_SEED}|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
-                      / 1152921504606846976.0) / n_chars AS k
+                   round(ln(greatest(('0x' || substr(md5('{WS_SEED}|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT, 1)
+                      / 1152921504606846976.0) / n_chars, 12) AS k
             FROM documents
         ),
         top AS (

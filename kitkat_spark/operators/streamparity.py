@@ -530,7 +530,7 @@ ORACLE: dict[str, str] = {
     # seals: end <= final watermark = max(ts) - 10 min
     "q_stream_session_wm": """
         WITH x AS (
-            SELECT user_id, ts,
+            SELECT user_id, ts, event_id,
                    CASE WHEN lag(ts) OVER w IS NULL
                              OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
                         THEN 1 ELSE 0 END AS new_s
@@ -538,8 +538,11 @@ ORACLE: dict[str, str] = {
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         ),
         s AS (
+            -- same (ts, event_id) total order as x's window: with tied ts
+            -- at a session boundary an ts-only cumulative sum could assign
+            -- the tied row to the previous session nondeterministically
             SELECT user_id, ts,
-                   sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                   sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                     ROWS UNBOUNDED PRECEDING) AS sid
             FROM x
         ),

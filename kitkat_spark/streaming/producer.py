@@ -53,17 +53,24 @@ def assign_partition_key(df: DataFrame, key: str | None = None, line_col: str = 
 PutRecordsFn = Callable[[list[tuple[str, bytes]]], list[tuple[str, str]]]
 
 
-def kinesis_put_records(stream_name: str, region: str | None = None) -> PutRecordsFn:
-    """Production sink callable, gated on boto3 (absent in this container)."""
-    try:
-        import boto3  # type: ignore[import-not-found]
-    except ImportError as exc:  # pragma: no cover
-        raise NotImplementedError(
-            "boto3 unavailable; inject your own PutRecordsFn (tests do)"
-        ) from exc
-    client = boto3.client("kinesis", region_name=region)  # pragma: no cover
+def kinesis_put_records(
+    stream_name: str, region: str | None = None, client=None
+) -> PutRecordsFn:
+    """Production sink callable. ``client`` is the injection seam (any
+    boto3-shaped object with ``put_records`` — the reference's mockKinesis
+    pattern, consumer/consumer_test.go:20-37); without it boto3 is
+    required, which this container lacks."""
+    if client is None:
+        try:
+            import boto3  # type: ignore[import-not-found]
+        except ImportError as exc:
+            raise NotImplementedError(
+                "boto3 unavailable; pass a boto3-shaped `client` or inject "
+                "your own PutRecordsFn (tests do)"
+            ) from exc
+        client = boto3.client("kinesis", region_name=region)  # pragma: no cover
 
-    def put(batch: list[tuple[str, bytes]]) -> list[tuple[str, str]]:  # pragma: no cover
+    def put(batch: list[tuple[str, bytes]]) -> list[tuple[str, str]]:
         resp = client.put_records(
             StreamName=stream_name,
             Records=[{"PartitionKey": k, "Data": d} for k, d in batch],

@@ -112,21 +112,47 @@ def batch_records(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.schema(RECORD_SCHEMA).parquet(path)
 
 
-def describe_stream_df(spark: SparkSession, stream_name: str, region: str | None = None) -> tuple[DataFrame, DataFrame]:
+def describe_stream_df(
+    spark: SparkSession,
+    stream_name: str,
+    region: str | None = None,
+    client=None,
+) -> tuple[DataFrame, DataFrame]:
     """S3: live Kinesis ``DescribeStream`` surfaced as (meta_df, shards_df).
 
-    Gated behind boto3 (not in this container); tests build the same-schema
-    DataFrames from fixtures instead.
+    ``client`` is the injection seam (any boto3-shaped object with a
+    ``describe_stream`` method — mirrors the reference's mockKinesis,
+    consumer/consumer_test.go:20-37); without it boto3 is required, which
+    this container lacks. DescribeStream pages at 100 shards: the loop
+    follows ``HasMoreShards`` with ``ExclusiveStartShardId`` so a
+    many-shard stream's full shard table is assembled, exactly as the AWS
+    API contract specifies.
     """
-    try:
-        import boto3  # type: ignore[import-not-found]
-    except ImportError as exc:  # pragma: no cover - container has no boto3
-        raise NotImplementedError(
-            "boto3 is unavailable; construct meta/shard DataFrames with "
-            "SHARD_SCHEMA/STREAM_META_SCHEMA from your own DescribeStream call"
-        ) from exc
-    client = boto3.client("kinesis", region_name=region)  # pragma: no cover
-    desc = client.describe_stream(StreamName=stream_name)["StreamDescription"]
+    if client is None:
+        try:
+            import boto3  # type: ignore[import-not-found]
+        except ImportError as exc:
+            raise NotImplementedError(
+                "boto3 is unavailable; pass a boto3-shaped `client` or build "
+                "meta/shard DataFrames with SHARD_SCHEMA/STREAM_META_SCHEMA "
+                "from your own DescribeStream call"
+            ) from exc
+        client = boto3.client("kinesis", region_name=region)  # pragma: no cover
+    shard_rows: list[tuple] = []
+    kwargs: dict = {"StreamName": stream_name}
+    while True:
+        desc = client.describe_stream(**kwargs)["StreamDescription"]
+        shard_rows.extend(
+            (
+                s["ShardId"],
+                s["SequenceNumberRange"]["StartingSequenceNumber"],
+                s["SequenceNumberRange"].get("EndingSequenceNumber"),
+            )
+            for s in desc["Shards"]
+        )
+        if not desc.get("HasMoreShards") or not desc["Shards"]:
+            break
+        kwargs["ExclusiveStartShardId"] = desc["Shards"][-1]["ShardId"]
     meta = spark.createDataFrame(
         [
             (
@@ -138,17 +164,7 @@ def describe_stream_df(spark: SparkSession, stream_name: str, region: str | None
         ],
         STREAM_META_SCHEMA,
     )
-    shards = spark.createDataFrame(
-        [
-            (
-                s["ShardId"],
-                s["SequenceNumberRange"]["StartingSequenceNumber"],
-                s["SequenceNumberRange"].get("EndingSequenceNumber"),
-            )
-            for s in desc["Shards"]
-        ],
-        SHARD_SCHEMA,
-    )
+    shards = spark.createDataFrame(shard_rows, SHARD_SCHEMA)
     return meta, shards
 
 
