@@ -132,7 +132,7 @@ def _cmd_produce(args: argparse.Namespace) -> int:
 
 def _cmd_info(args: argparse.Namespace) -> int:
     spark = get_spark(app_name="kitkat-info")
-    from kitkat_spark.streaming.consumer import stream_info
+    from kitkat_spark.streaming.consumer import render_stream_info
     from kitkat_spark.streaming.records import describe_stream_df
 
     try:
@@ -140,7 +140,8 @@ def _cmd_info(args: argparse.Namespace) -> int:
     except NotImplementedError as exc:
         print(f"error: {exc}", file=sys.stderr)
         return 1
-    stream_info(meta, shards).show(truncate=False)
+    # the reference's 6-row tablewriter layout (consumer.go:88-114)
+    print(render_stream_info(meta, shards))
     return 0
 
 

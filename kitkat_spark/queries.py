@@ -97,69 +97,72 @@ for _m in _MODULES:
             _ALL[_name] = _cache_scoped(getattr(_m, _name))
     ORACLES.update(getattr(_m, "ORACLE", {}))
 
-# The 50 driver-verified slots this round (round 5). Rationale per block:
+# The 50 driver-verified slots this round (round 6), computed MECHANICALLY
+# from `git diff a83f0fb..HEAD -- kitkat_spark` (the r5 process lesson:
+# changed-this-round must come from the diff, not memory). Blocks:
 _VERIFY_FIRST = [
-    # -- new or changed this round: twenty brand-new queries (runtime
-    # filters, graph algorithms, sketches, layout, profiling, interchange,
-    # regression/anomaly, grouped-map, four streaming-native additions,
-    # the composed train manifest, PMI, weighted sampling, BM25), the two
-    # formerly-rows-only queries now carry full value oracles (KPL round
-    # trip / rendered pipeline), the embedding near-dup was rebuilt on a
-    # corpus-sized LSH quantizer, and the salted join's default sizing
-    # path changed --
-    "q_bloom_join",
-    "q_pagerank",
-    "q_span_dedup",
-    "q_column_profile",
-    "q_stream_session_wm",
-    "q_count_min",
-    "q_triangle_count",
-    "q_zorder_cluster",
-    "q_bucketed_join",
-    "q_quantile_sketch",
-    "q_format_roundtrip",
-    "q_trend_slope",
-    "q_anomaly_zscore",
-    "q_groupmap_normalize",
-    "q_stream_dedup_agg_wm",
-    "q_stream_late_drop_wm",
-    "q_train_manifest",
-    "q_token_pmi",
-    "q_weighted_sample",
-    "q_bm25",
-    "q_kpl_deagg",
-    "q_consume_pipeline",
-    "q_stream_dedup_wm",
-    "q_stream_interval_join_wm",
-    "q_embedding_near_dup",
-    "q_skew_join_salted",
-    "q_consume_since",
-    "q_shuffle_shards",
-    "q_consume_dlq",
-    "q_ann_kmeans_ivf",
-    # -- every query whose latest driver green is still round 1: refresh
-    # them all under the current code (they are also locally re-proven each
-    # round by tests/test_oracle_parity.py) --
-    "q_hash_join",
-    "q_broadcast_join",
-    "q_semi_anti_join",
-    "q_outer_join",
+    # -- (a) changed this round: the decimal-exact product rewrite touched
+    # every dsum(<product>) query and every _REV_SQL oracle (tpchx,
+    # analytic, pipelines, runtimefilter, relational); plus the three
+    # ADVICE fixes (session-window oracle order, weighted-sample rounding,
+    # column-profile decimal render), approx-distinct, and the NEW
+    # q_skew_join_auto production-sizing path --
     "q_agg_group",
-    "q_rollup_cube",
-    "q_window_rank",
-    "q_set_ops",
-    "q_scalar_funcs",
-    "q_array_map_funcs",
-    "q_minmax_by",
-    "q_stats_agg",
-    "q_percentiles",
-    "q_first_last",
-    "q_dedup",
-    "q_similarity_search",
-    "q_multimodal",
-    "q_lang_id",
-    "q_fingerprint",
-    "q_split_leakage",
+    "q_skew_join_auto",
+    "q_agg_distinct",
+    "q_column_profile",
+    "q_weighted_sample",
+    "q_stream_session_wm",
+    "q_bloom_join",
+    "q_unpivot",
+    "q_grouping_sets",
+    "q_mjoin_revenue",
+    "q_mjoin_region_revenue",
+    "q_promo_revenue",
+    "q_forecast_revenue",
+    "q_market_share",
+    "q_product_profit",
+    "q_returned_revenue",
+    "q_top_supplier",
+    "q_nation_volume",
+    "q_disjunctive_join",
+    "q_skew_join_salted",
+    # -- (b) latest driver green still round 1: refresh under current code --
+    "q_conditional_funcs",
+    "q_datetime_funcs",
+    "q_histogram",
+    "q_pivot",
+    "q_posexplode",
+    "q_sort_limit",
+    "q_string_agg",
+    "q_stratified_sample",
+    "q_subquery_scalar",
+    "q_window_frame",
+    "q_window_ntile",
+    "q_window_range",
+    # -- (c) oldest remaining greens (round 3), refreshed oldest-first; the
+    # eight r3 greens that don't fit this round's 50 slots (q_bigram_lm,
+    # q_centroid_assign, q_dup_rate_by_source, q_frame_sample,
+    # q_group_filter_join, q_label_centroid, q_multimodal_decode,
+    # q_media_resize) are the head of next round's block (c) --
+    "q_scan_filter",
+    "q_sample_split",
+    "q_simhash",
+    "q_tfidf",
+    "q_zlib",
+    "q_winnow_fingerprint",
+    "q_incremental_dedup",
+    "q_decontaminate",
+    "q_corpus_pipeline",
+    "q_min_cost_supplier",
+    "q_excess_suppliers",
+    "q_waiting_orders",
+    "q_part_supplier_count",
+    "q_repetition_filter",
+    "q_exists_join",
+    "q_having_scalar",
+    "q_scd2",
+    "q_count_distribution",
 ]
 
 assert len(_VERIFY_FIRST) == 50, len(_VERIFY_FIRST)

@@ -137,3 +137,38 @@ def stream_info(meta: DataFrame, shards: DataFrame) -> DataFrame:
         "active_shards",
         "closed_shards",
     )
+
+
+def render_stream_info(meta: DataFrame, shards: DataFrame) -> str:
+    """Rendered twin of :func:`stream_info` — the reference's 6-row
+    two-column table (consumer.go:88-114, printed via tablewriter). Labels,
+    row order, and value formats match what the reference's own test
+    asserts (consumer_test.go:146-147: ``Stream name:`` then the name,
+    ``Created at:`` then the RFC1123 timestamp); retention/active/closed
+    carry the reference's ``N hours`` / ``N shards`` suffixes. The render
+    consumes the ONE aggregated info row — never per-shard data — so it is
+    driver-side O(1) at any shard count."""
+    row = stream_info(meta, shards).collect()[0]
+    import datetime as dt
+
+    created = dt.datetime.strptime(row.created_at, "%Y-%m-%d %H:%M:%S").replace(
+        tzinfo=dt.timezone.utc
+    )
+    # Go time.RFC1123: "Mon, 02 Jan 2006 15:04:05 MST"
+    rfc1123 = created.strftime("%a, %d %b %Y %H:%M:%S UTC")
+    data = [
+        ("Stream name:", row.stream_name),
+        ("Created at:", rfc1123),
+        ("Encryption:", row.encryption_type),
+        ("Retention:", f"{row.retention_hours} hours"),
+        ("Active:", f"{row.active_shards} shards"),
+        ("Closed:", f"{row.closed_shards} shards"),
+    ]
+    lw = max(len(k) for k, _ in data)
+    vw = max(len(str(v)) for _, v in data)
+    sep = f"+{'-' * (lw + 2)}+{'-' * (vw + 2)}+"
+    lines = [sep]
+    for k, v in data:
+        lines.append(f"| {k.ljust(lw)} | {str(v).ljust(vw)} |")
+    lines.append(sep)
+    return "\n".join(lines)

@@ -76,6 +76,11 @@ SUBSET = [
     "q_pagerank",
     "q_bloom_join",
     "q_stream_interval_join_wm",
+    # round-6: the production auto-threshold salted join — rows-per-task
+    # sizing must classify ~0 keys hot on uniform data at ANY scale, so the
+    # ratio should track the plain join (~1x), unlike the fixture-pinned
+    # q_skew_join_salted (3.5x at 10x, expected: threshold=4 misclassifies)
+    "q_skew_join_auto",
 ]
 
 
