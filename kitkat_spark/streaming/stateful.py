@@ -68,12 +68,22 @@ def _make_update_profile(idle_timeout_ms: int | None):
         state.update((n, total, last_us, max_gap))
         if idle_timeout_ms is not None:
             state.setTimeoutDuration(idle_timeout_ms)
+        # half-away-from-zero rounding, NOT Python's round() (banker's):
+        # the batch twin uses Spark F.round (HALF_UP) and the oracle DuckDB
+        # round (half-away) — an exactly-representable tie like a 0.25 s
+        # max gap would diverge under half-even (0.2 vs 0.3)
+        def _round_half_up(x: float, digits: int) -> float:
+            import math
+
+            scale = 10**digits
+            return math.floor(x * scale + 0.5) / scale
+
         yield pd.DataFrame(
             {
                 "user_id": [key[0]],
                 "n_events": [n],
-                "sum_value": [round(total, 2)],
-                "max_gap_s": [round(max_gap, 1)],
+                "sum_value": [_round_half_up(total, 2)],
+                "max_gap_s": [_round_half_up(max_gap, 1)],
             }
         )
 
