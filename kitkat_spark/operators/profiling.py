@@ -87,6 +87,50 @@ def q_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile(ev, PROFILE_COLS)
 
 
+def q_column_profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB profiler: ``approx_count_distinct`` (HyperLogLog++, rsd
+    2%) for EVERY column in ONE wide aggregation — HLL partials are O(1)
+    and algebraic, so the whole profile is a single map-side-combinable
+    pass with no Expand and no per-column rescan (the exact profiler's
+    cost model, see module docstring). The HLL estimate is engine-specific,
+    so the driver-verified output is the exact distinct count plus a
+    bounded-relative-error flag (|approx/exact - 1| <= 10% at rsd 2% —
+    the q_count_min / q_agg_distinct sketch-vs-exact pattern); a
+    production run keeps only the approx side and skips the exact
+    verification branches."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.col("value").cast("decimal(18,4)").alias("value"),
+        "props",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+    )
+    approx_long = ev.agg(
+        *[F.approx_count_distinct(c, rsd=0.02).alias(c) for c in PROFILE_COLS]
+    ).unpivot([], PROFILE_COLS, "column_name", "n_approx")
+    exact_long = functools.reduce(
+        DataFrame.unionByName,
+        [
+            ev.select(F.col(c))
+            .agg(F.count_distinct(F.col(c)).alias("n_distinct"))
+            .select(F.lit(c).alias("column_name"), "n_distinct")
+            for c in PROFILE_COLS
+        ],
+    )
+    return exact_long.join(F.broadcast(approx_long), "column_name").select(
+        "column_name",
+        "n_distinct",
+        (
+            F.abs(
+                F.col("n_approx").cast("double") / F.col("n_distinct").cast("double")
+                - 1.0
+            )
+            <= 0.10
+        ).alias("approx_ok"),
+    )
+
+
 def _oracle_branch(c: str, expr: str) -> str:
     return f"""
         SELECT '{c}' AS column_name,
@@ -98,16 +142,25 @@ def _oracle_branch(c: str, expr: str) -> str:
         FROM events"""
 
 
+_ORACLE_EXPRS = [
+    ("event_id", "event_id"),
+    ("user_id", "user_id"),
+    ("event_type", "event_type"),
+    ("value", "CAST(value AS DECIMAL(18,4))"),
+    ("props", "props"),
+    ("ts", "strftime(ts, '%Y-%m-%d %H:%M:%S')"),
+]
+
 ORACLE: dict[str, str] = {
     "q_column_profile": "\n        UNION ALL\n".join(
-        _oracle_branch(c, e)
-        for c, e in [
-            ("event_id", "event_id"),
-            ("user_id", "user_id"),
-            ("event_type", "event_type"),
-            ("value", "CAST(value AS DECIMAL(18,4))"),
-            ("props", "props"),
-            ("ts", "strftime(ts, '%Y-%m-%d %H:%M:%S')"),
-        ]
+        _oracle_branch(c, e) for c, e in _ORACLE_EXPRS
+    ),
+    "q_column_profile_approx": "\n        UNION ALL\n".join(
+        f"""
+        SELECT '{c}' AS column_name,
+               count(DISTINCT {e}) AS n_distinct,
+               TRUE AS approx_ok
+        FROM events"""
+        for c, e in _ORACLE_EXPRS
     ),
 }
