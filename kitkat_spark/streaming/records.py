@@ -173,3 +173,101 @@ def open_shards(shards: DataFrame) -> DataFrame:
     (consumer.go:121-123). On the real connector this is source-level shard
     management; expressed relationally it is a null-predicate partition prune."""
     return shards.filter(F.col("ending_sequence_number").isNull())
+
+
+# Iterator-type spelling: CLI position -> Kinesis API constant
+# (consumer.go:63-72 maps --iterator the same way).
+_ITERATOR_TYPES = {
+    "latest": "LATEST",
+    "trim_horizon": "TRIM_HORIZON",
+    "at_sequence_number": "AT_SEQUENCE_NUMBER",
+    "at_timestamp": "AT_TIMESTAMP",
+}
+
+
+def poll_shard_records(
+    client,
+    stream_name: str,
+    shard_id: str,
+    position: str = "trim_horizon",
+    limit: int = 500,
+    since=None,
+    starting_sequence_number: str | None = None,
+    max_polls: int = 100,
+) -> list[tuple]:
+    """S2 live path: one shard's records via the REAL iterator protocol —
+    GetShardIterator then a GetRecords loop chasing ``NextShardIterator``
+    (consumer.go:125-152), honoring the fetch ``limit`` per poll
+    (command/consume.go:26). Returns RECORD_SCHEMA-shaped tuples.
+
+    Termination differs from the reference's infinite tail on purpose: this
+    is the bounded-snapshot form (``consume --once``) — the loop stops when
+    the shard is caught up (``MillisBehindLatest == 0``), the iterator ends
+    (closed shard drained), or ``max_polls`` elapses. ``client`` is any
+    boto3-shaped object (production boto3, moto, or a stub)."""
+    it_kwargs = {
+        "StreamName": stream_name,
+        "ShardId": shard_id,
+        "ShardIteratorType": _ITERATOR_TYPES.get(position, position),
+    }
+    if position == "at_timestamp":
+        if since is None:
+            raise ValueError("--since is required with at_timestamp")
+        it_kwargs["Timestamp"] = since
+    if position == "at_sequence_number":
+        if starting_sequence_number is None:
+            raise ValueError("at_sequence_number needs a starting sequence number")
+        it_kwargs["StartingSequenceNumber"] = starting_sequence_number
+    iterator = client.get_shard_iterator(**it_kwargs)["ShardIterator"]
+    out: list[tuple] = []
+    for _ in range(max_polls):
+        if not iterator:
+            break  # closed shard fully drained
+        resp = client.get_records(ShardIterator=iterator, Limit=limit)
+        for r in resp["Records"]:
+            out.append(
+                (
+                    r["Data"],
+                    r["PartitionKey"],
+                    r["SequenceNumber"],
+                    r.get("ApproximateArrivalTimestamp"),
+                    shard_id,
+                    stream_name,
+                    r.get("EncryptionType", "NONE"),
+                )
+            )
+        iterator = resp.get("NextShardIterator")
+        if resp.get("MillisBehindLatest", 0) == 0 and not resp["Records"]:
+            break  # caught up
+    return out
+
+
+def live_records_df(
+    spark: SparkSession,
+    client,
+    stream_name: str,
+    position: str = "trim_horizon",
+    limit: int = 500,
+    since=None,
+    max_polls: int = 100,
+) -> DataFrame:
+    """Bounded snapshot of a LIVE stream as a RECORD_SCHEMA DataFrame:
+    DescribeStream (paginated) -> open-shard filter (F1) -> per-shard
+    GetRecords poll loop. This is the ``consume --once`` parity path; a
+    production TAIL uses the Kinesis connector (replay_stream's docstring)
+    — driver-side polling is O(snapshot) and deliberately not a stream."""
+    _, shards = describe_stream_df(spark, stream_name, client=client)
+    rows: list[tuple] = []
+    for s in open_shards(shards).collect():
+        rows.extend(
+            poll_shard_records(
+                client,
+                stream_name,
+                s.shard_id,
+                position=position,
+                limit=limit,
+                since=since,
+                max_polls=max_polls,
+            )
+        )
+    return spark.createDataFrame(rows, RECORD_SCHEMA)
