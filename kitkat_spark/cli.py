@@ -89,13 +89,42 @@ def _cmd_consume(args: argparse.Namespace) -> int:
     )
     paths = args.stream.split(",")
     # entries that are not on-disk record directories are live Kinesis
-    # stream names: those need the connector + boto3 (absent here), so fail
-    # with the produce-path's graceful message instead of a parquet error
+    # stream names. With --once, a bounded snapshot is served through the
+    # real iterator protocol (records.live_records_df: DescribeStream ->
+    # GetShardIterator/GetRecords); a live TAIL needs the aws-kinesis
+    # connector. Either failure reports gracefully like the produce path.
     missing = [p for p in paths if not os.path.exists(p)]
-    if missing:
+    if missing and args.once:
+        try:
+            from kitkat_spark.streaming.pipeline import consume_transform
+            from kitkat_spark.streaming.records import live_records_df
+
+            for name in missing:
+                snap = live_records_df(
+                    spark,
+                    None,  # boto3 client built from --region
+                    name,
+                    position=opts.position,
+                    limit=opts.limit,
+                    region=args.region,
+                )
+                consume_transform(
+                    snap, compression=opts.compression, verbose=opts.verbose
+                ).show(truncate=False)
+        except Exception as exc:  # no creds / no such stream / no boto3
+            print(
+                f"error: live Kinesis snapshot failed for "
+                f"{', '.join(missing)} (region {args.region!r}): {exc}",
+                file=sys.stderr,
+            )
+            return 1
+        paths = [p for p in paths if os.path.exists(p)]
+        if not paths:
+            return 0
+    elif missing:
         print(
-            f"error: not a replay directory and live Kinesis requires the "
-            f"aws-kinesis connector + boto3 (region {args.region!r}): "
+            f"error: not a replay directory and a live tail requires the "
+            f"aws-kinesis connector (region {args.region!r}): "
             + ", ".join(missing),
             file=sys.stderr,
         )

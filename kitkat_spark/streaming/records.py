@@ -250,12 +250,22 @@ def live_records_df(
     limit: int = 500,
     since=None,
     max_polls: int = 100,
+    region: str | None = None,
 ) -> DataFrame:
     """Bounded snapshot of a LIVE stream as a RECORD_SCHEMA DataFrame:
     DescribeStream (paginated) -> open-shard filter (F1) -> per-shard
     GetRecords poll loop. This is the ``consume --once`` parity path; a
     production TAIL uses the Kinesis connector (replay_stream's docstring)
-    — driver-side polling is O(snapshot) and deliberately not a stream."""
+    — driver-side polling is O(snapshot) and deliberately not a stream.
+    Pass ``client=None`` to build a boto3 client for ``region``."""
+    if client is None:
+        try:
+            import boto3  # type: ignore[import-not-found]
+        except ImportError as exc:
+            raise NotImplementedError(
+                "boto3 is unavailable; pass a boto3-shaped `client`"
+            ) from exc
+        client = boto3.client("kinesis", region_name=region)
     _, shards = describe_stream_df(spark, stream_name, client=client)
     rows: list[tuple] = []
     for s in open_shards(shards).collect():
