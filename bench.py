@@ -65,6 +65,7 @@ HEADLINE = [
     "q_ann_ivf",
     "q_ann_multiprobe",
     "q_skew_join_salted",
+    "q_skew_join_auto",
     "q_knn_classify",
     "q_text_analysis",
     "q_token_count",
@@ -149,6 +150,7 @@ HEADLINE = [
     "q_pagerank",
     "q_span_dedup",
     "q_column_profile",
+    "q_column_profile_approx",
     "q_count_min",
     "q_triangle_count",
     "q_zorder_cluster",

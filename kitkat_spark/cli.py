@@ -99,6 +99,14 @@ def _cmd_consume(args: argparse.Namespace) -> int:
             from kitkat_spark.streaming.pipeline import consume_transform
             from kitkat_spark.streaming.records import live_records_df
 
+            since_ts = None
+            if opts.position == "at_timestamp":
+                import datetime as dt
+
+                # same strict RFC3339 contract as parse_since (F4)
+                since_ts = dt.datetime.fromisoformat(
+                    (args.since or "").replace("Z", "+00:00")
+                )
             for name in missing:
                 snap = live_records_df(
                     spark,
@@ -106,6 +114,7 @@ def _cmd_consume(args: argparse.Namespace) -> int:
                     name,
                     position=opts.position,
                     limit=opts.limit,
+                    since=since_ts,
                     region=args.region,
                 )
                 consume_transform(

@@ -86,6 +86,25 @@ def test_live_records_df_through_consume_pipeline(spark, kinesis):
     assert msgs == sorted(f"msg-{i}" for i in range(8))
 
 
+def test_poll_at_timestamp_positions_iterator(spark, kinesis):
+    """F3/F4 on the LIVE path: AT_TIMESTAMP passes the --since instant to
+    GetShardIterator (consumer.go:125-130) and only later records return."""
+    import datetime as dt
+    import time
+
+    put = kinesis_put_records(STREAM, client=kinesis)
+    put([("k", b"before")])
+    time.sleep(1.0)
+    cut = dt.datetime.now(dt.timezone.utc)
+    time.sleep(1.0)
+    put([("k", b"after")])
+    df = live_records_df(
+        spark, kinesis, STREAM, position="at_timestamp", since=cut
+    )
+    got = [bytes(r.data).decode() for r in df.collect()]
+    assert got == ["after"]
+
+
 def test_poll_limit_paces_fetches(spark, kinesis):
     """--limit parity (command/consume.go:26): a fetch never returns more
     than `limit` records; the loop still drains the shard via
