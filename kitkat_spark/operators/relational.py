@@ -393,12 +393,15 @@ def q_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle; slicing BEFORE exploding bounds the fan-out (slice-then-explode
     is the scale rule: explode-then-filter materializes the full blowup)."""
     emb = load_table(spark, sf_dir, "embeddings")
+    # + 0.0 normalizes IEEE negative zero: a tiny negative component rounds
+    # to unsigned 0.0 in Spark (BigDecimal HALF_UP) but -0.0 in DuckDB —
+    # equal as numbers, different as hashed/rendered values
     return (
         emb.select("vec_id", F.posexplode(F.slice("embedding", 1, 4)))
         .select(
             "vec_id",
             F.col("pos").cast("int").alias("pos"),
-            F.round(F.col("col").cast("double"), 4).alias("val"),
+            (F.round(F.col("col").cast("double"), 4) + F.lit(0.0)).alias("val"),
         )
     )
 
@@ -656,7 +659,7 @@ ORACLE: dict[str, str] = {
     "q_posexplode": """
         SELECT vec_id,
                CAST(i - 1 AS INT) AS pos,
-               round(CAST(embedding[i] AS DOUBLE), 4) AS val
+               round(CAST(embedding[i] AS DOUBLE), 4) + 0.0 AS val
         FROM embeddings, range(1, 5) t(i)
     """,
     "q_set_ops": """

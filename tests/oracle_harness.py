@@ -35,7 +35,9 @@ def _norm(v):
     if isinstance(v, bool):
         return bool(v)
     if isinstance(v, float):
-        return float(v)
+        # normalize IEEE -0.0: numerically equal to 0.0 but str()-sorts
+        # differently, which would misalign the row zip
+        return v + 0.0
     if isinstance(v, int):
         return int(v)
     if hasattr(v, "isoformat"):  # datetime-likes -> µs precision string
