@@ -81,6 +81,8 @@ SUBSET = [
     # ratio should track the plain join (~1x), unlike the fixture-pinned
     # q_skew_join_salted (3.5x at 10x, expected: threshold=4 misclassifies)
     "q_skew_join_auto",
+    # single-pass HLL profiler: fixed-size sketch state, must be ~linear
+    "q_column_profile_approx",
 ]
 
 
