@@ -160,6 +160,7 @@ HEADLINE = [
     "q_trend_slope",
     "q_anomaly_zscore",
     "q_groupmap_normalize",
+    "q_normalize_window",
     "q_stream_dedup_agg_wm",
     "q_stream_late_drop_wm",
     "q_train_manifest",

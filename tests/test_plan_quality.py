@@ -276,3 +276,46 @@ def test_train_manifest_minimal_shuffles(spark):
     facts = plan_facts(df)
     assert facts["shuffles"] <= 3, facts
     assert facts["python_udf_nodes"] == 0
+
+
+def test_skew_join_auto_plain_branch_dominates(spark):
+    """The production auto-threshold salted join on uniform data: the hot
+    list is (near-)empty, so the registered query's plan shape is the plain
+    join + agg — 1 post-sizing shuffle, with the hot-list relations
+    broadcast (never shuffled). PLAN_FACTS pins 1 shuffle / 5 broadcasts;
+    allow slack but fail on a 4-shuffle blanket-salting regression."""
+    df = QUERIES["q_skew_join_auto"](spark, SF)
+    facts = plan_facts(df)
+    assert facts["shuffles"] <= 2, facts
+    assert facts["broadcast_joins"] >= 1
+    assert facts["sortmerge_joins"] == 0
+
+
+def test_column_profile_approx_hll_is_single_wide_agg(spark):
+    """The approx side must be ONE wide aggregation (HLL partials), not an
+    Expand fan-out: no Expand node may feed the approx_count_distinct agg.
+    (The exact verification branches union separately; the approx subtree
+    itself stays Expand-free.)"""
+    from kitkat_spark.sources import load_table
+    from pyspark.sql import functions as F
+
+    from kitkat_spark.operators.profiling import PROFILE_COLS
+
+    ev = load_table(spark, SF, "events").select(
+        "event_id", "user_id", "event_type", "value", "props", "ts"
+    ).withColumn("ts", F.col("ts").cast("string"))
+    approx = ev.agg(
+        *[F.approx_count_distinct(c, rsd=0.02).alias(c) for c in PROFILE_COLS]
+    )
+    plan = explain_str(approx)
+    assert "Expand" not in plan, "HLL profile must not Expand the scan"
+    assert shuffle_count(approx) <= 1
+
+
+def test_normalize_window_stays_jvm(spark):
+    """The recommended normalization formulation: one shuffle (the window
+    partition), zero Python/Arrow nodes — the 28x lesson, pinned."""
+    df = QUERIES["q_normalize_window"](spark, SF)
+    facts = plan_facts(df)
+    assert facts["shuffles"] == 1, facts
+    assert facts["python_udf_nodes"] == 0, facts
