@@ -97,6 +97,7 @@ HEADLINE = [
     "q_decontaminate",
     "q_incremental_dedup",
     "q_bigram_lm",
+    "q_lm_score",
     "q_stream_enrich",
     "q_nation_volume",
     "q_promo_revenue",

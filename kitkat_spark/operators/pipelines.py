@@ -119,6 +119,66 @@ def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+LM_MIN_BIGRAM = 5     # bigrams below this support are treated as unseen
+LM_UNSEEN_LOGP = -14.0  # ~ln(1e-6): backoff log-prob for unseen bigrams
+LM_KEEP_LOGP = -6.0   # quality threshold on mean bigram log-prob
+
+
+def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LM-perplexity-proxy quality filter (the CCNet/Gopher model-based
+    filtering shape, arXiv:1911.00359 §3 — public literature): score every
+    document by its mean bigram log-probability under a language model
+    trained on the corpus itself, then flag low-probability (boilerplate /
+    gibberish / off-distribution) documents for removal.
+
+    Shape, 100 TB discipline:
+    - ONE exploded bigram pass builds the LM: per-(t1,t2) counts and
+      per-t1 totals from the same partitionBy(t1) shuffle (the q_bigram_lm
+      layout). Support-thresholding (count >= LM_MIN_BIGRAM) bounds the
+      LM table the way a real deployment prunes its model — rare bigrams
+      back off to LM_UNSEEN_LOGP instead of bloating the join side.
+    - The scoring pass re-derives doc bigrams and LEFT-joins the pruned LM
+      on (t1,t2); the LM is post-aggregation small (support-bounded), so
+      the corpus-sized side shuffles once for its per-doc aggregation and
+      the LM join broadcasts at any corpus scale.
+    - ln() of identical count ratios rounds at 4 dp on both engines (the
+      q_token_pmi precedent).
+    """
+    par = spark.sparkContext.defaultParallelism
+    docs = load_table(spark, sf_dir, "documents").repartition(par)
+    toks = tokens(F.col("text"))
+    bg = docs.select(
+        "doc_id",
+        F.explode(
+            F.when(F.size(toks) >= 2, _zipped_ngrams(toks, 2)).otherwise(F.array())
+        ).alias("b"),
+    ).select("doc_id", F.col("b")["0"].alias("t1"), F.col("b")["1"].alias("t2"))
+
+    pair = bg.groupBy("t1", "t2").agg(F.count("*").alias("n_bigram"))
+    w_tot = W.partitionBy("t1")
+    lm = (
+        pair.withColumn("n_first", F.sum("n_bigram").over(w_tot))
+        .filter(F.col("n_bigram") >= LM_MIN_BIGRAM)
+        .select("t1", "t2", (F.log(F.col("n_bigram") / F.col("n_first"))).alias("logp"))
+    )
+    scored = (
+        bg.join(F.broadcast(lm), ["t1", "t2"], "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(
+                F.avg(F.coalesce(F.col("logp"), F.lit(LM_UNSEEN_LOGP))), 4
+            ).alias("mean_logp"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "n_bigrams",
+        "mean_logp",
+        (F.col("mean_logp") > LM_KEEP_LOGP).alias("keep"),
+    )
+
+
 def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-enrichment join: the event stream joined to the customer
     dimension (stream-static broadcast join — dims are loaded per micro-batch
@@ -441,6 +501,27 @@ ORACLE: dict[str, str] = {
                      END, 6) AS norm
         FROM events
         WINDOW w AS (PARTITION BY user_id)
+    """,
+    "q_lm_score": f"""
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        ), bg AS (
+            SELECT doc_id, w[i] AS t1, w[i+1] AS t2
+            FROM toks, UNNEST(generate_series(1, len(w) - 1)) AS t(i)
+            WHERE len(w) >= 2
+        ), pair AS (
+            SELECT t1, t2, count(*) AS n_bigram FROM bg GROUP BY t1, t2
+        ), lm AS (
+            SELECT t1, t2, ln(n_bigram * 1.0 / sum(n_bigram) OVER (PARTITION BY t1)) AS logp
+            FROM pair
+            QUALIFY n_bigram >= {LM_MIN_BIGRAM}
+        )
+        SELECT bg.doc_id,
+               count(*) AS n_bigrams,
+               round(avg(coalesce(lm.logp, {LM_UNSEEN_LOGP})), 4) AS mean_logp,
+               round(avg(coalesce(lm.logp, {LM_UNSEEN_LOGP})), 4) > {LM_KEEP_LOGP} AS keep
+        FROM bg LEFT JOIN lm ON bg.t1 = lm.t1 AND bg.t2 = lm.t2
+        GROUP BY bg.doc_id
     """,
     "q_bigram_lm": """
         WITH toks AS (
