@@ -84,6 +84,7 @@ HEADLINE = [
     "q_unpivot",
     "q_cross_join_grid",
     "q_dedup_clusters",
+    "q_canonical_docs",
     "q_chunk_docs",
     "q_length_outliers",
     "q_corpus_mix",

@@ -103,6 +103,40 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-document selection: the step AFTER clustering — for every
+    near-dup cluster keep the most content-rich member (longest text, ties
+    to the lowest doc_id) and account for what deduplication removes. This
+    is what a production dedup pass actually ships: a per-cluster keeper
+    plus removal stats, not just a membership table.
+
+    Shape: the cluster membership (q_dedup_clusters — only non-singleton
+    docs, structurally tiny relative to the corpus) joins doc lengths,
+    then ONE window argmax per cluster and ONE aggregation emit
+    (cluster_id, canonical doc, member count, chars kept/removed). At
+    100 TB both stages key on cluster_id — the post-clustering data is
+    already a small fraction of the corpus, and the final anti-join of
+    losers against the corpus is a broadcast."""
+    members = q_dedup_clusters(spark, sf_dir).select("doc_id", "cluster_id")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    m = members.join(docs, "doc_id")
+    w = W.partitionBy("cluster_id").orderBy(F.col("n_chars").desc(), "doc_id")
+    ranked = m.withColumn("rn", F.row_number().over(w))
+    return (
+        ranked.groupBy("cluster_id")
+        .agg(
+            F.min(F.when(F.col("rn") == 1, F.col("doc_id"))).alias("canonical_doc"),
+            F.count("*").alias("n_members"),
+            F.max(F.when(F.col("rn") == 1, F.col("n_chars"))).alias("chars_kept"),
+            (F.sum("n_chars") - F.max(F.when(F.col("rn") == 1, F.col("n_chars"))))
+            .alias("chars_removed"),
+        )
+        .select(
+            "cluster_id", "canonical_doc", "n_members", "chars_kept", "chars_removed"
+        )
+    )
+
+
 def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-size token chunks (32 tokens, stride 24 -> 8-token overlap).
 
@@ -721,6 +755,34 @@ ORACLE: dict[str, str] = {
         )
         SELECT u AS doc_id, min(r) AS cluster_id, u = min(r) AS is_canonical
         FROM reach GROUP BY u
+    """,
+    "q_canonical_docs": f"""
+        WITH RECURSIVE {PAIRS_SQL_CTES},
+        edges AS (
+            SELECT doc_a AS u, doc_b AS v FROM jpairs
+            UNION ALL
+            SELECT doc_b, doc_a FROM jpairs
+        ),
+        reach(u, r) AS (
+            SELECT DISTINCT u, u FROM edges
+            UNION
+            SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.u
+        ),
+        members AS (
+            SELECT u AS doc_id, min(r) AS cluster_id FROM reach GROUP BY u
+        ),
+        ranked AS (
+            SELECT m.cluster_id, m.doc_id, d.n_chars,
+                   row_number() OVER (PARTITION BY m.cluster_id
+                                      ORDER BY d.n_chars DESC, m.doc_id) AS rn
+            FROM members m JOIN documents d ON m.doc_id = d.doc_id
+        )
+        SELECT cluster_id,
+               min(CASE WHEN rn = 1 THEN doc_id END) AS canonical_doc,
+               count(*) AS n_members,
+               max(CASE WHEN rn = 1 THEN n_chars END) AS chars_kept,
+               sum(n_chars) - max(CASE WHEN rn = 1 THEN n_chars END) AS chars_removed
+        FROM ranked GROUP BY cluster_id
     """,
     "q_chunk_docs": """
         WITH d AS (

@@ -114,6 +114,7 @@ _VERIFY_FIRST = [
     "q_column_profile_approx",
     "q_normalize_window",
     "q_lm_score",
+    "q_canonical_docs",
     "q_weighted_sample",
     "q_stream_session_wm",
     "q_bloom_join",
@@ -144,9 +145,9 @@ _VERIFY_FIRST = [
     "q_window_ntile",
     "q_window_range",
     # -- (c) oldest remaining greens (round 3), refreshed oldest-first; the
-    # eleven r3 greens that don't fit this round's 50 slots (q_bigram_lm,
+    # twelve r3 greens that don't fit this round's 50 slots (q_bigram_lm,
     # q_centroid_assign, q_count_distribution, q_dup_rate_by_source,
-    # q_frame_sample, q_group_filter_join, q_having_scalar,
+    # q_exists_join, q_frame_sample, q_group_filter_join, q_having_scalar,
     # q_label_centroid, q_multimodal_decode, q_media_resize, q_scd2) are
     # the head of next round's block (c) --
     "q_scan_filter",
@@ -163,7 +164,6 @@ _VERIFY_FIRST = [
     "q_waiting_orders",
     "q_part_supplier_count",
     "q_repetition_filter",
-    "q_exists_join",
 ]
 
 assert len(_VERIFY_FIRST) == 50, len(_VERIFY_FIRST)
