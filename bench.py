@@ -88,6 +88,7 @@ HEADLINE = [
     "q_chunk_docs",
     "q_length_outliers",
     "q_corpus_mix",
+    "q_mix_rebalance",
     "q_merge_upsert",
     "q_scd2",
     "q_exists_join",

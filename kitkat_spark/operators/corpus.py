@@ -208,6 +208,39 @@ def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MIX_SEED = "mix1"
+
+
+def q_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-mix rebalancing by deterministic downsampling: every source
+    stratum is cut to the size of the SMALLEST source, members chosen by a
+    seeded md5 rank — the "data mixing" step an LLM corpus runs to stop
+    over-represented sources from dominating training (the down-weighting
+    half of the mix; q_corpus_mix is the up-sampling half).
+
+    Determinism (vs ``df.sampleBy``): the keep-set is a pure function of
+    (seed, doc_id) — layout/rerun invariant and replayed value-for-value by
+    the DuckDB oracle. Shape: one agg for per-source counts (broadcast — a
+    handful of rows), one window rank per source, one filter. The
+    partitionBy(source) window is fine at fixture scale; at 100 TB with few
+    huge sources, swap the exact rank for the rate-based acceptance test
+    u < m/count_s (no shuffle at all, stratum sizes exact to ~sqrt(m)) —
+    same seeded-hash machinery, documented trade."""
+    from kitkat_spark.functions.text import md5_long
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    counts = docs.groupBy("source").agg(F.count("*").alias("n_src"))
+    m = counts.agg(F.min("n_src").alias("m"))
+    u = md5_long(F.concat(F.lit(MIX_SEED + "|"), F.col("doc_id").cast("string")))
+    w = W.partitionBy("source").orderBy(u.asc(), "doc_id")
+    return (
+        docs.withColumn("rk", F.row_number().over(w))
+        .crossJoin(F.broadcast(m))
+        .filter(F.col("rk") <= F.col("m"))
+        .select("doc_id", "source", F.col("rk").cast("int").alias("rk"))
+    )
+
+
 QUALITY_MIN = 0.55
 
 
@@ -755,6 +788,23 @@ ORACLE: dict[str, str] = {
         )
         SELECT u AS doc_id, min(r) AS cluster_id, u = min(r) AS is_canonical
         FROM reach GROUP BY u
+    """,
+    "q_mix_rebalance": f"""
+        WITH c AS (
+            SELECT source, count(*) AS n_src FROM documents GROUP BY source
+        ), m AS (
+            SELECT min(n_src) AS m FROM c
+        ), ranked AS (
+            SELECT doc_id, source,
+                   row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY ('0x' || substr(md5('{MIX_SEED}|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT,
+                                doc_id
+                   ) AS rk
+            FROM documents
+        )
+        SELECT doc_id, source, CAST(rk AS INT) AS rk
+        FROM ranked, m WHERE rk <= m.m
     """,
     "q_canonical_docs": f"""
         WITH RECURSIVE {PAIRS_SQL_CTES},
