@@ -83,6 +83,12 @@ SUBSET = [
     "q_skew_join_auto",
     # single-pass HLL profiler: fixed-size sketch state, must be ~linear
     "q_column_profile_approx",
+    # round-6 corpus additions: LM scoring (support-bounded broadcast LM),
+    # canonical selection (post-cluster, cluster-keyed), mix rebalance
+    # (per-source rank window) — all must track corpus size ~linearly
+    "q_lm_score",
+    "q_canonical_docs",
+    "q_mix_rebalance",
 ]
 
 
