@@ -129,6 +129,7 @@ HEADLINE = [
     "q_embedding_near_dup",
     "q_fingerprint",
     "q_lang_id",
+    "q_lang_mismatch",
     "q_media_resize",
     "q_multimodal",
     "q_percentiles",
@@ -154,6 +155,7 @@ HEADLINE = [
     "q_span_dedup",
     "q_column_profile",
     "q_column_profile_approx",
+    "q_embedding_audit",
     "q_count_min",
     "q_triangle_count",
     "q_zorder_cluster",

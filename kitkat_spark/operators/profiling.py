@@ -131,6 +131,41 @@ def q_column_profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-quality audit: per-label vector counts, dimensionality
+    check, and L2-norm distribution — the sanity pass an ANN/similarity
+    pipeline runs before indexing (zero-norm vectors break cosine; mixed
+    dims break every kernel). One narrow map (norm is a sequential double
+    fold over the array, engine-identical) + one tiny per-label
+    aggregation; norms round at 4 dp like the cosine family."""
+    from kitkat_spark.functions.vectors import norm2
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    nrm = norm2(F.col("embedding"))
+    return (
+        emb.select(
+            "label",
+            F.size("embedding").alias("dim"),
+            nrm.alias("nrm"),
+        )
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.countDistinct("dim").alias("n_dims"),
+            F.max(F.when(F.col("nrm") == 0.0, 1).otherwise(0)).alias("has_zero_norm"),
+            F.round(F.min("nrm"), 4).alias("min_norm"),
+            F.round(F.max("nrm"), 4).alias("max_norm"),
+            # mean via a decimal-exact sum of 6-dp-rounded norms: a plain
+            # float avg is partition-order dependent (functions/numeric.py)
+            F.round(
+                F.sum(F.round(F.col("nrm"), 6).cast("decimal(18,6)")).cast("double")
+                / F.count("*"),
+                4,
+            ).alias("mean_norm"),
+        )
+    )
+
+
 def _oracle_branch(c: str, expr: str) -> str:
     return f"""
         SELECT '{c}' AS column_name,
@@ -152,6 +187,24 @@ _ORACLE_EXPRS = [
 ]
 
 ORACLE: dict[str, str] = {
+    "q_embedding_audit": """
+        WITH v AS (
+            SELECT label,
+                   len(embedding) AS dim,
+                   sqrt(list_sum(list_transform(embedding,
+                        x -> x::DOUBLE * x::DOUBLE))) AS nrm
+            FROM embeddings
+        )
+        SELECT label,
+               count(*) AS n_vecs,
+               count(DISTINCT dim) AS n_dims,
+               max(CASE WHEN nrm = 0.0 THEN 1 ELSE 0 END) AS has_zero_norm,
+               round(min(nrm), 4) AS min_norm,
+               round(max(nrm), 4) AS max_norm,
+               round(CAST(sum(CAST(round(nrm, 6) AS DECIMAL(18,6))) AS DOUBLE)
+                     / count(*), 4) AS mean_norm
+        FROM v GROUP BY label
+    """,
     "q_column_profile": "\n        UNION ALL\n".join(
         _oracle_branch(c, e) for c, e in _ORACLE_EXPRS
     ),

@@ -78,6 +78,36 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lang_mismatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-metadata audit: confusion matrix of DECLARED language (the
+    `lang` column, i.e. what upstream metadata claims) vs DETECTED language
+    (the q_lang_id stopword classifier) — the per-source mislabel report a
+    corpus audit runs before trusting its language tags. One narrow pass
+    + one tiny aggregation; the matrix is |langs|^2 rows at any corpus
+    size."""
+    docs = load_table(spark, sf_dir, "documents")
+    scores = {
+        lang: F.size(F.regexp_extract_all(F.col("text"), F.lit(pat), F.lit(0)))
+        for lang, pat in LANG_WORDS.items()
+    }
+    pred = (
+        F.when((scores["en"] >= scores["fr"]) & (scores["en"] >= scores["de"]), "en")
+        .when(scores["fr"] >= scores["de"], "fr")
+        .otherwise("de")
+    )
+    return (
+        docs.select("lang", pred.alias("pred_lang"))
+        .groupBy("lang", "pred_lang")
+        .agg(F.count("*").alias("n_docs"))
+        .select(
+            "lang",
+            "pred_lang",
+            "n_docs",
+            (F.col("lang") != F.col("pred_lang")).alias("mismatch"),
+        )
+    )
+
+
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic quality: type-token ratio + stopword balance + length band."""
     docs = load_table(spark, sf_dir, "documents")
@@ -411,6 +441,24 @@ ORACLE: dict[str, str] = {
                     WHEN score_fr >= score_de THEN 'fr'
                     ELSE 'de' END AS pred_lang
         FROM s
+    """,
+    "q_lang_mismatch": """
+        WITH s AS (
+            SELECT lang,
+                   CAST(len(regexp_extract_all(text, '\\b(the|a|of|and)\\b')) AS INT) AS score_en,
+                   CAST(len(regexp_extract_all(text, '\\b(le|la|et|de)\\b')) AS INT) AS score_fr,
+                   CAST(len(regexp_extract_all(text, '\\b(der|die|und|das)\\b')) AS INT) AS score_de
+            FROM documents
+        ), p AS (
+            SELECT lang,
+                   CASE WHEN score_en >= score_fr AND score_en >= score_de THEN 'en'
+                        WHEN score_fr >= score_de THEN 'fr'
+                        ELSE 'de' END AS pred_lang
+            FROM s
+        )
+        SELECT lang, pred_lang, count(*) AS n_docs,
+               lang != pred_lang AS mismatch
+        FROM p GROUP BY lang, pred_lang
     """,
     "q_quality_score": """
         WITH d AS (

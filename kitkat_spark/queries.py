@@ -116,6 +116,8 @@ _VERIFY_FIRST = [
     "q_lm_score",
     "q_canonical_docs",
     "q_mix_rebalance",
+    "q_lang_mismatch",
+    "q_embedding_audit",
     "q_weighted_sample",
     "q_stream_session_wm",
     "q_bloom_join",
@@ -146,11 +148,12 @@ _VERIFY_FIRST = [
     "q_window_ntile",
     "q_window_range",
     # -- (c) oldest remaining greens (round 3), refreshed oldest-first; the
-    # thirteen r3 greens that don't fit this round's 50 slots (q_bigram_lm,
+    # fifteen r3 greens that don't fit this round's 50 slots (q_bigram_lm,
     # q_centroid_assign, q_count_distribution, q_dup_rate_by_source,
     # q_exists_join, q_frame_sample, q_group_filter_join, q_having_scalar,
     # q_label_centroid, q_multimodal_decode, q_media_resize,
-    # q_repetition_filter, q_scd2) are the head of next round's block (c) --
+    # q_part_supplier_count, q_repetition_filter, q_scd2, q_waiting_orders)
+    # are the head of next round's block (c) --
     "q_scan_filter",
     "q_sample_split",
     "q_simhash",
@@ -162,8 +165,6 @@ _VERIFY_FIRST = [
     "q_corpus_pipeline",
     "q_min_cost_supplier",
     "q_excess_suppliers",
-    "q_waiting_orders",
-    "q_part_supplier_count",
 ]
 
 assert len(_VERIFY_FIRST) == 50, len(_VERIFY_FIRST)
