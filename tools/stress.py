@@ -89,6 +89,9 @@ SUBSET = [
     "q_lm_score",
     "q_canonical_docs",
     "q_mix_rebalance",
+    # audit passes: narrow maps + tiny aggs, must be ~linear
+    "q_lang_mismatch",
+    "q_embedding_audit",
 ]
 
 
