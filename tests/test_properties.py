@@ -176,3 +176,60 @@ def test_zorder_interleave_is_bijective_and_tile_local(pairs):
     assert len(set(zs)) == len(set(pairs))  # injective
     for (x, y), v in zip(pairs, zs):
         assert v // 256 == z(x // 16, y // 16, bits=4)  # bucket == tile id
+
+
+# --- decimal-exact product sums: Spark vs DuckDB (the round-6 core fix) ---
+
+money_2dp = st.integers(min_value=0, max_value=20_000_000).map(
+    lambda c: c / 100.0  # exact 2-dp doubles like the fixture's prices
+)
+rate_2dp = st.integers(min_value=0, max_value=99).map(lambda c: c / 100.0)
+
+
+@given(
+    st.lists(st.tuples(money_2dp, rate_2dp, rate_2dp), min_size=1, max_size=50),
+    st.integers(min_value=1, max_value=8),
+)
+@settings(max_examples=15, deadline=None)
+def test_decimal_product_sums_match_duckdb_exactly(rows, n_parts):
+    """drev()/dsum_dec vs DEC_REV_SQL/dsum_dec_sql on the SAME data must be
+    bit-identical: factor-wise decimal casts make the product exact in both
+    engines (the q_agg_group lesson — double products cast to decimal round
+    differently at ulp boundaries, and DuckDB truncates decimal rescales
+    while Spark rounds)."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from kitkat_spark.functions.numeric import (
+        DEC_REV_SQL,
+        RATE,
+        drate,
+        drev,
+        dsum_dec,
+        dsum_dec_sql,
+    )
+    from kitkat_spark.session import get_spark
+
+    spark = get_spark()
+    df = spark.createDataFrame(
+        rows, "l_extendedprice double, l_discount double, l_tax double"
+    ).repartition(n_parts)
+    charge = drev() * (F.lit(1).cast(RATE) + drate("l_tax"))
+    got = df.agg(
+        dsum_dec(drev()).alias("disc_price"),
+        dsum_dec(charge).alias("charge"),
+    ).collect()[0]
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE lineitem (l_extendedprice DOUBLE, l_discount DOUBLE, l_tax DOUBLE)"
+    )
+    con.executemany("INSERT INTO lineitem VALUES (?, ?, ?)", rows)
+    charge_sql = (
+        DEC_REV_SQL + " * (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2)))"
+    )
+    want = con.execute(
+        f"SELECT {dsum_dec_sql(DEC_REV_SQL)}, {dsum_dec_sql(charge_sql)} FROM lineitem"
+    ).fetchone()
+    con.close()
+    assert (got["disc_price"], got["charge"]) == want, (rows[:3], got, want)
