@@ -35,6 +35,13 @@ def _recorded() -> dict[str, tuple[int, int]]:
 
 
 def test_plan_facts_covers_registry_and_no_regressions(spark):
+    # pristine cache state: earlier tests may have persisted+released these
+    # queries' subtrees, leaving CacheManager intents at level NONE — the
+    # planner then re-inlines the subtree and the plan shows extra
+    # shuffles/UDF nodes that a fresh session (tools/plan_report.py, the
+    # driver) never sees. clearCache() drops the stale intents so each
+    # builder's persist() re-registers cleanly.
+    spark.catalog.clearCache()
     rec = _recorded()
     missing = sorted(set(QUERIES) - set(rec))
     assert not missing, f"queries without a PLAN_FACTS row: {missing}"
