@@ -831,7 +831,8 @@ ORACLE: dict[str, str] = {
                min(CASE WHEN rn = 1 THEN doc_id END) AS canonical_doc,
                count(*) AS n_members,
                max(CASE WHEN rn = 1 THEN n_chars END) AS chars_kept,
-               sum(n_chars) - max(CASE WHEN rn = 1 THEN n_chars END) AS chars_removed
+               CAST(sum(n_chars) - max(CASE WHEN rn = 1 THEN n_chars END)
+                    AS BIGINT) AS chars_removed
         FROM ranked GROUP BY cluster_id
     """,
     "q_chunk_docs": """
