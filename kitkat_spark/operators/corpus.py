@@ -287,6 +287,44 @@ def q_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mix_rebalance_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB shape of q_mix_rebalance: rate-based acceptance instead
+    of an exact per-source rank. Keep a doc iff
+    ``u/2^32 < m/n_src`` where u is the seeded 32-bit md5 hash of doc_id,
+    m the smallest stratum and n_src the doc's stratum size — stratum
+    sizes land within ~sqrt(m) of the target instead of exactly m, and in
+    exchange the full corpus is NEVER shuffled: the only wide operator is
+    the per-source count (map-side-combined partials over a handful of
+    keys), broadcast back onto the scan as a filter. The rank variant's
+    partitionBy(source) window moves every row of every huge stratum
+    through one partition chain; this one is a scan + broadcast join +
+    filter, embarrassingly parallel at any scale.
+
+    Portability: both sides of the comparison are single IEEE-754 double
+    divisions of exact integers — correctly rounded and therefore
+    bit-identical in Spark and DuckDB (no transcendental, no multi-op
+    accumulation), so the keep-set is value-replayable by the oracle.
+    tests/test_corpus.py proves the bounded-difference contract vs the
+    exact-rank variant."""
+    from kitkat_spark.functions.text import md5_long
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    counts = docs.groupBy("source").agg(F.count("*").alias("n_src"))
+    m = counts.agg(F.min("n_src").alias("m"))
+    u32 = md5_long(
+        F.concat(F.lit(MIX_SEED + "|"), F.col("doc_id").cast("string")), hex_chars=8
+    )
+    accept = (u32.cast("double") / F.lit(4294967296.0)) < (
+        F.col("m").cast("double") / F.col("n_src").cast("double")
+    )
+    return (
+        docs.join(F.broadcast(counts), "source")
+        .crossJoin(F.broadcast(m))
+        .filter(accept)
+        .select("doc_id", "source")
+    )
+
+
 QUALITY_MIN = 0.55
 
 
@@ -851,6 +889,18 @@ ORACLE: dict[str, str] = {
         )
         SELECT doc_id, source, CAST(rk AS INT) AS rk
         FROM ranked, m WHERE rk <= m.m
+    """,
+    "q_mix_rebalance_rate": f"""
+        WITH c AS (
+            SELECT source, count(*) AS n_src FROM documents GROUP BY source
+        ), m AS (
+            SELECT min(n_src) AS m FROM c
+        )
+        SELECT d.doc_id, d.source
+        FROM documents d JOIN c ON d.source = c.source, m
+        WHERE CAST(('0x' || substr(md5('{MIX_SEED}|' || CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+                   AS DOUBLE) / 4294967296.0
+              < CAST(m.m AS DOUBLE) / CAST(c.n_src AS DOUBLE)
     """,
     "q_canonical_docs": f"""
         WITH RECURSIVE {PAIRS_SQL_CTES},

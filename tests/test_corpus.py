@@ -84,3 +84,33 @@ def test_corpus_mix_factors(spark):
     }
     assert per_source["src0"] == 3 and per_source["src1"] == 2
     assert all(v == 1 for s, v in per_source.items() if s not in ("src0", "src1"))
+
+
+def test_mix_rebalance_rate_bounded_vs_rank(spark):
+    """The rate-based variant's documented contract vs the exact-rank one:
+    per-source kept counts land within ~sqrt(m) of the exact target m, and
+    the keep-sets nearly coincide (u32 is the top-28-bit truncation of the
+    rank key u60, so they can only disagree in the acceptance-boundary
+    band)."""
+    import math
+
+    from kitkat_spark.operators.corpus import q_mix_rebalance, q_mix_rebalance_rate
+
+    rank = {(r["source"], r["doc_id"]) for r in q_mix_rebalance(spark, SF).collect()}
+    rate = {(r["source"], r["doc_id"]) for r in q_mix_rebalance_rate(spark, SF).collect()}
+    per_source_m: dict[str, int] = {}
+    for s, _ in rank:
+        per_source_m[s] = per_source_m.get(s, 0) + 1
+    m = min(per_source_m.values())
+    assert all(v == m for v in per_source_m.values()), "rank variant is exact-m"
+
+    per_source_rate: dict[str, int] = {}
+    for s, _ in rate:
+        per_source_rate[s] = per_source_rate.get(s, 0) + 1
+    tol = 4 * math.sqrt(m) + 1
+    for s in per_source_m:
+        n = per_source_rate.get(s, 0)
+        assert abs(n - m) <= tol, f"{s}: rate kept {n}, target {m} (tol {tol})"
+
+    overlap = len(rank & rate) / max(len(rank | rate), 1)
+    assert overlap >= 0.85, f"keep-sets diverged beyond the boundary band: {overlap}"
