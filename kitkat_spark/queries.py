@@ -97,74 +97,68 @@ for _m in _MODULES:
             _ALL[_name] = _cache_scoped(getattr(_m, _name))
     ORACLES.update(getattr(_m, "ORACLE", {}))
 
-# The 50 driver-verified slots this round (round 6), computed MECHANICALLY
-# from `git diff a83f0fb..HEAD -- kitkat_spark` (the r5 process lesson:
-# changed-this-round must come from the diff, not memory). Blocks:
+# The 50 driver-verified slots this round (round 7), computed MECHANICALLY
+# from `git diff f70bd80..HEAD -- kitkat_spark` (only corpus.py changed:
+# the q_canonical_docs oracle cast + materialized-membership rework, the
+# q_dedup_clusters membership write, and the NEW q_mix_rebalance_rate).
+# Blocks:
 _VERIFY_FIRST = [
-    # -- (a) changed this round: the decimal-exact product rewrite touched
-    # every dsum(<product>) query and every _REV_SQL oracle (tpchx,
-    # analytic, pipelines, runtimefilter, relational); plus the three
-    # ADVICE fixes (session-window oracle order, weighted-sample rounding,
-    # column-profile decimal render), approx-distinct, and the NEW
-    # q_skew_join_auto production-sizing path --
-    "q_agg_group",
-    "q_skew_join_auto",
-    "q_agg_distinct",
-    "q_column_profile",
-    "q_column_profile_approx",
-    "q_normalize_window",
-    "q_lm_score",
+    # -- (a) changed/new this round --
     "q_canonical_docs",
-    "q_mix_rebalance",
-    "q_lang_mismatch",
-    "q_embedding_audit",
-    "q_weighted_sample",
-    "q_stream_session_wm",
-    "q_bloom_join",
-    "q_unpivot",
-    "q_grouping_sets",
-    "q_mjoin_revenue",
-    "q_mjoin_region_revenue",
-    "q_promo_revenue",
-    "q_forecast_revenue",
-    "q_market_share",
-    "q_product_profit",
-    "q_returned_revenue",
-    "q_top_supplier",
-    "q_nation_volume",
-    "q_disjunctive_join",
-    "q_skew_join_salted",
-    # -- (b) latest driver green still round 1: refresh under current code --
-    "q_conditional_funcs",
-    "q_datetime_funcs",
-    "q_histogram",
-    "q_pivot",
-    "q_posexplode",
-    "q_sort_limit",
-    "q_string_agg",
-    "q_stratified_sample",
-    "q_subquery_scalar",
-    "q_window_frame",
-    "q_window_ntile",
-    "q_window_range",
-    # -- (c) oldest remaining greens (round 3), refreshed oldest-first; the
-    # fifteen r3 greens that don't fit this round's 50 slots (q_bigram_lm,
-    # q_centroid_assign, q_count_distribution, q_dup_rate_by_source,
-    # q_exists_join, q_frame_sample, q_group_filter_join, q_having_scalar,
-    # q_label_centroid, q_multimodal_decode, q_media_resize,
-    # q_part_supplier_count, q_repetition_filter, q_scd2, q_waiting_orders)
-    # are the head of next round's block (c) --
-    "q_scan_filter",
-    "q_sample_split",
-    "q_simhash",
-    "q_tfidf",
-    "q_zlib",
-    "q_winnow_fingerprint",
-    "q_incremental_dedup",
-    "q_decontaminate",
-    "q_corpus_pipeline",
-    "q_min_cost_supplier",
-    "q_excess_suppliers",
+    "q_dedup_clusters",
+    "q_mix_rebalance_rate",
+    # -- (b) the fifteen r3 greens deferred from round 6's slots (three
+    # rounds of code churn without a driver re-check; the committed plan) --
+    "q_bigram_lm",
+    "q_centroid_assign",
+    "q_count_distribution",
+    "q_dup_rate_by_source",
+    "q_exists_join",
+    "q_frame_sample",
+    "q_group_filter_join",
+    "q_having_scalar",
+    "q_label_centroid",
+    "q_media_resize",
+    "q_multimodal_decode",
+    "q_part_supplier_count",
+    "q_repetition_filter",
+    "q_scd2",
+    "q_waiting_orders",
+    # -- (c) oldest remaining greens (round 4), refreshed oldest-first,
+    # alphabetical; q_vocab (the 33rd r4 green) doesn't fit this round's
+    # 50 and heads next round's block (c) --
+    "q_ann_ivf",
+    "q_ann_multiprobe",
+    "q_asof_join",
+    "q_chunk_docs",
+    "q_cohort_retention",
+    "q_consume_plain",
+    "q_corpus_mix",
+    "q_cross_join_grid",
+    "q_event_growth",
+    "q_funnel",
+    "q_idle_customers",
+    "q_in_subquery",
+    "q_json_funcs",
+    "q_knn_classify",
+    "q_late_priority_lines",
+    "q_length_outliers",
+    "q_merge_upsert",
+    "q_near_dedup",
+    "q_ngram_jaccard",
+    "q_pack_sequences",
+    "q_pii_redact",
+    "q_quality_score",
+    "q_range_join",
+    "q_sessionize",
+    "q_shard_status",
+    "q_small_qty_revenue",
+    "q_stateful_profile",
+    "q_stream_enrich",
+    "q_stream_sliding",
+    "q_stream_tumbling",
+    "q_text_analysis",
+    "q_token_count",
 ]
 
 assert len(_VERIFY_FIRST) == 50, len(_VERIFY_FIRST)
