@@ -89,6 +89,11 @@ SUBSET = [
     "q_lm_score",
     "q_canonical_docs",
     "q_mix_rebalance",
+    # round-7: rate-based rebalance (scan + broadcast filter — must track
+    # the scan, ~1x) and the clustering stage that now also materializes
+    # the shared membership table
+    "q_mix_rebalance_rate",
+    "q_dedup_clusters",
     # audit passes: narrow maps + tiny aggs, must be ~linear
     "q_lang_mismatch",
     "q_embedding_audit",
