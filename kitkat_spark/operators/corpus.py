@@ -183,6 +183,44 @@ def q_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup pipeline's APPLY step — the query that actually emits the
+    deduplicated corpus: every singleton (doc not in any near-dup cluster)
+    plus the one canonical keeper per cluster (most content-rich member,
+    q_canonical_docs' selection rule). Completes the three-stage production
+    flow: cluster (q_dedup_clusters, writes the membership table) →
+    select (q_canonical_docs) → apply (this).
+
+    Shape: the membership table (materialized parquet, structurally tiny —
+    only docs that HAVE a near-duplicate) gets its per-cluster keeper rank,
+    then the corpus LEFT-JOINs that against doc_id with the membership side
+    broadcast — the corpus itself is scanned once and NEVER shuffled; a row
+    is kept when it has no membership row (singleton) or is the keeper.
+    At 100 TB this is the exact layout the docstrings promise: a broadcast
+    anti-join of the bounded loser set against the full corpus."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    members = cluster_members(spark, sf_dir).select("doc_id", "cluster_id")
+    # members is the broadcast side BOTH times: the sizing join streams a
+    # 2-column pruned corpus scan past it, never the reverse
+    sized = F.broadcast(members).join(docs.select("doc_id", "n_chars"), "doc_id")
+    w = W.partitionBy("cluster_id").orderBy(F.col("n_chars").desc(), "doc_id")
+    ranked = sized.select(
+        "doc_id", F.row_number().over(w).alias("rn")
+    )
+    return (
+        docs.join(F.broadcast(ranked), "doc_id", "left")
+        .filter(F.col("rn").isNull() | (F.col("rn") == 1))
+        .select(
+            "doc_id",
+            "source",
+            "n_chars",
+            F.when(F.col("rn") == 1, F.lit("canonical"))
+            .otherwise(F.lit("singleton"))
+            .alias("kept_as"),
+        )
+    )
+
+
 def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-size token chunks (32 tokens, stride 24 -> 8-token overlap).
 
@@ -930,6 +968,32 @@ ORACLE: dict[str, str] = {
                CAST(sum(n_chars) - max(CASE WHEN rn = 1 THEN n_chars END)
                     AS BIGINT) AS chars_removed
         FROM ranked GROUP BY cluster_id
+    """,
+    "q_dedup_apply": f"""
+        WITH RECURSIVE {PAIRS_SQL_CTES},
+        edges AS (
+            SELECT doc_a AS u, doc_b AS v FROM jpairs
+            UNION ALL
+            SELECT doc_b, doc_a FROM jpairs
+        ),
+        reach(u, r) AS (
+            SELECT DISTINCT u, u FROM edges
+            UNION
+            SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.u
+        ),
+        members AS (
+            SELECT u AS doc_id, min(r) AS cluster_id FROM reach GROUP BY u
+        ),
+        ranked AS (
+            SELECT m.doc_id,
+                   row_number() OVER (PARTITION BY m.cluster_id
+                                      ORDER BY d.n_chars DESC, m.doc_id) AS rn
+            FROM members m JOIN documents d ON m.doc_id = d.doc_id
+        )
+        SELECT d.doc_id, d.source, d.n_chars,
+               CASE WHEN r.rn = 1 THEN 'canonical' ELSE 'singleton' END AS kept_as
+        FROM documents d LEFT JOIN ranked r ON d.doc_id = r.doc_id
+        WHERE r.doc_id IS NULL OR r.rn = 1
     """,
     "q_chunk_docs": """
         WITH d AS (

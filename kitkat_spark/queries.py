@@ -107,6 +107,7 @@ _VERIFY_FIRST = [
     "q_canonical_docs",
     "q_dedup_clusters",
     "q_mix_rebalance_rate",
+    "q_dedup_apply",
     # -- (b) the fifteen r3 greens deferred from round 6's slots (three
     # rounds of code churn without a driver re-check; the committed plan) --
     "q_bigram_lm",
@@ -125,8 +126,8 @@ _VERIFY_FIRST = [
     "q_scd2",
     "q_waiting_orders",
     # -- (c) oldest remaining greens (round 4), refreshed oldest-first,
-    # alphabetical; q_vocab (the 33rd r4 green) doesn't fit this round's
-    # 50 and heads next round's block (c) --
+    # alphabetical; q_token_count and q_vocab (the 32nd/33rd r4 greens)
+    # don't fit this round's 50 and head next round's block (c) --
     "q_ann_ivf",
     "q_ann_multiprobe",
     "q_asof_join",
@@ -158,7 +159,6 @@ _VERIFY_FIRST = [
     "q_stream_sliding",
     "q_stream_tumbling",
     "q_text_analysis",
-    "q_token_count",
 ]
 
 assert len(_VERIFY_FIRST) == 50, len(_VERIFY_FIRST)
