@@ -379,6 +379,41 @@ def q_ann_kmeans_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN index-quality audit: recall@k of the k-means IVF index
+    (q_ann_kmeans_ivf, single-probe) against the exact brute-force top-k
+    (q_similarity_search), per query — the evaluation every ANN deployment
+    runs before trusting an index, expressed as a data op so it rides the
+    same oracle gate as the indexes themselves.
+
+    Shape: both sides are the existing audited pipelines (broadcast query
+    side, corpus never reshuffled); the recall join keys on
+    (query_id, cand_id) with the approx side broadcast (<= k rows per
+    query), then one tiny per-query aggregation. At 100 TB the exact side
+    is the expensive half — production runs it over a SAMPLE of queries
+    (the standard recall-estimation move), which this query models with
+    its fixed query panel. Deterministic: both rankings break cosine ties
+    by cand_id, so the hit-set is exactly replayed by the oracle."""
+    exact = q_similarity_search(spark, sf_dir).select("query_id", "cand_id")
+    approx = q_ann_kmeans_ivf(spark, sf_dir).select(
+        "query_id", "cand_id", F.lit(1).alias("hit")
+    )
+    joined = exact.join(F.broadcast(approx), ["query_id", "cand_id"], "left")
+    return (
+        joined.groupBy("query_id")
+        .agg(
+            F.count("*").alias("n_exact"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_hits"),
+        )
+        .select(
+            "query_id",
+            F.col("n_exact").cast("int").alias("n_exact"),
+            F.col("n_hits").cast("int").alias("n_hits"),
+            F.round(F.col("n_hits") / F.col("n_exact"), 4).alias("recall_at_k"),
+        )
+    )
+
+
 def q_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nearest-centroid assignment (the IVF/k-means training-step primitive):
     every vector assigned to its most-cosine-similar centroid, centroids
@@ -439,6 +474,62 @@ def q_label_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE: dict[str, str] = {
+    "q_ann_recall": f"""
+        WITH e AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v,
+                   sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+            FROM embeddings
+        ), exact AS (
+            -- q_similarity_search verbatim (over ALL embeddings)
+            SELECT query_id, cand_id FROM (
+                SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+                       row_number() OVER (
+                           PARTITION BY q.vec_id
+                           ORDER BY round(list_dot_product(q.v, c.v)
+                                          / (q.nrm * c.nrm), 6) DESC, c.vec_id) AS rk
+                FROM e q JOIN e c ON c.vec_id <> q.vec_id
+                WHERE q.vec_id < {N_QUERIES}
+            ) WHERE rk <= {TOP_K}
+        ), ne AS (
+            SELECT vec_id, v, nrm FROM e WHERE len(v) > 0
+        ), cents AS (
+            SELECT vec_id AS centroid_id, v AS cv, nrm AS cn
+            FROM ne WHERE vec_id < {N_CENTROIDS}
+        ), assigned AS (
+            -- q_ann_kmeans_ivf verbatim (over non-empty embeddings)
+            SELECT vec_id, centroid_id AS cell FROM (
+                SELECT ne.vec_id, c.centroid_id,
+                       row_number() OVER (
+                           PARTITION BY ne.vec_id
+                           ORDER BY round(list_dot_product(ne.v, c.cv)
+                                          / (ne.nrm * c.cn), 6) DESC,
+                                    c.centroid_id) AS rk
+                FROM ne CROSS JOIN cents c
+            ) WHERE rk = 1
+        ), approx AS (
+            SELECT query_id, cand_id FROM (
+                SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+                       row_number() OVER (
+                           PARTITION BY q.vec_id
+                           ORDER BY round(list_dot_product(eq.v, ec.v)
+                                          / (eq.nrm * ec.nrm), 6) DESC, c.vec_id) AS rk
+                FROM assigned q
+                JOIN assigned c ON c.cell = q.cell AND c.vec_id <> q.vec_id
+                JOIN ne eq ON eq.vec_id = q.vec_id
+                JOIN ne ec ON ec.vec_id = c.vec_id
+                WHERE q.vec_id < {N_QUERIES}
+            ) WHERE rk <= {TOP_K}
+        )
+        SELECT x.query_id,
+               CAST(count(*) AS INT) AS n_exact,
+               CAST(sum(CASE WHEN a.cand_id IS NOT NULL THEN 1 ELSE 0 END) AS INT)
+                   AS n_hits,
+               round(sum(CASE WHEN a.cand_id IS NOT NULL THEN 1 ELSE 0 END)
+                     / count(*), 4) AS recall_at_k
+        FROM exact x
+        LEFT JOIN approx a ON a.query_id = x.query_id AND a.cand_id = x.cand_id
+        GROUP BY x.query_id
+    """,
     "q_label_centroid": """
         SELECT label, CAST(i - 1 AS INT) AS dim,
                round(sum(CAST(round(embedding[i]::DOUBLE * 10000) AS BIGINT))
