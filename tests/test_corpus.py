@@ -114,3 +114,33 @@ def test_mix_rebalance_rate_bounded_vs_rank(spark):
 
     overlap = len(rank & rate) / max(len(rank | rate), 1)
     assert overlap >= 0.85, f"keep-sets diverged beyond the boundary band: {overlap}"
+
+
+def test_dedup_pipeline_stages_agree(spark):
+    """The three dedup stages are one pipeline: apply's kept set must be
+    exactly (corpus - cluster members) + one keeper per cluster, and the
+    keeper must be the canonical_doc q_canonical_docs selects."""
+    from kitkat_spark.operators.corpus import (
+        cluster_members,
+        q_canonical_docs,
+        q_dedup_apply,
+    )
+    from kitkat_spark.sources import load_table
+
+    members = {
+        (r["doc_id"], r["cluster_id"])
+        for r in cluster_members(spark, SF).collect()
+    }
+    canon = {r["cluster_id"]: r["canonical_doc"] for r in q_canonical_docs(spark, SF).collect()}
+    kept = {r["doc_id"]: r["kept_as"] for r in q_dedup_apply(spark, SF).collect()}
+    all_docs = {
+        r["doc_id"] for r in load_table(spark, SF, "documents").select("doc_id").collect()
+    }
+
+    member_ids = {d for d, _ in members}
+    assert set(canon) == {c for _, c in members}, "every cluster gets a canonical row"
+    # kept = singletons + exactly the canonical member of each cluster
+    expected_kept = (all_docs - member_ids) | set(canon.values())
+    assert set(kept) == expected_kept
+    assert {d for d, k in kept.items() if k == "canonical"} == set(canon.values())
+    assert {d for d, k in kept.items() if k == "singleton"} == all_docs - member_ids
