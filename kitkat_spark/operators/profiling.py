@@ -166,6 +166,64 @@ def q_embedding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+QUANT_LEVELS = 127  # int8 symmetric range
+
+
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 symmetric quantization audit — the vector-compression step an
+    embedding store runs before serving (4x smaller than float32, ~16x
+    smaller than the double math): per vector, scale = max|v_i|, code_i =
+    round(v_i * 127 / scale), and the audit measures what the round trip
+    loses (per-label mean/max absolute dequantization error) plus the
+    scale distribution. Ships as a data op so the compression loss is
+    MEASURED under the oracle gate, not assumed — the q_ann_recall move
+    applied to storage instead of indexing.
+
+    Engine parity: quantize/dequantize is per-element double arithmetic
+    written in the identical operation order in both engines (each step a
+    single IEEE-rounded op; round() is half-away-from-zero in both);
+    per-vector error folds are sequential array sums (functions/vectors.py
+    convention, matches DuckDB list_sum), and cross-row means use the
+    fixed-point decimal-sum pattern (a plain double avg is
+    partition-order dependent). Zero vectors are excluded (scale 0 would
+    divide by zero). One narrow map + one tiny per-label agg — at 100 TB
+    this is a single pass that would also WRITE the int8 codes."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.size("embedding") > 0)
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    base = emb.select("label", v.alias("v")).withColumn(
+        "m", F.array_max(F.transform("v", lambda x: F.abs(x)))
+    ).filter(F.col("m") > 0)
+    err = F.transform(
+        "v",
+        lambda x: F.abs(
+            x
+            - F.round(x * F.lit(float(QUANT_LEVELS)) / F.col("m"))
+            * F.col("m")
+            / F.lit(float(QUANT_LEVELS))
+        ),
+    )
+    per_vec = base.select(
+        "label",
+        "m",
+        F.aggregate(err, F.lit(0.0), lambda acc, x: acc + x).alias("err_sum"),
+        F.array_max(err).alias("err_max"),
+        F.size("v").alias("dim"),
+    )
+    dec = "decimal(18,6)"
+    return per_vec.groupBy("label").agg(
+        F.count("*").alias("n_vecs"),
+        F.round(
+            F.sum(F.round(F.col("m"), 6).cast(dec)).cast("double") / F.count("*"), 4
+        ).alias("mean_scale"),
+        F.round(F.max("err_max"), 6).alias("max_err"),
+        F.round(
+            F.sum(F.round(F.col("err_sum") / F.col("dim"), 6).cast(dec)).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("mean_err"),
+    )
+
+
 def _oracle_branch(c: str, expr: str) -> str:
     return f"""
         SELECT '{c}' AS column_name,
@@ -187,6 +245,28 @@ _ORACLE_EXPRS = [
 ]
 
 ORACLE: dict[str, str] = {
+    "q_embedding_quantize": """
+        WITH e AS (
+            SELECT label, embedding::DOUBLE[] AS v,
+                   list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) AS m
+            FROM embeddings WHERE len(embedding) > 0
+        ), q AS (
+            SELECT label, m, len(v) AS dim,
+                   list_sum(list_transform(v,
+                       x -> abs(x - round(x * 127.0 / m) * m / 127.0))) AS err_sum,
+                   list_max(list_transform(v,
+                       x -> abs(x - round(x * 127.0 / m) * m / 127.0))) AS err_max
+            FROM e WHERE m > 0
+        )
+        SELECT label,
+               count(*) AS n_vecs,
+               round(CAST(sum(CAST(round(m, 6) AS DECIMAL(18,6))) AS DOUBLE)
+                     / count(*), 4) AS mean_scale,
+               round(max(err_max), 6) AS max_err,
+               round(CAST(sum(CAST(round(err_sum / dim, 6) AS DECIMAL(18,6))) AS DOUBLE)
+                     / count(*), 6) AS mean_err
+        FROM q GROUP BY label
+    """,
     "q_embedding_audit": """
         WITH v AS (
             SELECT label,
