@@ -94,6 +94,9 @@ SUBSET = [
     # the shared membership table
     "q_mix_rebalance_rate",
     "q_dedup_clusters",
+    "q_dedup_apply",
+    "q_ann_recall",
+    "q_embedding_quantize",
     # audit passes: narrow maps + tiny aggs, must be ~linear
     "q_lang_mismatch",
     "q_embedding_audit",
