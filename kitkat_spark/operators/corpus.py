@@ -108,16 +108,33 @@ def _compute_members(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MEMBERS_DIRS_CREATED: list[str] = []
+
+
+def _cleanup_members_dirs() -> None:
+    import shutil
+
+    for d in _MEMBERS_DIRS_CREATED:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def _materialize_members(spark: SparkSession, sf_dir: str, members: DataFrame) -> str:
+    import atexit
     import hashlib
     import os
     import tempfile
 
+    # a fresh versioned dir per materialization (never overwrite in place:
+    # a live DataFrame from a previous cluster_members() call still lists
+    # the old part files — overwriting them under it is a
+    # FileNotFoundException at its next action); all dirs are removed at
+    # process exit
     key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
-    path = os.path.join(
-        tempfile.gettempdir(), f"kitkat_members_{key}_{os.getpid()}"
-    )
+    path = tempfile.mkdtemp(prefix=f"kitkat_members_{key}_")
     members.write.mode("overwrite").parquet(path)
+    if not _MEMBERS_DIRS_CREATED:
+        atexit.register(_cleanup_members_dirs)
+    _MEMBERS_DIRS_CREATED.append(path)
     _MEMBERS_PATHS[sf_dir] = path
     return path
 

@@ -43,6 +43,6 @@ def test_bench_headline_covers_registry():
     from kitkat_spark.queries import QUERIES
 
     missing = set(QUERIES) - set(bench.HEADLINE)
-    assert missing == {"q_cc_chain"}, f"unbenched registry queries: {missing - {'q_cc_chain'}}"
+    assert missing == {"q_cc_chain"}, f"bench HEADLINE vs registry mismatch: {missing}"
     unknown = set(bench.HEADLINE) - set(QUERIES)
     assert not unknown, f"benched but not in registry: {unknown}"

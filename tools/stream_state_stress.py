@@ -49,7 +49,7 @@ FILES_PER_REPLICA = 2
 ROCKSDB = "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
 
 
-def build_stretched(spark, factor: int) -> tuple[str, int]:
+def build_stretched(spark, factor: int) -> str:
     """factor replicas of events, each shifted one full span + 2 watermark
     delays past the previous — a stream factor-x longer at the same key
     rate. Doubled rows (every event twice) so the dedup state is
@@ -57,7 +57,7 @@ def build_stretched(spark, factor: int) -> tuple[str, int]:
     file source replays chronologically at FILES_PER_REPLICA per batch."""
     out = os.path.join(OUT_ROOT, f"f{factor}")
     if os.path.exists(out):
-        return out, factor * 200_000
+        return out
     ev = load_table(spark, BASE, "events").select(
         "event_id", "user_id", "event_type", "value", "ts"
     )
@@ -74,7 +74,7 @@ def build_stretched(spark, factor: int) -> tuple[str, int]:
         )
         rep.coalesce(FILES_PER_REPLICA).write.mode("append").parquet(out)
         time.sleep(1.1)  # distinct mtimes -> chronological file-source order
-    return out, factor * 200_000
+    return out
 
 
 def run_shape(spark, name: str, path: str, schema, transform, provider=None):
@@ -170,14 +170,14 @@ def main() -> None:
     results: dict[str, dict] = {s: {} for s in shapes}
     results["dedup_wm_rocksdb"] = {}
     for factor in args.factors:
-        path, _ = build_stretched(spark, factor)
+        path = build_stretched(spark, factor)
         for sname, fn in shapes.items():
             r = run_shape(spark, sname, path, schema, fn)
             results[sname][f"{factor}x"] = r
             print(f"# {sname} {factor}x: {r}", file=sys.stderr)
     # RocksDB at the largest factor only (provider parity, spillable state)
     big = max(args.factors)
-    path, _ = build_stretched(spark, big)
+    path = build_stretched(spark, big)
     r = run_shape(spark, "dedup_rocks", path, schema, shapes["dedup_wm"], ROCKSDB)
     results["dedup_wm_rocksdb"][f"{big}x"] = r
     print(f"# dedup_wm_rocksdb {big}x: {r}", file=sys.stderr)
