@@ -144,3 +144,19 @@ def test_dedup_pipeline_stages_agree(spark):
     assert set(kept) == expected_kept
     assert {d for d, k in kept.items() if k == "canonical"} == set(canon.values())
     assert {d for d, k in kept.items() if k == "singleton"} == all_docs - member_ids
+
+
+def test_members_dir_cleanup_removes_created_dirs(tmp_path):
+    import os
+
+    from kitkat_spark.operators import corpus
+
+    d = tmp_path / "fake_members"
+    d.mkdir()
+    (d / "part-0.parquet").write_bytes(b"x")
+    corpus._MEMBERS_DIRS_CREATED.append(str(d))
+    try:
+        corpus._cleanup_members_dirs()
+        assert not os.path.exists(d)
+    finally:
+        corpus._MEMBERS_DIRS_CREATED.remove(str(d))
