@@ -176,6 +176,7 @@ HEADLINE = [
     "q_dedup_apply",
     "q_ann_recall",
     "q_embedding_quantize",
+    "q_minhash_accuracy",
     # Excluded on purpose (NOT a silent cap): q_cc_chain is the adversarial
     # deep-diameter CC verification query — it deliberately runs ~25 star
     # rounds on a path graph, so its wall time is per-round scheduler

@@ -248,6 +248,74 @@ def q_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+def q_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash estimation-accuracy audit: for every LSH candidate pair,
+    the signature-estimated Jaccard (matching components / k) next to the
+    EXACT shingle-set Jaccard and their absolute error — the dedup
+    counterpart of q_ann_recall (index) and q_embedding_quantize
+    (storage): the sketch the near-dup pass trusts is measured under the
+    oracle gate, not assumed. E[matches/k] = J is the MinHash guarantee
+    (Broder 1997); this query shows the realized spread at k=32 on real
+    candidates, which is exactly what sets the banding thresholds.
+
+    Shape: identical to q_near_dedup's candidate pipeline (persisted
+    signature table, band-bucket self-join with the LSH_MAX_BUCKET cap)
+    plus one zip_with/aggregate comparison per pair — no new shuffle. The
+    estimate is an exact rational (int/32) and the exact Jaccard an exact
+    rational of set sizes, so every output value is engine-replayable."""
+    par = spark.sparkContext.defaultParallelism
+    docs = load_table(spark, sf_dir, "documents").repartition(par)
+    minhash_udf = make_minhash_udf(MINHASH_K)
+    sig = (
+        docs.select(
+            "doc_id",
+            oracle_shingle_hashes(tokens(F.col("text")), SHINGLE_N).alias("sh"),
+        )
+        .filter(F.size("sh") > 0)
+        .select("doc_id", "sh", minhash_udf(F.col("sh")).alias("sig"))
+        .persist()
+    )
+    banded = sig.select(
+        "doc_id",
+        F.posexplode(
+            band_slices(F.col("sig"), LSH_BANDS, LSH_ROWS)
+        ).alias("band_id", "band_key"),
+    )
+    cand = (
+        bucket_pairs(banded, ["band_id", "band_key"], "doc_id", LSH_MAX_BUCKET)
+        .select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
+        .distinct()
+    )
+    sa = sig.select(
+        F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"), F.col("sig").alias("sig_a")
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"), F.col("sig").alias("sig_b")
+    )
+    matches = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    exact = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
+        F.array_union("sh_a", "sh_b")
+    )
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(exact, 4).alias("jaccard_exact"),
+            F.round(matches / F.lit(MINHASH_K), 4).alias("jaccard_est"),
+            F.round(F.abs(matches / F.lit(MINHASH_K) - exact), 4).alias("abs_err"),
+        )
+    )
+
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash64 near-dup pairs with Hamming <= 3 via 4x16-bit band join.
 
@@ -357,6 +425,52 @@ _SIM_PACK = "\n                   + ".join(
 )
 
 ORACLE: dict[str, str] = {
+    "q_minhash_accuracy": f"""
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        ), sh AS (
+            SELECT DISTINCT doc_id,
+                   ('0x' || substr(md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2]), 1, 15))::BIGINT
+                       % {MINHASH_PRIME} AS h
+            FROM toks, UNNEST(generate_series(1, len(w) - 2)) AS t(i)
+            WHERE len(w) >= 3
+        ), sig AS (
+            SELECT doc_id, count(*) AS n_sh,
+                   {_SIG_MINS}
+            FROM sh GROUP BY doc_id
+        ), bands AS (
+            {_BAND_SELECTS}
+        ), bsz AS (
+            SELECT band_id, key, count(*) AS c FROM bands GROUP BY 1, 2
+        ), cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a
+            JOIN bands b ON a.band_id = b.band_id AND a.key = b.key
+                        AND a.doc_id < b.doc_id
+            JOIN bsz s ON s.band_id = a.band_id AND s.key = a.key
+                      AND s.c BETWEEN 2 AND {LSH_MAX_BUCKET}
+        ), common AS (
+            SELECT c.doc_a, c.doc_b, count(*) AS n_common
+            FROM cand c
+            JOIN sh x ON x.doc_id = c.doc_a
+            JOIN sh y ON y.doc_id = c.doc_b AND x.h = y.h
+            GROUP BY 1, 2
+        ), scored AS (
+            SELECT c.doc_a, c.doc_b,
+                   coalesce(m.n_common, 0) * 1.0
+                       / (na.n_sh + nb.n_sh - coalesce(m.n_common, 0)) AS exact_j,
+                   ((CASE WHEN na.s0 = nb.s0 THEN 1 ELSE 0 END) + (CASE WHEN na.s1 = nb.s1 THEN 1 ELSE 0 END) + (CASE WHEN na.s2 = nb.s2 THEN 1 ELSE 0 END) + (CASE WHEN na.s3 = nb.s3 THEN 1 ELSE 0 END) + (CASE WHEN na.s4 = nb.s4 THEN 1 ELSE 0 END) + (CASE WHEN na.s5 = nb.s5 THEN 1 ELSE 0 END) + (CASE WHEN na.s6 = nb.s6 THEN 1 ELSE 0 END) + (CASE WHEN na.s7 = nb.s7 THEN 1 ELSE 0 END) + (CASE WHEN na.s8 = nb.s8 THEN 1 ELSE 0 END) + (CASE WHEN na.s9 = nb.s9 THEN 1 ELSE 0 END) + (CASE WHEN na.s10 = nb.s10 THEN 1 ELSE 0 END) + (CASE WHEN na.s11 = nb.s11 THEN 1 ELSE 0 END) + (CASE WHEN na.s12 = nb.s12 THEN 1 ELSE 0 END) + (CASE WHEN na.s13 = nb.s13 THEN 1 ELSE 0 END) + (CASE WHEN na.s14 = nb.s14 THEN 1 ELSE 0 END) + (CASE WHEN na.s15 = nb.s15 THEN 1 ELSE 0 END) + (CASE WHEN na.s16 = nb.s16 THEN 1 ELSE 0 END) + (CASE WHEN na.s17 = nb.s17 THEN 1 ELSE 0 END) + (CASE WHEN na.s18 = nb.s18 THEN 1 ELSE 0 END) + (CASE WHEN na.s19 = nb.s19 THEN 1 ELSE 0 END) + (CASE WHEN na.s20 = nb.s20 THEN 1 ELSE 0 END) + (CASE WHEN na.s21 = nb.s21 THEN 1 ELSE 0 END) + (CASE WHEN na.s22 = nb.s22 THEN 1 ELSE 0 END) + (CASE WHEN na.s23 = nb.s23 THEN 1 ELSE 0 END) + (CASE WHEN na.s24 = nb.s24 THEN 1 ELSE 0 END) + (CASE WHEN na.s25 = nb.s25 THEN 1 ELSE 0 END) + (CASE WHEN na.s26 = nb.s26 THEN 1 ELSE 0 END) + (CASE WHEN na.s27 = nb.s27 THEN 1 ELSE 0 END) + (CASE WHEN na.s28 = nb.s28 THEN 1 ELSE 0 END) + (CASE WHEN na.s29 = nb.s29 THEN 1 ELSE 0 END) + (CASE WHEN na.s30 = nb.s30 THEN 1 ELSE 0 END) + (CASE WHEN na.s31 = nb.s31 THEN 1 ELSE 0 END)) * 1.0 / 32 AS est_j
+            FROM cand c
+            LEFT JOIN common m ON m.doc_a = c.doc_a AND m.doc_b = c.doc_b
+            JOIN sig na ON c.doc_a = na.doc_id
+            JOIN sig nb ON c.doc_b = nb.doc_id
+        )
+        SELECT doc_a, doc_b,
+               round(exact_j, 4) AS jaccard_exact,
+               round(est_j, 4) AS jaccard_est,
+               round(abs(est_j - exact_j), 4) AS abs_err
+        FROM scored
+    """,
     "q_ngram_jaccard": f"""
         WITH {PAIRS_SQL_CTES}
         SELECT doc_a, doc_b, jaccard FROM jpairs

@@ -102,7 +102,7 @@ for _m in _MODULES:
 # q_canonical_docs oracle cast + materialized-membership rework, the
 # q_dedup_clusters membership write, NEW q_mix_rebalance_rate and
 # q_dedup_apply; similarity.py: NEW q_ann_recall; profiling.py: NEW
-# q_embedding_quantize). Blocks:
+# q_embedding_quantize; dedup.py: NEW q_minhash_accuracy). Blocks:
 _VERIFY_FIRST = [
     # -- (a) changed/new this round --
     "q_canonical_docs",
@@ -111,6 +111,7 @@ _VERIFY_FIRST = [
     "q_dedup_apply",
     "q_ann_recall",
     "q_embedding_quantize",
+    "q_minhash_accuracy",
     # -- (b) the fifteen r3 greens deferred from round 6's slots (three
     # rounds of code churn without a driver re-check; the committed plan) --
     "q_bigram_lm",
@@ -129,9 +130,9 @@ _VERIFY_FIRST = [
     "q_scd2",
     "q_waiting_orders",
     # -- (c) oldest remaining greens (round 4), refreshed oldest-first,
-    # alphabetical; q_stream_tumbling, q_text_analysis, q_token_count
-    # and q_vocab (the 30th-33rd r4 greens) don't fit this round's 50 and
-    # head next round's block (c) --
+    # alphabetical; q_stream_sliding, q_stream_tumbling, q_text_analysis,
+    # q_token_count and q_vocab (the 29th-33rd r4 greens) don't fit this
+    # round's 50 and head next round's block (c) --
     "q_ann_ivf",
     "q_ann_multiprobe",
     "q_asof_join",
@@ -160,7 +161,6 @@ _VERIFY_FIRST = [
     "q_small_qty_revenue",
     "q_stateful_profile",
     "q_stream_enrich",
-    "q_stream_sliding",
 ]
 
 assert len(_VERIFY_FIRST) == 50, len(_VERIFY_FIRST)
