@@ -116,6 +116,9 @@ def _cleanup_members_dirs() -> None:
 
     for d in _MEMBERS_DIRS_CREATED:
         shutil.rmtree(d, ignore_errors=True)
+    # a mid-process call must not leave the memo pointing at deleted dirs
+    _MEMBERS_DIRS_CREATED.clear()
+    _MEMBERS_PATHS.clear()
 
 
 def _materialize_members(spark: SparkSession, sf_dir: str, members: DataFrame) -> str:

@@ -147,6 +147,9 @@ def test_dedup_pipeline_stages_agree(spark):
 
 
 def test_members_dir_cleanup_removes_created_dirs(tmp_path):
+    """Isolated on swapped-in state: calling the real cleanup on the
+    process-shared list would delete the membership dirs other tests'
+    memo still points to (the exact bug this test's first version had)."""
     import os
 
     from kitkat_spark.operators import corpus
@@ -154,9 +157,14 @@ def test_members_dir_cleanup_removes_created_dirs(tmp_path):
     d = tmp_path / "fake_members"
     d.mkdir()
     (d / "part-0.parquet").write_bytes(b"x")
-    corpus._MEMBERS_DIRS_CREATED.append(str(d))
+    orig_dirs = corpus._MEMBERS_DIRS_CREATED[:]
+    orig_paths = dict(corpus._MEMBERS_PATHS)
+    corpus._MEMBERS_DIRS_CREATED[:] = [str(d)]
     try:
         corpus._cleanup_members_dirs()
         assert not os.path.exists(d)
+        assert corpus._MEMBERS_DIRS_CREATED == []
     finally:
-        corpus._MEMBERS_DIRS_CREATED.remove(str(d))
+        corpus._MEMBERS_DIRS_CREATED[:] = orig_dirs
+        corpus._MEMBERS_PATHS.clear()
+        corpus._MEMBERS_PATHS.update(orig_paths)
