@@ -97,6 +97,7 @@ SUBSET = [
     "q_dedup_apply",
     "q_ann_recall",
     "q_embedding_quantize",
+    "q_minhash_accuracy",
     # audit passes: narrow maps + tiny aggs, must be ~linear
     "q_lang_mismatch",
     "q_embedding_audit",
