@@ -237,7 +237,16 @@ def main() -> None:
             for f in glob.glob(os.path.join(here, "BENCH_r*.json"))
             if (m := re.search(r"BENCH_r(\d+)\.json$", f))
         ]
-        local = os.path.join(here, f"BENCH_LOCAL_r{max(rounds, default=0) + 1:02d}.json")
+        base = os.path.join(here, f"BENCH_LOCAL_r{max(rounds, default=0) + 1:02d}")
+        # never clobber an existing head: the committed file is the
+        # builder's idle-machine run, and a later (often contended) driver
+        # run overwriting it is exactly what muddied the round-6 numbers —
+        # suffix instead so every run is preserved side by side
+        local = f"{base}.json"
+        n = 2
+        while os.path.exists(local):
+            local = f"{base}_{n}.json"
+            n += 1
         with open(local, "w") as fh:
             json.dump(out, fh, indent=1)
     except OSError:
