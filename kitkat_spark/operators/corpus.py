@@ -88,9 +88,13 @@ def connected_components(
     return connected_components_star(e0, src="u", dst="v")
 
 
-# Materialized cluster-membership tables, one parquet dir per sf_dir (pid
-# in the path so concurrent pytest/bench processes never clobber each
-# other's files). This is the production layout: clustering writes a
+# Materialized cluster-membership tables, one parquet dir per sf_dir
+# (tempfile.mkdtemp's random suffix keeps concurrent pytest/bench
+# processes from clobbering each other's files). Each re-materialization
+# creates a fresh dir and the superseded ones stay on disk until process
+# exit (_cleanup_members_dirs) — bounded growth: one small parquet dir per
+# q_dedup_clusters call, paid only by long sessions that re-cluster.
+# This is the production layout: clustering writes a
 # membership table ONCE; every downstream consumer (canonical selection,
 # the corpus anti-join, dup-rate reporting) reads the table instead of
 # re-deriving the pair graph + CC — at 100 TB the membership table is the
@@ -162,10 +166,16 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     Side effect: refreshes the materialized membership parquet (see
     ``cluster_members``) so downstream consumers read instead of
     re-deriving — the write is of the already-checkpointed CC output, so
-    it adds only the tiny parquet write, not a recompute."""
+    it adds only the tiny parquet write, not a recompute. The RETURNED
+    plan is a plain scan of that parquet (not the pre-write projection):
+    the returned DataFrame and the materialized contract are the same
+    artifact, so consumers of the return value never re-execute the
+    projection and the timing boundary (compute + write inside this call)
+    cannot silently regress if the CC output ever stops being
+    checkpointed."""
     members = _compute_members(spark, sf_dir)
-    _materialize_members(spark, sf_dir, members)
-    return members
+    path = _materialize_members(spark, sf_dir, members)
+    return spark.read.parquet(path)
 
 
 def q_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -89,9 +89,9 @@ def test_corpus_mix_factors(spark):
 def test_mix_rebalance_rate_bounded_vs_rank(spark):
     """The rate-based variant's documented contract vs the exact-rank one:
     per-source kept counts land within ~sqrt(m) of the exact target m, and
-    the keep-sets nearly coincide (u32 is the top-28-bit truncation of the
-    rank key u60, so they can only disagree in the acceptance-boundary
-    band)."""
+    the keep-sets nearly coincide (u32 = u60 >> 28 — the top 32 bits of
+    the rank key, dropping the low 28 — so they can only disagree in the
+    acceptance-boundary band)."""
     import math
 
     from kitkat_spark.operators.corpus import q_mix_rebalance, q_mix_rebalance_rate

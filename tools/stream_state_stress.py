@@ -84,6 +84,11 @@ def run_shape(spark, name: str, path: str, schema, transform, provider=None):
         .parquet(path)
     )
     sink = f"sss_{name}_{abs(hash(path)) % 10**8}"
+    # recentProgress is a ring buffer capped at numRecentProgressUpdates
+    # (default 100): a factor beyond ~100 replicas would silently drop the
+    # oldest batches' metrics and undercount input_rows/total_evicted.
+    # Size the buffer to the run so every micro-batch's metrics survive.
+    spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", "10000")
     prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
     if provider:
         spark.conf.set("spark.sql.streaming.stateStore.providerClass", provider)
