@@ -177,6 +177,10 @@ HEADLINE = [
     "q_ann_recall",
     "q_embedding_quantize",
     "q_minhash_accuracy",
+    # round-8 audit/ingest additions
+    "q_dedup_verify",
+    "q_ann_recall_multiprobe",
+    "q_stream_mix_rebalance",
     # Excluded on purpose (NOT a silent cap): q_cc_chain is the adversarial
     # deep-diameter CC verification query — it deliberately runs ~25 star
     # rounds on a path graph, so its wall time is per-round scheduler

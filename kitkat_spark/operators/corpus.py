@@ -251,6 +251,50 @@ def q_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup pipeline's ACCEPTANCE test — the check a production dedup
+    ships after the apply step: re-run the exact near-dup detector
+    (jaccard_pairs, the same edge generator that fed clustering) over the
+    corpus q_dedup_apply KEEPS and report the residual duplication in one
+    summary row: kept-doc count, residual pairs still >= the Jaccard
+    threshold, and the worst residual score (NULL when clean). Completes
+    the audit family: cluster → select → apply → VERIFY.
+
+    Residuals CAN legitimately be non-zero: document frequencies are
+    recomputed on the kept corpus (exactly what a re-run over the written
+    output sees), so a shingle bucket the first pass dropped as hot
+    (> DF_CAP docs) may fall under the cap once duplicates are removed and
+    admit pairs the clustering never saw. Measuring that honestly is the
+    point — the number is the feedback that tunes DF_CAP.
+
+    Shape: the keep-set derivation is q_dedup_apply's broadcast left-join
+    (corpus scanned once, never shuffled), the detector is the audited
+    inverted-index pipeline (bucket-capped, no N^2), and the summary is
+    two 1-row aggregations — cost tracks one detector run over the
+    (smaller) kept corpus."""
+    from kitkat_spark.operators.dedup import jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    members = cluster_members(spark, sf_dir).select("doc_id", "cluster_id")
+    sized = F.broadcast(members).join(docs.select("doc_id", "n_chars"), "doc_id")
+    w = W.partitionBy("cluster_id").orderBy(F.col("n_chars").desc(), "doc_id")
+    ranked = sized.select("doc_id", F.row_number().over(w).alias("rn"))
+    kept = (
+        docs.join(F.broadcast(ranked), "doc_id", "left")
+        .filter(F.col("rn").isNull() | (F.col("rn") == 1))
+        .select("doc_id", "text")
+    )
+    residual = jaccard_pairs(spark, sf_dir, docs=kept)
+    summary = residual.agg(
+        F.count("*").alias("n_residual_pairs"),
+        F.max("jaccard").alias("max_residual_jaccard"),
+    )
+    n_kept = kept.agg(F.count("*").alias("n_docs_kept"))
+    return n_kept.crossJoin(summary).select(
+        "n_docs_kept", "n_residual_pairs", "max_residual_jaccard"
+    )
+
+
 def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-size token chunks (32 tokens, stride 24 -> 8-token overlap).
 
@@ -1024,6 +1068,64 @@ ORACLE: dict[str, str] = {
                CASE WHEN r.rn = 1 THEN 'canonical' ELSE 'singleton' END AS kept_as
         FROM documents d LEFT JOIN ranked r ON d.doc_id = r.doc_id
         WHERE r.doc_id IS NULL OR r.rn = 1
+    """,
+    # Full pipeline replay: pair graph → CC → per-cluster keeper → kept
+    # corpus, then the SAME detector chain re-run over the kept corpus
+    # (document frequencies recomputed on it, as the Spark side does).
+    "q_dedup_verify": f"""
+        WITH RECURSIVE {PAIRS_SQL_CTES},
+        edges AS (
+            SELECT doc_a AS u, doc_b AS v FROM jpairs
+            UNION ALL
+            SELECT doc_b, doc_a FROM jpairs
+        ),
+        reach(u, r) AS (
+            SELECT DISTINCT u, u FROM edges
+            UNION
+            SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.u
+        ),
+        members AS (
+            SELECT u AS doc_id, min(r) AS cluster_id FROM reach GROUP BY u
+        ),
+        ranked AS (
+            SELECT m.doc_id,
+                   row_number() OVER (PARTITION BY m.cluster_id
+                                      ORDER BY d.n_chars DESC, m.doc_id) AS rn
+            FROM members m JOIN documents d ON m.doc_id = d.doc_id
+        ),
+        kept AS (
+            SELECT d.doc_id, d.text
+            FROM documents d LEFT JOIN ranked r ON d.doc_id = r.doc_id
+            WHERE r.doc_id IS NULL OR r.rn = 1
+        ),
+        ktoks AS (
+            SELECT doc_id, string_split(text, ' ') AS w FROM kept
+        ), ksh AS (
+            SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+            FROM ktoks, UNNEST(generate_series(1, len(w) - 2)) AS t(i)
+            WHERE len(w) >= 3
+        ), kfiltered AS (
+            SELECT * FROM ksh WHERE s NOT IN (
+                SELECT s FROM ksh GROUP BY s HAVING count(*) > 50
+            )
+        ), kcounts AS (
+            SELECT doc_id, count(*) AS n_sh FROM ksh GROUP BY doc_id
+        ), kraw AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+            FROM kfiltered a JOIN kfiltered b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ), kpairs AS (
+            SELECT round(n_common * 1.0 / (ca.n_sh + cb.n_sh - n_common), 4)
+                       AS jaccard
+            FROM kraw
+            JOIN kcounts ca ON doc_a = ca.doc_id
+            JOIN kcounts cb ON doc_b = cb.doc_id
+            WHERE round(n_common * 1.0 / (ca.n_sh + cb.n_sh - n_common), 4) >= 0.8
+        )
+        SELECT (SELECT count(*) FROM kept) AS n_docs_kept,
+               count(*) AS n_residual_pairs,
+               max(jaccard) AS max_residual_jaccard
+        FROM kpairs
     """,
     "q_chunk_docs": """
         WITH d AS (

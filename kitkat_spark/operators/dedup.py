@@ -86,7 +86,9 @@ def _simhash_pack_udf(token_hashes: pd.Series) -> pd.Series:
 DF_CAP = 50
 
 
-def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _shingled(
+    spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
+) -> DataFrame:
     # The fixture is one parquet file -> one input partition; shingling and
     # hashing are CPU-bound, so fan out to full parallelism first. On a real
     # cluster the scan is already many partitions and this is a cheap no-op
@@ -104,7 +106,9 @@ def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
     # once and everything downstream reads an attribute — this persisted
     # shingle table is the layout a 100 TB run would write out anyway.
     par = spark.sparkContext.defaultParallelism
-    docs = load_table(spark, sf_dir, "documents").repartition(par)
+    if docs is None:
+        docs = load_table(spark, sf_dir, "documents")
+    docs = docs.repartition(par)
     hashed = full_shingle_hashes(tokens(F.col("text")), SHINGLE_N)
     return (
         docs.select("doc_id", hashed.alias("shingles"))
@@ -144,10 +148,16 @@ def bucket_pairs(df: DataFrame, keys: list[str], id_col: str, max_bucket: int) -
     )
 
 
-def jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def jaccard_pairs(
+    spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
+) -> DataFrame:
     """(doc_a, doc_b, jaccard) pairs with Jaccard >= JACCARD_THRESHOLD —
     shared by q_ngram_jaccard and the connected-components clustering in
     operators/corpus.py (same edge set, same DF_CAP hot-key guard).
+    ``docs`` overrides the input corpus (default: the documents table) —
+    q_dedup_verify re-runs this same detector over the deduplicated
+    keep-set; document frequencies (the DF_CAP guard) are recomputed on
+    the given corpus, exactly as a re-run over a written corpus would.
 
     Inverted index via bucket_pairs: n_common(a, b) = number of shingle
     buckets emitting the pair. Buckets over DF_CAP are dropped — identical
@@ -164,7 +174,7 @@ def jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     extra shuffled joins; this is one scan, two shuffles total.) array_sort
     on the struct orders by doc_id, preserving doc_a < doc_b.
     """
-    sh = _shingled(spark, sf_dir)
+    sh = _shingled(spark, sf_dir, docs)
     inv = sh.select(
         F.struct(F.col("doc_id"), F.size("shingles").alias("n_sh")).alias("idn"),
         F.explode("shingles").alias("s"),

@@ -414,6 +414,53 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _recall_vs_exact(exact: DataFrame, approx: DataFrame, index_name: str) -> DataFrame:
+    """Per-query recall@k of one approximate top-k result set against the
+    exact brute-force top-k (the q_ann_recall join, parameterized by index):
+    approx side broadcast (<= k rows per query), one tiny per-query agg."""
+    hits = approx.select("query_id", "cand_id", F.lit(1).alias("hit"))
+    joined = exact.join(F.broadcast(hits), ["query_id", "cand_id"], "left")
+    return (
+        joined.groupBy("query_id")
+        .agg(
+            F.count("*").alias("n_exact"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_hits"),
+        )
+        .select(
+            F.lit(index_name).alias("index_name"),
+            "query_id",
+            F.col("n_exact").cast("int").alias("n_exact"),
+            F.col("n_hits").cast("int").alias("n_hits"),
+            F.round(F.col("n_hits") / F.col("n_exact"), 4).alias("recall_at_k"),
+        )
+    )
+
+
+def q_ann_recall_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall audit for the sign-LSH index FAMILY: recall@k of the
+    single-probe index (q_ann_ivf) and the Hamming-1 multi-probe index
+    (q_ann_multiprobe) side by side against the same brute-force top-k —
+    the measurement that justifies multi-probe's existence (Lv et al.,
+    VLDB 2007: probing the neighboring cells recovers the recall sign-LSH
+    loses at cell boundaries WITHOUT growing the index). q_ann_recall
+    audits the k-means IVF index; this closes the audit loop for the other
+    index family, under the same oracle gate.
+
+    Shape: the exact side is computed ONCE (eager checkpoint — two
+    consumers, tiny: queries x k rows) and each index's audited production
+    pipeline is reused verbatim; each recall join broadcasts the approx
+    side. Output carries an index_name column so one result set proves
+    recall(multiprobe) >= recall(1probe) per query."""
+    exact = (
+        q_similarity_search(spark, sf_dir)
+        .select("query_id", "cand_id")
+        .localCheckpoint(eager=True)
+    )
+    single = _recall_vs_exact(exact, q_ann_ivf(spark, sf_dir), "lsh_1probe")
+    multi = _recall_vs_exact(exact, q_ann_multiprobe(spark, sf_dir), "lsh_multiprobe")
+    return single.unionByName(multi)
+
+
 def q_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nearest-centroid assignment (the IVF/k-means training-step primitive):
     every vector assigned to its most-cosine-similar centroid, centroids
@@ -474,6 +521,97 @@ def q_label_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE: dict[str, str] = {
+    # Shared replay of the sign-LSH bucketing (as in q_ann_ivf /
+    # q_ann_multiprobe) plus the brute-force exact side (q_similarity_search
+    # verbatim), then one recall aggregation per index, unioned with the
+    # index_name tag.
+    "q_ann_recall_multiprobe": f"""
+        WITH dims AS (
+            SELECT max(len(embedding)) AS d FROM embeddings
+        ), planes AS (
+            SELECT p, list_transform(generate_series(0, (SELECT d - 1 FROM dims)),
+                   d -> ('0x' || substr(md5('plane_' || p || '_' || d), 1, 15))::BIGINT
+                        / 1152921504606846976.0 * 2 - 1) AS pv
+            FROM UNNEST(generate_series(0, {LSH_PLANES - 1})) AS t(p)
+        ), ea AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v,
+                   sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                       AS nrm
+            FROM embeddings
+        ), exact AS (
+            -- q_similarity_search verbatim (over ALL embeddings)
+            SELECT query_id, cand_id FROM (
+                SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+                       row_number() OVER (
+                           PARTITION BY q.vec_id
+                           ORDER BY round(list_dot_product(q.v, c.v)
+                                          / (q.nrm * c.nrm), 6) DESC, c.vec_id) AS rk
+                FROM ea q JOIN ea c ON c.vec_id <> q.vec_id
+                WHERE q.vec_id < {N_QUERIES}
+            ) WHERE rk <= {TOP_K}
+        ), e AS (
+            SELECT vec_id, v, nrm FROM ea WHERE len(v) > 0
+        ), buckets AS (
+            SELECT vec_id,
+                   sum(CASE WHEN list_dot_product(e.v, pl.pv) > 0
+                            THEN (1::BIGINT << pl.p) ELSE 0 END) AS bucket
+            FROM e, planes pl
+            GROUP BY vec_id
+        ), stopk AS (
+            -- q_ann_ivf verbatim: probe = own bucket only
+            SELECT query_id, cand_id FROM (
+                SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+                       row_number() OVER (
+                           PARTITION BY q.vec_id
+                           ORDER BY round(list_dot_product(eq.v, ec.v)
+                                          / (eq.nrm * ec.nrm), 6) DESC, c.vec_id) AS rk
+                FROM buckets q
+                JOIN buckets c ON c.bucket = q.bucket AND c.vec_id <> q.vec_id
+                JOIN e eq ON eq.vec_id = q.vec_id
+                JOIN e ec ON ec.vec_id = c.vec_id
+                WHERE q.vec_id < {N_QUERIES}
+            ) WHERE rk <= {TOP_K}
+        ), qprobes AS (
+            SELECT q.vec_id,
+                   unnest([q.bucket] || list_transform(
+                       generate_series(0, {LSH_PLANES - 1}),
+                       i -> xor(q.bucket, 1::BIGINT << i))) AS bucket
+            FROM buckets q
+            WHERE q.vec_id < {N_QUERIES}
+        ), mtopk AS (
+            -- q_ann_multiprobe verbatim: own bucket + Hamming-1 fan-out
+            SELECT query_id, cand_id FROM (
+                SELECT qp.vec_id AS query_id, c.vec_id AS cand_id,
+                       row_number() OVER (
+                           PARTITION BY qp.vec_id
+                           ORDER BY round(list_dot_product(eq.v, ec.v)
+                                          / (eq.nrm * ec.nrm), 6) DESC, c.vec_id) AS rk
+                FROM qprobes qp
+                JOIN buckets c ON c.bucket = qp.bucket AND c.vec_id <> qp.vec_id
+                JOIN e eq ON eq.vec_id = qp.vec_id
+                JOIN e ec ON ec.vec_id = c.vec_id
+            ) WHERE rk <= {TOP_K}
+        )
+        SELECT 'lsh_1probe' AS index_name, x.query_id,
+               CAST(count(*) AS INT) AS n_exact,
+               CAST(sum(CASE WHEN a.cand_id IS NOT NULL THEN 1 ELSE 0 END) AS INT)
+                   AS n_hits,
+               round(sum(CASE WHEN a.cand_id IS NOT NULL THEN 1 ELSE 0 END)
+                     / count(*), 4) AS recall_at_k
+        FROM exact x
+        LEFT JOIN stopk a ON a.query_id = x.query_id AND a.cand_id = x.cand_id
+        GROUP BY x.query_id
+        UNION ALL
+        SELECT 'lsh_multiprobe' AS index_name, x.query_id,
+               CAST(count(*) AS INT) AS n_exact,
+               CAST(sum(CASE WHEN a.cand_id IS NOT NULL THEN 1 ELSE 0 END) AS INT)
+                   AS n_hits,
+               round(sum(CASE WHEN a.cand_id IS NOT NULL THEN 1 ELSE 0 END)
+                     / count(*), 4) AS recall_at_k
+        FROM exact x
+        LEFT JOIN mtopk a ON a.query_id = x.query_id AND a.cand_id = x.cand_id
+        GROUP BY x.query_id
+    """,
     "q_ann_recall": f"""
         WITH e AS (
             SELECT vec_id, embedding::DOUBLE[] AS v,

@@ -440,6 +440,55 @@ def q_stream_late_drop_wm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(sink)
 
 
+def q_stream_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of q_mix_rebalance_rate (operators/corpus.py) — the
+    rate-based mix-rebalance acceptance applied at INGEST time, the shape
+    its docstring promises for 100 TB: a planning pass computes per-source
+    acceptance rates m/n_src ONCE (a handful of rows — production ships
+    them as config refreshed per planning cycle), and the document stream
+    is then filtered row-by-row with the seeded-hash predicate
+    u32/2^32 < rate[source]. The filter is STATELESS — no watermark, no
+    state store, no shuffle; every micro-batch is embarrassingly parallel,
+    so ingest throughput is scan-bound at any scale.
+
+    Determinism: the keep-decision is a pure function of (seed, doc_id,
+    planning rates), so the streamed keep-set equals the batch query's
+    exactly (pytest-equivalence in tests/test_streaming_analytics.py) and
+    the DuckDB oracle (shared with q_mix_rebalance_rate) replays it
+    value-for-value. The availableNow file replay + memory sink is test
+    scaffolding, as in the other q_stream_* queries."""
+    from kitkat_spark.functions.text import md5_long
+    from kitkat_spark.operators.corpus import MIX_SEED
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    # the planning stats: both divisions are single correctly-rounded IEEE
+    # ops of exact ints, identical in Python, Spark and DuckDB
+    counts = docs.groupBy("source").agg(F.count("*").alias("n_src")).collect()
+    m = min(r["n_src"] for r in counts)
+    rate_entries: list = []
+    for r in counts:
+        rate_entries += [F.lit(r["source"]), F.lit(m / r["n_src"])]
+    rates = F.create_map(*rate_entries)
+    path, _ = _replay_info(spark, sf_dir, "mix_docs", lambda: docs)
+    stream = spark.readStream.schema(docs.schema).parquet(path)
+    u32 = md5_long(
+        F.concat(F.lit(MIX_SEED + "|"), F.col("doc_id").cast("string")), hex_chars=8
+    )
+    accepted = stream.filter(
+        (u32.cast("double") / F.lit(4294967296.0)) < rates[F.col("source")]
+    ).select("doc_id", "source")
+    name = f"stream_mix_rebalance_{abs(hash(path)) % 10**8}"
+    q = (
+        accepted.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
 def q_consume_dlq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E1 as a driver row: the dead-letter consume (streaming/sinks.py
     consume_with_dlq) over the mixed KPL+plain stream. Good records render
@@ -633,3 +682,9 @@ ORACLE: dict[str, str] = {
         WHERE event_id // 5 <> 0
     """,
 }
+
+# the streamed keep-set is by construction the batch keep-set, so the
+# oracle is shared verbatim with q_mix_rebalance_rate
+from kitkat_spark.operators import corpus as _corpus  # noqa: E402
+
+ORACLE["q_stream_mix_rebalance"] = _corpus.ORACLE["q_mix_rebalance_rate"]

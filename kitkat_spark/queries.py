@@ -97,70 +97,71 @@ for _m in _MODULES:
             _ALL[_name] = _cache_scoped(getattr(_m, _name))
     ORACLES.update(getattr(_m, "ORACLE", {}))
 
-# The 50 driver-verified slots this round (round 7), computed MECHANICALLY
-# from `git diff f70bd80..HEAD -- kitkat_spark` (corpus.py: the
-# q_canonical_docs oracle cast + materialized-membership rework, the
-# q_dedup_clusters membership write, NEW q_mix_rebalance_rate and
-# q_dedup_apply; similarity.py: NEW q_ann_recall; profiling.py: NEW
-# q_embedding_quantize; dedup.py: NEW q_minhash_accuracy). Blocks:
+# The 50 driver-verified slots this round (round 8), computed MECHANICALLY
+# from `git diff be16118..HEAD -- kitkat_spark` (corpus.py: NEW
+# q_dedup_verify + q_dedup_clusters now returns the materialized scan;
+# dedup.py: jaccard_pairs/_shingled gained the docs override shared by the
+# clustering family; similarity.py: NEW q_ann_recall_multiprobe;
+# streamparity.py: NEW q_stream_mix_rebalance). Blocks:
 _VERIFY_FIRST = [
     # -- (a) changed/new this round --
-    "q_canonical_docs",
+    "q_dedup_verify",
+    "q_ann_recall_multiprobe",
+    "q_stream_mix_rebalance",
     "q_dedup_clusters",
-    "q_mix_rebalance_rate",
+    "q_canonical_docs",
     "q_dedup_apply",
-    "q_ann_recall",
-    "q_embedding_quantize",
-    "q_minhash_accuracy",
-    # -- (b) the fifteen r3 greens deferred from round 6's slots (three
-    # rounds of code churn without a driver re-check; the committed plan) --
-    "q_bigram_lm",
-    "q_centroid_assign",
-    "q_count_distribution",
-    "q_dup_rate_by_source",
-    "q_exists_join",
-    "q_frame_sample",
-    "q_group_filter_join",
-    "q_having_scalar",
-    "q_label_centroid",
-    "q_media_resize",
-    "q_multimodal_decode",
-    "q_part_supplier_count",
-    "q_repetition_filter",
-    "q_scd2",
-    "q_waiting_orders",
-    # -- (c) oldest remaining greens (round 4), refreshed oldest-first,
-    # alphabetical; q_stream_sliding, q_stream_tumbling, q_text_analysis,
-    # q_token_count and q_vocab (the 29th-33rd r4 greens) don't fit this
-    # round's 50 and head next round's block (c) --
-    "q_ann_ivf",
-    "q_ann_multiprobe",
-    "q_asof_join",
-    "q_chunk_docs",
-    "q_cohort_retention",
-    "q_consume_plain",
-    "q_corpus_mix",
-    "q_cross_join_grid",
-    "q_event_growth",
-    "q_funnel",
-    "q_idle_customers",
-    "q_in_subquery",
-    "q_json_funcs",
-    "q_knn_classify",
-    "q_late_priority_lines",
-    "q_length_outliers",
-    "q_merge_upsert",
-    "q_near_dedup",
     "q_ngram_jaccard",
-    "q_pack_sequences",
-    "q_pii_redact",
-    "q_quality_score",
-    "q_range_join",
-    "q_sessionize",
-    "q_shard_status",
-    "q_small_qty_revenue",
-    "q_stateful_profile",
-    "q_stream_enrich",
+    # -- (b) the six r4-stale greens (last driver hash: round 4; the
+    # round-7 verdict's top item, q_cc_chain included) --
+    "q_cc_chain",
+    "q_stream_sliding",
+    "q_stream_tumbling",
+    "q_text_analysis",
+    "q_token_count",
+    "q_vocab",
+    # -- (c) oldest remaining greens (round 5), refreshed oldest-first,
+    # alphabetical; the last seven r5 greens (q_stream_late_drop_wm,
+    # q_token_pmi, q_train_manifest, q_trend_slope, q_triangle_count,
+    # q_window_rank, q_zorder_cluster) don't fit this round's 50 and head
+    # next round's block (c) --
+    "q_ann_kmeans_ivf",
+    "q_anomaly_zscore",
+    "q_array_map_funcs",
+    "q_bm25",
+    "q_broadcast_join",
+    "q_bucketed_join",
+    "q_consume_dlq",
+    "q_consume_pipeline",
+    "q_consume_since",
+    "q_count_min",
+    "q_dedup",
+    "q_embedding_near_dup",
+    "q_fingerprint",
+    "q_first_last",
+    "q_format_roundtrip",
+    "q_groupmap_normalize",
+    "q_hash_join",
+    "q_kpl_deagg",
+    "q_lang_id",
+    "q_minmax_by",
+    "q_multimodal",
+    "q_outer_join",
+    "q_pagerank",
+    "q_percentiles",
+    "q_quantile_sketch",
+    "q_rollup_cube",
+    "q_scalar_funcs",
+    "q_semi_anti_join",
+    "q_set_ops",
+    "q_shuffle_shards",
+    "q_similarity_search",
+    "q_span_dedup",
+    "q_split_leakage",
+    "q_stats_agg",
+    "q_stream_dedup_agg_wm",
+    "q_stream_dedup_wm",
+    "q_stream_interval_join_wm",
 ]
 
 assert len(_VERIFY_FIRST) == 50, len(_VERIFY_FIRST)

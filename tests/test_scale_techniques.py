@@ -58,6 +58,25 @@ def test_multiprobe_recall_dominates_single_probe(spark):
         assert key in multi and multi[key] >= cos, key
 
 
+def test_recall_audit_multiprobe_dominates(spark):
+    """The measured form of the dominance property: q_ann_recall_multiprobe
+    must report recall(multiprobe) >= recall(1probe) for EVERY query (the
+    candidate set only grows), and both sides must audit the same exact
+    top-k (n_exact equal per query)."""
+    from kitkat_spark.operators.similarity import q_ann_recall_multiprobe
+
+    rows = q_ann_recall_multiprobe(spark, "/root/testdata/sf0.001").collect()
+    by_index: dict[str, dict[int, tuple[int, int]]] = {}
+    for r in rows:
+        by_index.setdefault(r.index_name, {})[r.query_id] = (r.n_exact, r.n_hits)
+    assert set(by_index) == {"lsh_1probe", "lsh_multiprobe"}
+    assert set(by_index["lsh_1probe"]) == set(by_index["lsh_multiprobe"])
+    for qid, (n_exact, hits_one) in by_index["lsh_1probe"].items():
+        m_exact, hits_multi = by_index["lsh_multiprobe"][qid]
+        assert m_exact == n_exact, qid
+        assert hits_multi >= hits_one, qid
+
+
 def test_adaptive_salted_join_equals_plain_join(spark):
     """Hot-key-only salting must be row-for-row identical to the plain join
     for inner and left, with a synthetic celebrity key on the probe side."""

@@ -181,3 +181,18 @@ def test_streaming_interval_join_equals_batch(spark, events_stream_path):
     got = spark.sql("SELECT * FROM t_ivjoin")
     assert _rows(got, "user_id", "l_id", "r_id") == _rows(batch, "user_id", "l_id", "r_id")
     assert got.count() > 0
+
+
+def test_stream_mix_rebalance_equals_batch_keep_set(spark):
+    """The ingest-time rebalancer (q_stream_mix_rebalance) must emit
+    EXACTLY the batch keep-set of q_mix_rebalance_rate: the acceptance
+    decision is a pure function of (seed, doc_id, planning rates), so
+    replaying the corpus as a stream changes nothing."""
+    from kitkat_spark.operators.corpus import q_mix_rebalance_rate
+    from kitkat_spark.operators.streamparity import q_stream_mix_rebalance
+
+    sf = "/root/testdata/sf0.001"
+    batch = {(r.doc_id, r.source) for r in q_mix_rebalance_rate(spark, sf).collect()}
+    stream = {(r.doc_id, r.source) for r in q_stream_mix_rebalance(spark, sf).collect()}
+    assert stream == batch
+    assert len(stream) > 0
