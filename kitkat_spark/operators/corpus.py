@@ -547,6 +547,48 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing-utilization audit — the number a pretraining data team
+    actually reports for its packing strategy: per source, how many
+    512-token training bins concatenate-and-chunk packing
+    (q_pack_sequences' layout) needs versus naive one-doc-per-bin padding,
+    the bins saved, and both strategies' token utilization. Packing's win
+    is exactly the padding waste: utilization_packed is ~1.0 (only the
+    last bin per source is partial) while utilization_padded decays with
+    short-doc share.
+
+    ONE corpus pass: per-doc token counts aggregate straight into three
+    per-source integer sums (map-side combined); everything after is
+    arithmetic on a handful of rows. All bin math is integer
+    ceil-division, exact and identical cross-engine; the utilization
+    ratios are single IEEE divisions of exact integers."""
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.select("source", F.size(tokens(F.col("text"))).alias("n_tok"))
+    agg = per.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").alias("n_tokens"),
+        F.sum(
+            F.expr(f"(n_tok + {PACK_BIN_TOKENS - 1}) div {PACK_BIN_TOKENS}")
+        ).alias("padded_bins"),
+    )
+    packed = F.expr(f"(n_tokens + {PACK_BIN_TOKENS - 1}) div {PACK_BIN_TOKENS}")
+    return agg.select(
+        "source",
+        "n_docs",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("padded_bins").cast("long").alias("padded_bins"),
+        packed.cast("long").alias("packed_bins"),
+        (F.col("padded_bins") - packed).cast("long").alias("bins_saved"),
+        F.round(
+            F.col("n_tokens") / (packed * F.lit(float(PACK_BIN_TOKENS))), 4
+        ).alias("util_packed"),
+        F.round(
+            F.col("n_tokens") / (F.col("padded_bins") * F.lit(float(PACK_BIN_TOKENS))),
+            4,
+        ).alias("util_padded"),
+    )
+
+
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination scan: corpus docs sharing any 4-gram with
     the benchmark set (docs 0..19 stand in for an eval benchmark) — the
@@ -934,6 +976,29 @@ ORACLE: dict[str, str] = {
                CAST((cum - n_tok) // 512 AS BIGINT) AS bin,
                (cum - n_tok) // 512 <> (cum - 1) // 512 AS straddles
         FROM d
+    """,
+    "q_pack_efficiency": f"""
+        WITH per AS (
+            SELECT source, len(string_split(text, ' ')) AS n_tok FROM documents
+        ), agg AS (
+            SELECT source, count(*) AS n_docs,
+                   CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+                   CAST(sum((n_tok + {PACK_BIN_TOKENS - 1}) // {PACK_BIN_TOKENS})
+                        AS BIGINT) AS padded_bins
+            FROM per GROUP BY source
+        )
+        SELECT source, n_docs, n_tokens, padded_bins,
+               CAST((n_tokens + {PACK_BIN_TOKENS - 1}) // {PACK_BIN_TOKENS}
+                    AS BIGINT) AS packed_bins,
+               CAST(padded_bins
+                    - (n_tokens + {PACK_BIN_TOKENS - 1}) // {PACK_BIN_TOKENS}
+                    AS BIGINT) AS bins_saved,
+               round(n_tokens / (((n_tokens + {PACK_BIN_TOKENS - 1})
+                                  // {PACK_BIN_TOKENS}) * {PACK_BIN_TOKENS}.0), 4)
+                   AS util_packed,
+               round(n_tokens / (padded_bins * {PACK_BIN_TOKENS}.0), 4)
+                   AS util_padded
+        FROM agg
     """,
     "q_decontaminate": """
         WITH toks AS (

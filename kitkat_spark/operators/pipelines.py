@@ -49,6 +49,58 @@ def q_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select("token", "df", F.row_number().over(w).alias("rank"))
 
 
+# vocabulary budget: production uses the tokenizer's real size (32k-100k);
+# the fixture's token domain is 31 distinct tokens, so the budget is set
+# BELOW it — a budget that covers the whole domain would never exercise
+# the OOV path and the audit would green-light vacuously
+OOV_VOCAB_K = 16
+
+
+def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-coverage audit: per-source out-of-vocabulary token rate
+    against the corpus's own top-K term-frequency vocabulary — the check
+    a training pipeline runs before committing to a tokenizer/vocab (a
+    source with a high OOV rate will tokenize into fragments and train
+    badly; per-source rates localize WHERE coverage is poor).
+
+    ONE corpus pass: the exploded token stream aggregates immediately to
+    (source, token) partial counts (map-side combine; the exploded rows
+    never persist), and that table — token-domain-sized, not corpus-sized
+    — is eager-checkpointed and feeds BOTH the vocabulary build (global tf
+    = one more tiny agg) and the per-source OOV aggregation. The vocab is
+    broadcast back; nothing corpus-sized ever shuffles twice. All counts
+    are exact integers, the rate a single IEEE division — value-replayable
+    by the oracle."""
+    par = spark.sparkContext.defaultParallelism
+    docs = load_table(spark, sf_dir, "documents").repartition(par)
+    toks = docs.select("source", F.explode(tokens(F.col("text"))).alias("token"))
+    st = (
+        toks.groupBy("source", "token")
+        .agg(F.count("*").alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    tf = st.groupBy("token").agg(F.sum("n").alias("tf"))
+    vocab = tf.orderBy(F.col("tf").desc(), "token").limit(OOV_VOCAB_K)
+    marked = st.join(
+        F.broadcast(vocab.select("token", F.lit(1).alias("in_vocab"))), "token", "left"
+    )
+    return (
+        marked.groupBy("source")
+        .agg(
+            F.sum("n").alias("n_tokens"),
+            F.sum(
+                F.when(F.col("in_vocab").isNull(), F.col("n")).otherwise(F.lit(0))
+            ).alias("n_oov"),
+        )
+        .select(
+            "source",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.col("n_oov").cast("long").alias("n_oov"),
+            F.round(F.col("n_oov") / F.col("n_tokens"), 4).alias("oov_rate"),
+        )
+    )
+
+
 def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top TF-IDF term per document (smoothed idf = ln((N+1)/(df+1))).
 
@@ -549,6 +601,26 @@ ORACLE: dict[str, str] = {
                CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_value
         FROM events JOIN customer ON user_id = c_custkey
         GROUP BY 1, 2
+    """,
+    "q_oov_rate": f"""
+        WITH toks AS (
+            SELECT source, unnest(string_split(text, ' ')) AS token
+            FROM documents
+        ), st AS (
+            SELECT source, token, count(*) AS n FROM toks GROUP BY 1, 2
+        ), tf AS (
+            SELECT token, CAST(sum(n) AS BIGINT) AS tf FROM st GROUP BY token
+        ), vocab AS (
+            SELECT token FROM tf ORDER BY tf DESC, token LIMIT {OOV_VOCAB_K}
+        )
+        SELECT st.source,
+               CAST(sum(n) AS BIGINT) AS n_tokens,
+               CAST(sum(CASE WHEN v.token IS NULL THEN n ELSE 0 END) AS BIGINT)
+                   AS n_oov,
+               round(sum(CASE WHEN v.token IS NULL THEN n ELSE 0 END) * 1.0
+                     / sum(n), 4) AS oov_rate
+        FROM st LEFT JOIN vocab v ON st.token = v.token
+        GROUP BY st.source
     """,
     "q_vocab": """
         WITH toks AS (
