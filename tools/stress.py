@@ -109,6 +109,10 @@ SUBSET = [
     "q_dedup_verify",
     "q_ann_recall_multiprobe",
     "q_stream_mix_rebalance",
+    # single-pass per-source audits: one agg shuffle each, must be ~linear
+    # (token-domain / source-count state, never corpus-sized)
+    "q_oov_rate",
+    "q_pack_efficiency",
 ]
 
 
