@@ -183,6 +183,8 @@ HEADLINE = [
     "q_stream_mix_rebalance",
     "q_oov_rate",
     "q_pack_efficiency",
+    "q_gap_fill",
+    "q_edit_dedup",
     # Excluded on purpose (NOT a silent cap): q_cc_chain is the adversarial
     # deep-diameter CC verification query — it deliberately runs ~25 star
     # rounds on a path graph, so its wall time is per-round scheduler

@@ -50,6 +50,13 @@ SIMHASH_MAX_HAMMING = 3
 # near-dup families are far smaller; candidates lost to the cap would be
 # boilerplate-cluster pairs the DF_CAP guard already excludes from scoring.
 LSH_MAX_BUCKET = 1000
+# Edit-distance blocking (q_edit_dedup): max edit distance accepted, the
+# length-bucket width, and the block-size cap (same clique-bound role as
+# LSH_MAX_BUCKET; never approached by real length/lang blocks — sf0.1's
+# largest block is 153).
+EDIT_MAX_DIST = 12
+EDIT_BLOCK_WIDTH = 32
+EDIT_MAX_BUCKET = 500
 
 
 import numpy as np  # noqa: E402
@@ -199,6 +206,66 @@ def jaccard_pairs(
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard pairs >= 0.8 via inverted-index join (no N^2)."""
     return jaccard_pairs(spark, sf_dir)
+
+
+def q_edit_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked edit-distance near-dup pairs — the record-linkage modality
+    (blocking + verify, Fellegi-Sunter style) the shingle-based detectors
+    don't cover: character-level edits that rewrite many shingles (every
+    shingle spanning an edit changes) but few characters.
+
+    Blocking: each doc lands in TWO length buckets of width 32 — its own
+    grid-0 bucket and a half-width-offset grid-1 bucket. Any pair within
+    the edit threshold has |len_a - len_b| <= EDIT_MAX_DIST (edit distance
+    lower-bounds length difference), and two offset grids of width w
+    guarantee any pair closer than w/2 = 16 > 12 shares a bucket in at
+    least one grid — so blocking provably loses NO qualifying pair while
+    cutting candidates from O(N^2) to sum-of-block^2 (same bucket-cap
+    discipline as LSH via EDIT_MAX_BUCKET).
+
+    Verify: threshold-capped ``levenshtein(a, b, k)`` — Spark's banded DP
+    is O(len x k) with early exit, not O(len^2), and stays JVM-side.
+    Texts are joined back by doc_id AFTER pair generation, so the wide
+    column never rides through the blocking shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    w2 = EDIT_BLOCK_WIDTH // 2
+    keyed = docs.select(
+        F.struct("doc_id", "n_chars").alias("idn"),
+        "lang",
+        F.posexplode(
+            F.array(
+                F.floor(F.col("n_chars") / EDIT_BLOCK_WIDTH),
+                F.floor((F.col("n_chars") + w2) / EDIT_BLOCK_WIDTH),
+            )
+        ).alias("grid", "b"),
+    )
+    cand = (
+        bucket_pairs(keyed, ["lang", "grid", "b"], "idn", EDIT_MAX_BUCKET)
+        .filter(
+            F.abs(F.col("id_a.n_chars") - F.col("id_b.n_chars")) <= EDIT_MAX_DIST
+        )
+        .select(
+            F.col("id_a.doc_id").alias("doc_a"),
+            F.col("id_b.doc_id").alias("doc_b"),
+            F.greatest(F.col("id_a.n_chars"), F.col("id_b.n_chars")).alias("mx"),
+        )
+        .distinct()
+    )
+    ta = docs.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("text_a"))
+    tb = docs.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("text_b"))
+    lev = F.levenshtein("text_a", "text_b", EDIT_MAX_DIST)
+    return (
+        cand.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .select("doc_a", "doc_b", "mx", lev.alias("lev"))
+        .filter((F.col("lev") >= 0) & (F.col("lev") <= EDIT_MAX_DIST))
+        .select(
+            "doc_a",
+            "doc_b",
+            "lev",
+            F.round(F.col("lev") * 1.0 / F.col("mx"), 4).alias("rel_dist"),
+        )
+    )
 
 
 def q_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -435,6 +502,36 @@ _SIM_PACK = "\n                   + ".join(
 )
 
 ORACLE: dict[str, str] = {
+    "q_edit_dedup": f"""
+        WITH keyed AS (
+            SELECT doc_id, lang, n_chars, g.grid,
+                   CASE g.grid
+                       WHEN 0 THEN n_chars // {EDIT_BLOCK_WIDTH}
+                       ELSE (n_chars + {EDIT_BLOCK_WIDTH // 2}) // {EDIT_BLOCK_WIDTH}
+                   END AS b
+            FROM documents, (SELECT unnest([0, 1]) AS grid) g
+        ), bsz AS (
+            SELECT lang, grid, b, count(*) AS c FROM keyed GROUP BY 1, 2, 3
+        ), cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   greatest(a.n_chars, b.n_chars) AS mx
+            FROM keyed a
+            JOIN keyed b ON a.lang = b.lang AND a.grid = b.grid AND a.b = b.b
+                        AND a.doc_id < b.doc_id
+            JOIN bsz s ON s.lang = a.lang AND s.grid = a.grid AND s.b = a.b
+                      AND s.c BETWEEN 2 AND {EDIT_MAX_BUCKET}
+            WHERE abs(a.n_chars - b.n_chars) <= {EDIT_MAX_DIST}
+        ), scored AS (
+            SELECT c.doc_a, c.doc_b, c.mx,
+                   CAST(levenshtein(da.text, db.text) AS INT) AS lev
+            FROM cand c
+            JOIN documents da ON da.doc_id = c.doc_a
+            JOIN documents db ON db.doc_id = c.doc_b
+        )
+        SELECT doc_a, doc_b, lev,
+               round(lev * 1.0 / mx, 4) AS rel_dist
+        FROM scored WHERE lev <= {EDIT_MAX_DIST}
+    """,
     "q_minhash_accuracy": f"""
         WITH toks AS (
             SELECT doc_id, string_split(text, ' ') AS w FROM documents

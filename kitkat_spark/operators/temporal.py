@@ -122,6 +122,70 @@ def q_event_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series densify + forward-fill: hourly per-type event counts on a
+    gapless hourly grid, empty hours carrying n_events=0 and the last
+    observed hour's value total (``filled_value``).
+
+    The resample/gap-fill operator every time-series store ships (Timescale
+    ``time_bucket_gapfill``/``locf``, InfluxDB ``fill(previous)``), built
+    from Spark primitives in the scale-safe order — AGGREGATE FIRST, DENSIFY
+    THE AGGREGATE:
+
+    1. one hash-agg shuffle collapses the raw stream to (hour, type) rows —
+       O(buckets x series), thousands even when the stream is 100 TB;
+    2. each series' own [min, max] hour span becomes its grid via
+       ``sequence() + explode`` — no global calendar cross-join, no rows for
+       hours a series never lived through;
+    3. the grid left-joins the aggregate on (type, hour) and a per-series
+       ordered window forward-fills with ``last(ignorenulls)``.
+
+    Steps 2-3 never touch raw data: their input is the aggregate, so the
+    grid join and the fill window cost O(series x buckets) regardless of
+    corpus size. The only full-data pass is the initial aggregation.
+    """
+    events = load_table(spark, sf_dir, "events")
+    hourly = events.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("h"), "event_type"
+    ).agg(F.count("*").alias("n_events"), dsum("value").alias("sum_value"))
+    spans = hourly.groupBy("event_type").agg(
+        F.min("h").alias("h0"), F.max("h").alias("h1")
+    )
+    grid = spans.select(
+        "event_type",
+        F.explode(
+            F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+        ).alias("window_start"),
+    )
+    # grid derives from hourly, so rename the agg side's key columns to
+    # break self-join lineage ambiguity before the left join
+    obs = hourly.select(
+        F.col("event_type").alias("o_type"),
+        F.col("h").alias("o_h"),
+        "n_events",
+        "sum_value",
+    )
+    dense = grid.join(
+        obs,
+        (grid["event_type"] == obs["o_type"])
+        & (grid["window_start"] == obs["o_h"]),
+        "left",
+    ).select("event_type", "window_start", "n_events", "sum_value")
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("window_start")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return dense.select(
+        "window_start",
+        "event_type",
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        F.coalesce("sum_value", F.lit(0.0)).alias("sum_value"),
+        F.col("n_events").isNull().cast("int").alias("is_gap"),
+        F.last("sum_value", ignorenulls=True).over(w).alias("filled_value"),
+    )
+
+
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: each event matched to the most recent order (by order
     date, ties broken by highest order key) of the same customer at-or-before
@@ -214,6 +278,33 @@ ORACLE: dict[str, str] = {
         SELECT min(doc_id) AS keep_id, count(*) AS n_copies
         FROM documents
         GROUP BY text
+    """,
+    "q_gap_fill": """
+        WITH hourly AS (
+            SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h, event_type,
+                   count(*) AS n_events,
+                   CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE)
+                       AS sum_value
+            FROM events GROUP BY 1, 2
+        ), spans AS (
+            SELECT event_type, min(h) AS h0, max(h) AS h1 FROM hourly GROUP BY 1
+        ), grid AS (
+            SELECT s.event_type, CAST(g.gs AS TIMESTAMP) AS window_start
+            FROM spans s, LATERAL (
+                SELECT unnest(generate_series(s.h0, s.h1, INTERVAL 1 HOUR)) AS gs
+            ) g
+        )
+        SELECT g.window_start, g.event_type,
+               coalesce(h.n_events, 0) AS n_events,
+               coalesce(h.sum_value, 0.0) AS sum_value,
+               CAST(h.n_events IS NULL AS INT) AS is_gap,
+               last_value(h.sum_value IGNORE NULLS) OVER (
+                   PARTITION BY g.event_type ORDER BY g.window_start
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS filled_value
+        FROM grid g
+        LEFT JOIN hourly h
+          ON h.event_type = g.event_type AND h.h = g.window_start
     """,
     "q_event_growth": """
         WITH weekly AS (

@@ -103,7 +103,8 @@ for _m in _MODULES:
 # materialized scan; dedup.py: jaccard_pairs/_shingled gained the docs
 # override shared by the clustering family; similarity.py: NEW
 # q_ann_recall_multiprobe; streamparity.py: NEW q_stream_mix_rebalance;
-# pipelines.py: NEW q_oov_rate). Blocks:
+# pipelines.py: NEW q_oov_rate; temporal.py: NEW q_gap_fill; dedup.py:
+# NEW q_edit_dedup). Blocks:
 _VERIFY_FIRST = [
     # -- (a) changed/new this round --
     "q_dedup_verify",
@@ -111,6 +112,8 @@ _VERIFY_FIRST = [
     "q_stream_mix_rebalance",
     "q_oov_rate",
     "q_pack_efficiency",
+    "q_gap_fill",
+    "q_edit_dedup",
     "q_dedup_clusters",
     "q_canonical_docs",
     "q_dedup_apply",
@@ -124,11 +127,11 @@ _VERIFY_FIRST = [
     "q_token_count",
     "q_vocab",
     # -- (c) oldest remaining greens (round 5), refreshed oldest-first,
-    # alphabetical; the last nine r5 greens (q_stream_dedup_wm,
-    # q_stream_interval_join_wm, q_stream_late_drop_wm, q_token_pmi,
-    # q_train_manifest, q_trend_slope, q_triangle_count, q_window_rank,
-    # q_zorder_cluster) don't fit this round's 50 and head next round's
-    # block (c) --
+    # alphabetical; the last eleven r5 greens (q_stats_agg,
+    # q_stream_dedup_agg_wm, q_stream_dedup_wm, q_stream_interval_join_wm,
+    # q_stream_late_drop_wm, q_token_pmi, q_train_manifest, q_trend_slope,
+    # q_triangle_count, q_window_rank, q_zorder_cluster) don't fit this
+    # round's 50 and head next round's block (c) --
     "q_ann_kmeans_ivf",
     "q_anomaly_zscore",
     "q_array_map_funcs",
@@ -162,8 +165,6 @@ _VERIFY_FIRST = [
     "q_similarity_search",
     "q_span_dedup",
     "q_split_leakage",
-    "q_stats_agg",
-    "q_stream_dedup_agg_wm",
 ]
 
 assert len(_VERIFY_FIRST) == 50, len(_VERIFY_FIRST)
