@@ -214,6 +214,13 @@ def q_edit_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     don't cover: character-level edits that rewrite many shingles (every
     shingle spanning an edit changes) but few characters.
 
+    HONEST SCALE LIMIT: length blocks saturate as corpora densify — at the
+    10x stress, 74 blocks exceed EDIT_MAX_BUCKET and 59% of true pairs
+    (147k of 251k) fall in dropped blocks. Length blocking is the cheap
+    low-density detector; the cap-free exact path is q_passjoin_dedup
+    (content-partition candidate generation, measured strict superset of
+    this query's output at every tested scale).
+
     Blocking: each doc lands in TWO length buckets of width 32 — its own
     grid-0 bucket and a half-width-offset grid-1 bucket. Any pair within
     the edit threshold has |len_a - len_b| <= EDIT_MAX_DIST (edit distance
@@ -259,6 +266,147 @@ def q_edit_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(tb, "doc_b")
         .select("doc_a", "doc_b", "mx", lev.alias("lev"))
         .filter((F.col("lev") >= 0) & (F.col("lev") <= EDIT_MAX_DIST))
+        .select(
+            "doc_a",
+            "doc_b",
+            "lev",
+            F.round(F.col("lev") * 1.0 / F.col("mx"), 4).alias("rel_dist"),
+        )
+    )
+
+
+PASSJOIN_K = EDIT_MAX_DIST  # max edit distance; segments per doc = K + 1
+_PASS_M = PASSJOIN_K + 1
+
+
+def _pass_layout(length: F.Column, i: F.Column) -> tuple[F.Column, F.Column]:
+    """(seg_len, seg_start) of 0-based segment ``i`` in PassJoin's
+    even-partition layout for a string of ``length`` chars: with
+    a = length // m and b = length % m, the first m-b segments have length
+    a and the last b have a+1. Pure integer arithmetic so the DuckDB twin
+    can replay it cell-for-cell."""
+    a = F.floor(length / _PASS_M).cast("int")
+    b = (length % _PASS_M).cast("int")
+    seg_len = a + (i >= _PASS_M - b).cast("int")
+    seg_start = i * a + F.greatest(F.lit(0), i - (_PASS_M - b))
+    return seg_len, seg_start
+
+
+def q_passjoin_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact edit-distance self-join via PassJoin partitioning (Li, Deng &
+    Feng, EDBT 2011) — the cap-free scale path for what q_edit_dedup's
+    length blocking approximates: length blocks saturate as corpora
+    densify (at 10x, 74 blocks exceed EDIT_MAX_BUCKET and their pairs are
+    lost), while PassJoin's candidate volume is LINEAR in corpus size.
+
+    Pigeonhole: split every doc into m = k+1 = 13 segments; at most one
+    segment per edit is touched, so any pair within distance k shares at
+    least one of the shorter doc's segments verbatim. The matching copy's
+    start shift d = q - p obeys |d| + |delta - d| <= k (prefix edits >=
+    |d|, suffix edits >= |delta - d|, delta = length difference) — so the
+    probe side enumerates only those (partner length, segment, shift)
+    substrings: <= m * sum_{delta<=k}(k - delta + 1) ~ 1.2k keys per doc,
+    a CONSTANT map-side expansion, joined on (partner_len, seg_id,
+    substring). One shuffle on content keys, candidates ~= true pairs,
+    then the threshold-capped levenshtein verify. No block can saturate:
+    hot keys exist only where near-identical text actually repeats, which
+    is exactly the candidate set.
+
+    The oracle is the obviously-correct brute force (length-prefiltered
+    all-pairs levenshtein), so the driver's hash gate proves the entire
+    partition/probe machinery loses nothing."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text", "n_chars")
+        .filter(F.col("n_chars") >= _PASS_M)
+    )
+    i_col = F.explode(F.sequence(F.lit(0), F.lit(_PASS_M - 1))).alias("i")
+    seg_len, seg_start = _pass_layout(F.col("len_s"), F.col("i"))
+    # segments join as xxhash64 of the content: collisions can only ADD
+    # candidates (the levenshtein verify discards them), never lose one,
+    # and a long key hashes/compares far cheaper than a ~30-char string
+    index = (
+        docs.select(
+            F.col("doc_id").alias("id_s"),
+            F.col("n_chars").alias("len_s"),
+            "text",
+            i_col,
+        )
+        .select(
+            "id_s",
+            "len_s",
+            "i",
+            F.xxhash64(F.substring("text", seg_start + 1, seg_len)).alias("seg"),
+        )
+    )
+    # probe: delta = len_r - len_s in [0, k] (the shorter side is indexed);
+    # shifts restricted to the multi-match-aware window of the PassJoin
+    # paper, d in [max(-i, delta-(k-i)), min(i, delta+(k-i))] — roughly
+    # halves the probe volume vs the plain |d| + |delta-d| <= k budget
+    # (kept as an intersection; the hypothesis property suite pins the
+    # recall-1.0 guarantee of exactly this enumeration, and
+    # tests/test_passjoin_property.py verifies it exhaustively at small k).
+    # The valid (delta, i, d) set is DOC-INDEPENDENT — ~800 triples for
+    # k=12 — so it is precomputed driver-side and broadcast-hash-joined on
+    # a constant key instead of being re-derived per doc with explode +
+    # array-HOF filters: higher-order functions run interpreted (outside
+    # whole-stage codegen) and were 60% of the query's wall time.
+    triples = [
+        (delta, i, d)
+        for delta in range(PASSJOIN_K + 1)
+        for i in range(_PASS_M)
+        for d in range(-PASSJOIN_K, PASSJOIN_K + 1)
+        if abs(d) + abs(delta - d) <= PASSJOIN_K
+        and max(-i, delta - (PASSJOIN_K - i))
+        <= d
+        <= min(i, delta + (PASSJOIN_K - i))
+    ]
+    tdf = spark.createDataFrame(triples, "delta int, i int, d int")
+    p_len, p_start = _pass_layout(F.col("len_s"), F.col("i"))
+    probe = (
+        docs.select(
+            F.col("doc_id").alias("id_r"),
+            F.col("n_chars").alias("len_r"),
+            "text",
+            F.lit(1).alias("one"),
+        )
+        .join(F.broadcast(tdf.withColumn("one", F.lit(1))), "one")
+        .withColumn("len_s", F.col("len_r") - F.col("delta"))
+        .filter(F.col("len_s") >= _PASS_M)
+        .select("id_r", "len_r", "len_s", "text", "i",
+                p_len.alias("sl"), (p_start + F.col("d")).alias("q"))
+        .filter((F.col("q") >= 0) & (F.col("q") + F.col("sl") <= F.col("len_r")))
+        .select(
+            "id_r",
+            "len_r",
+            "len_s",
+            "i",
+            F.xxhash64(
+                F.substring("text", F.col("q") + 1, F.col("sl"))
+            ).alias("seg"),
+        )
+    )
+    cand = (
+        index.join(probe, ["len_s", "i", "seg"])
+        .filter(
+            (F.col("len_s") < F.col("len_r"))
+            | (F.col("id_s") < F.col("id_r"))
+        )
+        .select(
+            F.least("id_s", "id_r").alias("doc_a"),
+            F.greatest("id_s", "id_r").alias("doc_b"),
+            F.greatest("len_s", "len_r").alias("mx"),
+        )
+        .distinct()
+    )
+    ta = docs.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("text_a"))
+    tb = docs.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("text_b"))
+    lev = F.levenshtein("text_a", "text_b", PASSJOIN_K)
+    return (
+        cand.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .select("doc_a", "doc_b", "mx", lev.alias("lev"))
+        .filter((F.col("lev") >= 0) & (F.col("lev") <= PASSJOIN_K))
         .select(
             "doc_a",
             "doc_b",
@@ -531,6 +679,20 @@ ORACLE: dict[str, str] = {
         SELECT doc_a, doc_b, lev,
                round(lev * 1.0 / mx, 4) AS rel_dist
         FROM scored WHERE lev <= {EDIT_MAX_DIST}
+    """,
+    # deliberately the brute force PassJoin replaces: if the hash matches,
+    # the whole partition/probe pipeline provably lost no pair
+    "q_passjoin_dedup": f"""
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(levenshtein(a.text, b.text) AS INT) AS lev,
+               round(levenshtein(a.text, b.text) * 1.0
+                     / greatest(a.n_chars, b.n_chars), 4) AS rel_dist
+        FROM documents a
+        JOIN documents b
+          ON a.doc_id < b.doc_id
+         AND abs(a.n_chars - b.n_chars) <= {PASSJOIN_K}
+         AND a.n_chars >= {_PASS_M} AND b.n_chars >= {_PASS_M}
+        WHERE levenshtein(a.text, b.text) <= {PASSJOIN_K}
     """,
     "q_minhash_accuracy": f"""
         WITH toks AS (
