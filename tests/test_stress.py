@@ -70,6 +70,12 @@ def test_batch_dedup_family_sublinear_at_10x(spark, stress_dir):
         # scan + broadcast-filter: must track the scan (~1x), bound leaves
         # room for the multi-file scan speedup/noise band
         "q_mix_rebalance_rate": 4.0,
+        # aggregate-first densify: post-agg stages are grid-sized, so the
+        # whole delta is the one scan
+        "q_gap_fill": 3.0,
+        # PassJoin: constant probes/doc; measured 3.6x is candidate-verify
+        # volume (true pairs grow ~25x on the replica fixture), emit-bound
+        "q_passjoin_dedup": 6.0,
     }
     failures = []
     for name, max_ratio in bounds.items():
@@ -79,6 +85,22 @@ def test_batch_dedup_family_sublinear_at_10x(spark, stress_dir):
         if ratio > max_ratio:
             failures.append((name, round(base_s, 2), round(stress_s, 2), round(ratio, 1)))
     assert not failures, f"10x wall-time ratios exceeded bounds: {failures}"
+
+
+def test_passjoin_superset_of_blocked_at_10x(spark, stress_dir):
+    """The cap-free claim, asserted at the density where it matters: on
+    the 10x corpus (where 74 length blocks exceed EDIT_MAX_BUCKET and the
+    blocked variant measurably drops pairs) q_passjoin_dedup must find a
+    STRICT superset of q_edit_dedup's pairs — everything the caps lost,
+    nothing missing."""
+    from kitkat_spark.queries import QUERIES
+
+    pj = QUERIES["q_passjoin_dedup"](spark, stress_dir).select("doc_a", "doc_b")
+    ed = QUERIES["q_edit_dedup"](spark, stress_dir).select("doc_a", "doc_b")
+    lost_by_passjoin = ed.join(pj, ["doc_a", "doc_b"], "left_anti").count()
+    assert lost_by_passjoin == 0
+    extra = pj.count() - ed.count()
+    assert extra > 0, "expected the blocked variant to be cap-lossy at 10x"
 
 
 def test_stream_dedup_state_flat_at_10x(spark):
