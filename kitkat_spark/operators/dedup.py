@@ -305,7 +305,7 @@ def q_passjoin_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     start shift d = q - p obeys |d| + |delta - d| <= k (prefix edits >=
     |d|, suffix edits >= |delta - d|, delta = length difference) — so the
     probe side enumerates only those (partner length, segment, shift)
-    substrings: <= m * sum_{delta<=k}(k - delta + 1) ~ 1.2k keys per doc,
+    substrings: ~780 keys per doc under the multi-match-aware window,
     a CONSTANT map-side expansion, joined on (partner_len, seg_id,
     substring). One shuffle on content keys, candidates ~= true pairs,
     then the threshold-capped levenshtein verify. No block can saturate:
