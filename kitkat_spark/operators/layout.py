@@ -102,7 +102,82 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# partitioned-events layout memo: one date-partitioned write per
+# (process, sf_dir) via sources/writer.py, then every q_partition_prune
+# call plans a pruned scan of it (mkdtemp keeps concurrent processes
+# apart; dirs removed at interpreter exit)
+_PART_PATHS: dict[str, str] = {}
+_PART_DIRS_CREATED: list[str] = []
+
+
+def _cleanup_part_dirs() -> None:
+    import shutil
+
+    for d in _PART_DIRS_CREATED:
+        shutil.rmtree(d, ignore_errors=True)
+    _PART_DIRS_CREATED.clear()
+    _PART_PATHS.clear()
+
+
+def partitioned_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events table in a day-partitioned layout (written once per
+    process through sources/writer.py write_partitioned, sorted by ts
+    within each day so row-group stats prune on time too)."""
+    import atexit
+    import os
+    import tempfile
+
+    if sf_dir not in _PART_PATHS:
+        from kitkat_spark.sources.writer import write_partitioned
+
+        root = tempfile.mkdtemp(prefix="kitkat_events_by_day_")
+        if not _PART_DIRS_CREATED:
+            atexit.register(_cleanup_part_dirs)
+        _PART_DIRS_CREATED.append(root)
+        path = os.path.join(root, "t")
+        ev = load_table(spark, sf_dir, "events").withColumn(
+            "day", F.to_date("ts")
+        )
+        write_partitioned(ev, path, ["day"], sort_within=["ts"])
+        _PART_PATHS[sf_dir] = path
+    return spark.read.parquet(_PART_PATHS[sf_dir])
+
+
+def q_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE 100 TB scan lever as a driver-verified query: a one-week
+    report against the date-partitioned events layout. The day predicate
+    is a PARTITION filter — Catalyst's PruneFileSourcePartitions elides
+    every non-matching `day=.../` directory before any file is opened, so
+    the scan touches 7/30 of the table's files (at 100 TB: 7 days, not
+    100 TB). tests/test_partition_pruning.py pins `PartitionFilters:
+    [day ...]` in this query's plan; the oracle replays the same
+    filter+agg on the RAW table — layout must be result-invisible.
+
+    First invocation per (process, sf) pays the partitioned write (the
+    amortized cost made visible, same contract as q_bucketed_join)."""
+    from kitkat_spark.functions.numeric import dsum
+
+    ev = partitioned_events(spark, sf_dir)
+    week = ev.filter(
+        (F.col("day") >= F.lit("2024-01-08").cast("date"))
+        & (F.col("day") <= F.lit("2024-01-14").cast("date"))
+    )
+    return week.groupBy("day", "event_type").agg(
+        F.count("*").alias("n_events"),
+        dsum("value").alias("sum_value"),
+    )
+
+
 ORACLE: dict[str, str] = {
+    "q_partition_prune": """
+        SELECT CAST(ts AS DATE) AS day, event_type,
+               count(*) AS n_events,
+               CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE)
+                   AS sum_value
+        FROM events
+        WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-08' AND DATE '2024-01-14'
+        GROUP BY 1, 2
+    """,
     "q_bucketed_join": """
         SELECT o_orderpriority,
                count(*) AS n_lines,

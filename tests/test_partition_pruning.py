@@ -15,6 +15,32 @@ from kitkat_spark.sources import load_table
 SF = "/root/testdata/sf0.001"
 
 
+def test_registry_query_scan_is_partition_pruned(spark):
+    """q_partition_prune's plan must carry the day range as
+    PartitionFilters (directory-level pruning) and match the raw-table
+    answer — the layout is result-invisible by contract."""
+    from kitkat_spark.operators.layout import q_partition_prune
+
+    df = q_partition_prune(spark, SF)
+    plan = explain_str(df)
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "day" in m.group(1), f"day not in PartitionFilters: {plan[:500]}"
+
+    raw = (
+        load_table(spark, SF, "events")
+        .withColumn("day", F.to_date("ts"))
+        .filter(
+            (F.col("day") >= F.lit("2024-01-08").cast("date"))
+            & (F.col("day") <= F.lit("2024-01-14").cast("date"))
+        )
+        .groupBy("day", "event_type")
+        .count()
+    )
+    got = {(r.day, r.event_type): r.n_events for r in df.collect()}
+    want = {(r.day, r.event_type): r["count"] for r in raw.collect()}
+    assert got == want and len(got) > 0
+
+
 def test_day_filter_prunes_partitions(spark, tmp_path):
     part_path = str(tmp_path / "events_by_day")
     ev = load_table(spark, SF, "events").withColumn("day", F.to_date("ts"))

@@ -124,6 +124,9 @@ SUBSET = [
     "q_gap_fill",
     "q_edit_dedup",
     "q_passjoin_dedup",
+    # partitioned write + pruned scan: first call pays the 10x write, the
+    # pruned read still touches only 7/30 of the directories
+    "q_partition_prune",
 ]
 
 
