@@ -187,6 +187,7 @@ HEADLINE = [
     "q_edit_dedup",
     "q_passjoin_dedup",
     "q_partition_prune",
+    "q_stream_gap_fill",
     # Excluded on purpose (NOT a silent cap): q_cc_chain is the adversarial
     # deep-diameter CC verification query — it deliberately runs ~25 star
     # rounds on a path graph, so its wall time is per-round scheduler

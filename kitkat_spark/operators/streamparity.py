@@ -356,6 +356,48 @@ def q_stream_dedup_agg_wm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def q_stream_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming gap-fill end-to-end: a watermarked 1-hour tumbling
+    value-total aggregation (append mode — only watermark-sealed windows
+    emit) whose drained output is densified + forward-filled AT READ TIME
+    by the exact stages the batch q_gap_fill uses
+    (temporal.py gap_fill_hourly).
+
+    This is the production composition for the operator: the stream
+    writes sealed hourly rows to a table; gaps (hours a series emitted
+    nothing) appear as MISSING ROWS in that table, and the gap-fill view
+    over it restores them with n_events=0 and the last observed total.
+    The emitted set is exactly the windows with
+    ``window_end <= max(ts) - delay`` (sealed by the final watermark;
+    the tail stays in state — the streaming contract, deterministic for
+    a fixed fixture), which the batch oracle states directly via a
+    HAVING on the same boundary before replaying the densify."""
+    from kitkat_spark.functions.numeric import dsum
+    from kitkat_spark.operators.temporal import gap_fill_hourly
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "ts", "value")
+    path, n_rows = _replay_info(spark, sf_dir, "gap_fill", lambda: ev)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .parquet(path)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), dsum("value").alias("sum_value"))
+        .select(F.col("w.start").alias("h"), "event_type", "n_events", "sum_value")
+    )
+    name = f"stream_gap_fill_{abs(hash(path)) % 10**8}"
+    with _state_partitions(spark, n_rows):
+        q = (
+            stream.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return gap_fill_hourly(spark.table(name))
+
+
 def q_stream_late_drop_wm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The watermark's LATE-DATA DROP, actually exercised: every other
     streaming query here replays in one batch, where the watermark starts
@@ -548,6 +590,38 @@ def q_stateful_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE: dict[str, str] = {
     # the doubled stream deduped on event_id is exactly the events table
     # (event_id is unique there) — DISTINCT expresses it
+    # the batch gap-fill restricted to the windows append mode seals
+    # (window end <= final watermark = max(ts) - 10 min), then the same
+    # densify + locf replay as q_gap_fill's oracle
+    "q_stream_gap_fill": """
+        WITH hourly AS (
+            SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h, event_type,
+                   count(*) AS n_events,
+                   CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE)
+                       AS sum_value
+            FROM events GROUP BY 1, 2
+            HAVING CAST(date_trunc('hour', ts) AS TIMESTAMP) + INTERVAL 1 HOUR
+                   <= (SELECT max(ts) - INTERVAL 10 MINUTE FROM events)
+        ), spans AS (
+            SELECT event_type, min(h) AS h0, max(h) AS h1 FROM hourly GROUP BY 1
+        ), grid AS (
+            SELECT s.event_type, CAST(g.gs AS TIMESTAMP) AS window_start
+            FROM spans s, LATERAL (
+                SELECT unnest(generate_series(s.h0, s.h1, INTERVAL 1 HOUR)) AS gs
+            ) g
+        )
+        SELECT g.window_start, g.event_type,
+               coalesce(h.n_events, 0) AS n_events,
+               coalesce(h.sum_value, 0.0) AS sum_value,
+               CAST(h.n_events IS NULL AS INT) AS is_gap,
+               last_value(h.sum_value IGNORE NULLS) OVER (
+                   PARTITION BY g.event_type ORDER BY g.window_start
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS filled_value
+        FROM grid g
+        LEFT JOIN hourly h
+          ON h.event_type = g.event_type AND h.h = g.window_start
+    """,
     "q_stream_dedup_wm": """
         SELECT DISTINCT event_id, user_id, event_type FROM events
     """,

@@ -148,6 +148,16 @@ def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     hourly = events.groupBy(
         F.date_trunc("hour", F.col("ts")).alias("h"), "event_type"
     ).agg(F.count("*").alias("n_events"), dsum("value").alias("sum_value"))
+    return gap_fill_hourly(hourly)
+
+
+def gap_fill_hourly(hourly: DataFrame) -> DataFrame:
+    """Densify + forward-fill an (h, event_type, n_events, sum_value)
+    hourly aggregate — steps 2-3 of the gap-fill shape, shared verbatim by
+    the batch q_gap_fill and the streaming twin (streamparity.py
+    q_stream_gap_fill densifies the watermark-sealed windows a streaming
+    agg emitted). Input is already an aggregate, so every stage here is
+    O(series x buckets) regardless of raw volume."""
     spans = hourly.groupBy("event_type").agg(
         F.min("h").alias("h0"), F.max("h").alias("h1")
     )

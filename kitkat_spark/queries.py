@@ -116,6 +116,7 @@ _VERIFY_FIRST = [
     "q_edit_dedup",
     "q_passjoin_dedup",
     "q_partition_prune",
+    "q_stream_gap_fill",
     "q_dedup_clusters",
     "q_canonical_docs",
     "q_dedup_apply",
@@ -129,8 +130,8 @@ _VERIFY_FIRST = [
     "q_token_count",
     "q_vocab",
     # -- (c) oldest remaining greens (round 5), refreshed oldest-first,
-    # alphabetical; the last thirteen r5 greens (q_span_dedup,
-    # q_split_leakage, q_stats_agg, q_stream_dedup_agg_wm,
+    # alphabetical; the last fourteen r5 greens (q_similarity_search,
+    # q_span_dedup, q_split_leakage, q_stats_agg, q_stream_dedup_agg_wm,
     # q_stream_dedup_wm, q_stream_interval_join_wm, q_stream_late_drop_wm,
     # q_token_pmi, q_train_manifest, q_trend_slope, q_triangle_count,
     # q_window_rank, q_zorder_cluster) don't fit this round's 50 and head
@@ -165,7 +166,6 @@ _VERIFY_FIRST = [
     "q_semi_anti_join",
     "q_set_ops",
     "q_shuffle_shards",
-    "q_similarity_search",
 ]
 
 assert len(_VERIFY_FIRST) == 50, len(_VERIFY_FIRST)
