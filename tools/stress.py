@@ -127,6 +127,9 @@ SUBSET = [
     # partitioned write + pruned scan: first call pays the 10x write, the
     # pruned read still touches only 7/30 of the directories
     "q_partition_prune",
+    # real streaming run over 10x rows into the same hour x type window
+    # state — cost tracks input rows, state tracks the watermark horizon
+    "q_stream_gap_fill",
 ]
 
 
