@@ -128,6 +128,9 @@ def partitioned_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     if sf_dir not in _PART_PATHS:
+        # benign check-then-set race (threads): both write identical
+        # layouts to distinct mkdtemp roots; last memo wins, both dirs are
+        # cleaned at exit (same non-guarantee as _MEMBERS_PATHS).
         from kitkat_spark.sources.writer import write_partitioned
 
         root = tempfile.mkdtemp(prefix="kitkat_events_by_day_")
@@ -140,7 +143,13 @@ def partitioned_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         write_partitioned(ev, path, ["day"], sort_within=["ts"])
         _PART_PATHS[sf_dir] = path
-    return spark.read.parquet(_PART_PATHS[sf_dir])
+    df = spark.read.parquet(_PART_PATHS[sf_dir])
+    # The day partition column's DATE type comes from partition-column type
+    # inference (spark.sql.sources.partitionColumnTypeInference.enabled,
+    # default true); a host session with it disabled would read it back as
+    # STRING and silently change q_partition_prune's output schema — cast
+    # (a no-op under the default) rather than depend on the conf.
+    return df.withColumn("day", F.col("day").cast("date"))
 
 
 def q_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:

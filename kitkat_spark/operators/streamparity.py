@@ -23,6 +23,8 @@ shuffle-free (see streaming/pipeline.py docstring).
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -30,6 +32,13 @@ from kitkat_spark.operators.payloads import build_kpl_blobs
 from kitkat_spark.sources import load_table
 from kitkat_spark.streaming.consumer import ConsumeOptions, consume
 from kitkat_spark.streaming.pipeline import consume_transform
+
+
+def _sink_suffix(path: str) -> int:
+    """Deterministic per-path memory-sink name suffix (md5, not Python
+    ``hash`` — string hashing is PYTHONHASHSEED-salted across processes)."""
+    return int(hashlib.md5(path.encode()).hexdigest()[:8], 16)
+
 
 N_SHARD_BUCKETS = 16
 STREAM = "events-replay"
@@ -191,15 +200,31 @@ class _state_partitions:
         else:
             self.n = min(par, max(4, -(-rows_per_batch // STATE_ROWS_PER_TASK)))
 
+    # Every wm query's sealed-set contract (append mode emits exactly the
+    # watermark-closed windows) relies on the availableNow no-data flush
+    # micro-batch; pin it rather than inherit a host session that may have
+    # disabled it.
+    _PINNED = {"spark.sql.streaming.noDataMicroBatches.enabled": "true"}
+
     def __enter__(self):
         self.prev = self.spark.conf.get("spark.sql.shuffle.partitions", None)
         self.spark.conf.set("spark.sql.shuffle.partitions", str(self.n))
+        self.prev_pinned = {
+            k: self.spark.conf.get(k, None) for k in self._PINNED
+        }
+        for k, v in self._PINNED.items():
+            self.spark.conf.set(k, v)
 
     def __exit__(self, *exc):
         if self.prev is None:
             self.spark.conf.unset("spark.sql.shuffle.partitions")
         else:
             self.spark.conf.set("spark.sql.shuffle.partitions", self.prev)
+        for k, v in self.prev_pinned.items():
+            if v is None:
+                self.spark.conf.unset(k)
+            else:
+                self.spark.conf.set(k, v)
         return False
 
 
@@ -229,7 +254,7 @@ def q_stream_dedup_wm(spark: SparkSession, sf_dir: str) -> DataFrame:
     path, n_rows = _replay_info(spark, sf_dir, "dedup_doubled", lambda: doubled)
     stream = spark.readStream.schema(doubled.schema).parquet(path)
     deduped = stream_dedup(stream, keys=["event_id"])
-    name = f"stream_dedup_wm_{abs(hash(path)) % 10**8}"
+    name = f"stream_dedup_wm_{_sink_suffix(path)}"
     with _state_partitions(spark, n_rows):
         q = (
             deduped.select("event_id", "user_id", "event_type")
@@ -260,7 +285,7 @@ def q_stream_interval_join_wm(spark: SparkSession, sf_dir: str) -> DataFrame:
     path, n_rows = _replay_info(spark, sf_dir, "interval_join", lambda: ev)
     left = spark.readStream.schema(ev.schema).parquet(path)
     right = spark.readStream.schema(ev.schema).parquet(path)
-    name = f"stream_ij_wm_{abs(hash(path)) % 10**8}"
+    name = f"stream_ij_wm_{_sink_suffix(path)}"
     with _state_partitions(spark, n_rows):
         q = (
             interval_join(left, right)
@@ -298,7 +323,7 @@ def q_stream_session_wm(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
     path, n_rows = _replay_info(spark, sf_dir, "session_wm", lambda: ev)
     stream = spark.readStream.schema(ev.schema).parquet(path)
-    name = f"stream_session_wm_{abs(hash(path)) % 10**8}"
+    name = f"stream_session_wm_{_sink_suffix(path)}"
     with _state_partitions(spark, n_rows):
         q = (
             session_counts(stream)
@@ -343,7 +368,7 @@ def q_stream_dedup_agg_wm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_events"))
         .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
     )
-    name = f"stream_dedup_agg_wm_{abs(hash(path)) % 10**8}"
+    name = f"stream_dedup_agg_wm_{_sink_suffix(path)}"
     with _state_partitions(spark, n_rows):
         q = (
             stream.writeStream.format("memory")
@@ -385,7 +410,7 @@ def q_stream_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_events"), dsum("value").alias("sum_value"))
         .select(F.col("w.start").alias("h"), "event_type", "n_events", "sum_value")
     )
-    name = f"stream_gap_fill_{abs(hash(path)) % 10**8}"
+    name = f"stream_gap_fill_{_sink_suffix(path)}"
     with _state_partitions(spark, n_rows):
         q = (
             stream.writeStream.format("memory")
@@ -519,7 +544,7 @@ def q_stream_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     accepted = stream.filter(
         (u32.cast("double") / F.lit(4294967296.0)) < rates[F.col("source")]
     ).select("doc_id", "source")
-    name = f"stream_mix_rebalance_{abs(hash(path)) % 10**8}"
+    name = f"stream_mix_rebalance_{_sink_suffix(path)}"
     q = (
         accepted.writeStream.format("memory")
         .queryName(name)

@@ -191,7 +191,7 @@ def produce(
     keyed = assign_partition_key(lines, key)
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df.rdd.foreachPartition(
+        batch_df.foreachPartition(
             lambda rows: _sink_batch(rows, put, verbose, aggregated=aggregated)
         )
 
@@ -212,23 +212,26 @@ def produce_batch(
 ) -> tuple[int, list[tuple[str, str]]]:
     """Batch analog of EP1: returns (total_acks, sample<=ACK_SAMPLE).
 
-    Each partition contributes ONE (count, capped-sample) element, folded
-    with treeReduce — driver traffic is O(partitions) tiny tuples, never
+    Each partition contributes ONE (count, capped-sample) row via
+    ``mapInPandas`` — driver traffic is O(partitions) tiny rows, never
     O(records), so a 100 TB produce cannot OOM the driver on acks.
     """
+    import json
+
     keyed = assign_partition_key(lines, key)
-    rdd = keyed.rdd
-    if rdd.getNumPartitions() == 0:
-        # e.g. an empty source read: treeReduce would raise on an empty RDD
-        return 0, []
-    per_part = rdd.mapPartitions(
-        lambda rows: [_sink_batch(rows, put, verbose, aggregated=aggregated)]
-    )
 
-    def merge(
-        a: tuple[int, list[tuple[str, str]]], b: tuple[int, list[tuple[str, str]]]
-    ) -> tuple[int, list[tuple[str, str]]]:
-        return a[0] + b[0], (a[1] + b[1])[:ACK_SAMPLE]
+    def ack_partition(pdf_iter):
+        import pandas as pd
 
-    n, sample = per_part.treeReduce(merge)
-    return n, [tuple(s) for s in sample]
+        rows = (r for pdf in pdf_iter for r in pdf.itertuples(index=False))
+        n, sample = _sink_batch(rows, put, verbose, aggregated=aggregated)
+        yield pd.DataFrame({"n_acks": [n], "sample": [json.dumps(sample)]})
+
+    acks = keyed.mapInPandas(ack_partition, "n_acks long, sample string").collect()
+    n = sum(r.n_acks for r in acks)
+    sample: list[tuple[str, str]] = []
+    for r in acks:
+        if len(sample) >= ACK_SAMPLE:
+            break
+        sample.extend(tuple(s) for s in json.loads(r.sample))
+    return n, sample[:ACK_SAMPLE]

@@ -43,14 +43,20 @@ def stress_dir(spark):
     return out
 
 
-def _timed(spark, name, sf_dir):
+def _timed(spark, name, sf_dir, runs: int = 3):
+    """Median of ``runs`` timed executions: single cold runs near the
+    ratio floor inflate the ratio on a loaded machine and flake the suite
+    despite no regression (round-8 review nit)."""
     from kitkat_spark.caches import release_caches
     from kitkat_spark.queries import QUERIES
 
-    release_caches(spark)
-    t0 = time.time()
-    QUERIES[name](spark, sf_dir).count()
-    return time.time() - t0
+    samples = []
+    for _ in range(runs):
+        release_caches(spark)
+        t0 = time.time()
+        QUERIES[name](spark, sf_dir).count()
+        samples.append(time.time() - t0)
+    return sorted(samples)[len(samples) // 2]
 
 
 def test_batch_dedup_family_sublinear_at_10x(spark, stress_dir):
@@ -81,7 +87,7 @@ def test_batch_dedup_family_sublinear_at_10x(spark, stress_dir):
     for name, max_ratio in bounds.items():
         base_s = _timed(spark, name, BASE)
         stress_s = _timed(spark, name, stress_dir)
-        ratio = stress_s / max(base_s, 0.05)
+        ratio = stress_s / max(base_s, 0.1)
         if ratio > max_ratio:
             failures.append((name, round(base_s, 2), round(stress_s, 2), round(ratio, 1)))
     assert not failures, f"10x wall-time ratios exceeded bounds: {failures}"
