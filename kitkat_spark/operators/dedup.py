@@ -315,10 +315,18 @@ def q_passjoin_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle is the obviously-correct brute force (length-prefiltered
     all-pairs levenshtein), so the driver's hash gate proves the entire
     partition/probe machinery loses nothing."""
+    # One narrow projection feeds FOUR consumers (segment index, probe
+    # expansion, and both verify join-backs); persist it so the scan+filter
+    # runs once instead of four times, and fan out to full parallelism
+    # first — the fixture is a single parquet file (one input partition)
+    # and the 13x/~60x substring+hash map stages are CPU-bound (same
+    # persist-as-optimizer-boundary move as _shingled above).
     docs = (
         load_table(spark, sf_dir, "documents")
         .select("doc_id", "text", "n_chars")
         .filter(F.col("n_chars") >= _PASS_M)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .persist()
     )
     i_col = F.explode(F.sequence(F.lit(0), F.lit(_PASS_M - 1))).alias("i")
     seg_len, seg_start = _pass_layout(F.col("len_s"), F.col("i"))
