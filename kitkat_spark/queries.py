@@ -97,75 +97,66 @@ for _m in _MODULES:
             _ALL[_name] = _cache_scoped(getattr(_m, _name))
     ORACLES.update(getattr(_m, "ORACLE", {}))
 
-# The 50 driver-verified slots this round (round 8), computed MECHANICALLY
-# from `git diff be16118..HEAD -- kitkat_spark` (corpus.py: NEW
-# q_dedup_verify + q_pack_efficiency, q_dedup_clusters now returns the
-# materialized scan; dedup.py: jaccard_pairs/_shingled gained the docs
-# override shared by the clustering family; similarity.py: NEW
-# q_ann_recall_multiprobe; streamparity.py: NEW q_stream_mix_rebalance;
-# pipelines.py: NEW q_oov_rate; temporal.py: NEW q_gap_fill; dedup.py:
-# NEW q_edit_dedup). Blocks:
+# The 50 driver-verified slots this round (round 9). Blocks, per the
+# round-8 verdict and the staleness gate (tests/test_driver_staleness.py):
+# (a) queries changed/new this round, (b) the FOURTEEN r5-stale greens the
+# round-8 verdict made next-round item #1, (c) oldest remaining greens
+# (round 6), refreshed oldest-first alphabetical.
 _VERIFY_FIRST = [
     # -- (a) changed/new this round --
-    "q_dedup_verify",
-    "q_ann_recall_multiprobe",
+    "q_passjoin_dedup",      # persisted shared docs projection
+    "q_partition_prune",     # explicit day DATE cast on read
+    "q_stream_gap_fill",     # md5 sink name + pinned no-data flush
     "q_stream_mix_rebalance",
-    "q_oov_rate",
-    "q_pack_efficiency",
-    "q_gap_fill",
-    "q_edit_dedup",
-    "q_passjoin_dedup",
-    "q_partition_prune",
-    "q_stream_gap_fill",
-    "q_dedup_clusters",
-    "q_canonical_docs",
-    "q_dedup_apply",
-    "q_ngram_jaccard",
-    # -- (b) the six r4-stale greens (last driver hash: round 4; the
-    # round-7 verdict's top item, q_cc_chain included) --
-    "q_cc_chain",
-    "q_stream_sliding",
-    "q_stream_tumbling",
-    "q_text_analysis",
-    "q_token_count",
-    "q_vocab",
-    # -- (c) oldest remaining greens (round 5), refreshed oldest-first,
-    # alphabetical; the last fourteen r5 greens (q_similarity_search,
-    # q_span_dedup, q_split_leakage, q_stats_agg, q_stream_dedup_agg_wm,
-    # q_stream_dedup_wm, q_stream_interval_join_wm, q_stream_late_drop_wm,
-    # q_token_pmi, q_train_manifest, q_trend_slope, q_triangle_count,
-    # q_window_rank, q_zorder_cluster) don't fit this round's 50 and head
-    # next round's block (c) --
-    "q_ann_kmeans_ivf",
-    "q_anomaly_zscore",
-    "q_array_map_funcs",
-    "q_bm25",
-    "q_broadcast_join",
-    "q_bucketed_join",
-    "q_consume_dlq",
-    "q_consume_pipeline",
-    "q_consume_since",
-    "q_count_min",
-    "q_dedup",
+    "q_stream_session_wm",
+    "q_multimodal_decode",   # real codec (this round)
+    "q_ann_recall",          # LSH plane sizing (this round)
+    "q_ann_recall_multiprobe",
+    "q_ann_multiprobe",
     "q_embedding_near_dup",
-    "q_fingerprint",
-    "q_first_last",
-    "q_format_roundtrip",
-    "q_groupmap_normalize",
-    "q_hash_join",
-    "q_kpl_deagg",
-    "q_lang_id",
-    "q_minmax_by",
-    "q_multimodal",
-    "q_outer_join",
-    "q_pagerank",
-    "q_percentiles",
-    "q_quantile_sketch",
-    "q_rollup_cube",
-    "q_scalar_funcs",
-    "q_semi_anti_join",
-    "q_set_ops",
-    "q_shuffle_shards",
+    # -- (b) the fourteen r5-stale greens (round-8 verdict next-round #1) --
+    "q_similarity_search",
+    "q_span_dedup",
+    "q_split_leakage",
+    "q_stats_agg",
+    "q_stream_dedup_agg_wm",
+    "q_stream_dedup_wm",
+    "q_stream_interval_join_wm",
+    "q_stream_late_drop_wm",
+    "q_token_pmi",
+    "q_train_manifest",
+    "q_trend_slope",
+    "q_triangle_count",
+    "q_window_rank",
+    "q_zorder_cluster",
+    # -- (c) oldest remaining greens (round 6), alphabetical; fills are
+    # dropped from the END as new round-9 queries enter block (a) --
+    "q_agg_distinct",
+    "q_agg_group",
+    "q_bloom_join",
+    "q_column_profile",
+    "q_column_profile_approx",
+    "q_conditional_funcs",
+    "q_corpus_pipeline",
+    "q_datetime_funcs",
+    "q_decontaminate",
+    "q_disjunctive_join",
+    "q_embedding_audit",
+    "q_excess_suppliers",
+    "q_forecast_revenue",
+    "q_grouping_sets",
+    "q_histogram",
+    "q_incremental_dedup",
+    "q_lang_mismatch",
+    "q_lm_score",
+    "q_market_share",
+    "q_min_cost_supplier",
+    "q_mix_rebalance",
+    "q_mjoin_region_revenue",
+    "q_mjoin_revenue",
+    "q_nation_volume",
+    "q_normalize_window",
+    "q_pivot",
 ]
 
 assert len(_VERIFY_FIRST) == 50, len(_VERIFY_FIRST)
