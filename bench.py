@@ -74,6 +74,7 @@ HEADLINE = [
     "q_consume_plain",
     "q_consume_pipeline",
     "q_multimodal_decode",
+    "q_image_decode",
     "q_frame_sample",
     "q_vocab",
     "q_tfidf",

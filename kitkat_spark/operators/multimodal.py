@@ -1,12 +1,21 @@
 """Multimodal (image/audio/video) column plumbing (SURVEY.md §2.B, M4).
 
 Design: media are opaque ``binary`` columns travelling next to typed metadata
-(a struct column), processed by Arrow-batched ``mapInPandas`` stages. The
-Spark-side plumbing — schema, batch iteration, partition-preserving map, UDF
-signatures — is real and tested; the actual codec calls are STUBBED (this
-container ships no image/audio libraries) behind ``_decode_stub``, which is a
-clearly-marked deterministic fake. Swap ``_decode_stub`` for PIL/librosa in a
-real deployment; nothing else changes.
+(a struct column), processed by Arrow-batched ``mapInPandas`` stages.
+
+IMAGES ARE REAL as of round 9: synthesized media carry genuine PNG bytes
+(functions/imagecodec.py — pure-stdlib encoder with per-row filter cycling),
+and the decode/resize stages run a real spec-compliant PNG/BMP parser
+(all five scanline filters, CRC-verified chunks, bottom-up BMP rows). The
+image dimensions and pixel values are deterministic functions of doc_id
+(see ``_img_dims``/``_img_pixels``), so the DuckDB oracles replay decoded
+width/height/pixel sums arithmetically — a wrong unfilter or a padding leak
+changes ``px_sum`` and fails the hash gate.
+
+Audio/video decode remains STUBBED (no ffmpeg/librosa in this container)
+behind ``_decode_stub``, a clearly-marked deterministic fake; unsupported
+formats raise NotImplementedError. Swap the stub for real codecs in a
+deployment — batching, schema, and partitioning are unchanged.
 
 Scale: decode/feature-extract is a narrow map (no shuffle). Batch size is
 bounded by ``spark.sql.execution.arrow.maxRecordsPerBatch`` so a partition of
@@ -46,16 +55,52 @@ MEDIA_SCHEMA = T.StructType(
 
 FEATURE_SCHEMA = (
     "media_id long, media_type string, n_bytes long, magic string, "
-    "width int, height int, duration_s double, checksum long"
+    "width int, height int, n_px long, px_sum long, duration_s double, "
+    "checksum long"
 )
 
 
+def _img_dims(doc_id: int) -> tuple[int, int]:
+    """Deterministic fixture image dimensions (oracle-replayable)."""
+    return 4 + doc_id % 13, 4 + doc_id % 11
+
+
+def _img_pixels(doc_id: int, channels: int):
+    """Deterministic fixture pixels: grey value v(x, y) = (7x+13y+doc_id)
+    mod 256; RGB channels (v, v+85, v+170) mod 256. Returned as a numpy
+    (h, w[, 3]) uint8 array — the oracle replays the same arithmetic."""
+    import numpy as np
+
+    w, h = _img_dims(doc_id)
+    v = (7 * np.arange(w)[None, :] + 13 * np.arange(h)[:, None] + doc_id) % 256
+    if channels == 1:
+        return v.astype(np.uint8)
+    return np.stack([v, (v + 85) % 256, (v + 170) % 256], axis=-1).astype(
+        np.uint8
+    )
+
+
 def _decode_stub(content: bytes, media_type: str) -> dict:
-    """STUB decoder — deterministic fake in place of PIL/ffmpeg/librosa.
+    """Feature extraction: REAL decode for PNG/BMP payloads (magic
+    dispatch into functions/imagecodec.py), deterministic STUB for the
+    media types without a codec in this container (audio/video/text).
 
     Raises NotImplementedError for media types a real deployment would need a
     codec for but we cannot fake coherently.
     """
+    from kitkat_spark.functions import imagecodec
+
+    if content[:8] == imagecodec.PNG_SIG or content[:2] == imagecodec.BMP_SIG:
+        w, h, c, px = imagecodec.decode_image(content)
+        return {
+            "magic": content[:4].hex(),
+            "width": w,
+            "height": h,
+            "n_px": w * h,
+            "px_sum": sum(px),
+            "duration_s": None,
+            "checksum": None,
+        }
     if media_type not in {"image", "audio", "video", "text"}:
         raise NotImplementedError(f"no codec for media_type={media_type!r}")
     n = len(content)
@@ -64,8 +109,10 @@ def _decode_stub(content: bytes, media_type: str) -> dict:
         checksum = (checksum * 131 + b) % (1 << 31)
     return {
         "magic": content[:4].hex(),
-        "width": (n % 640) + 1 if media_type in {"image", "video"} else None,
-        "height": (n % 480) + 1 if media_type in {"image", "video"} else None,
+        "width": (n % 640) + 1 if media_type == "video" else None,
+        "height": (n % 480) + 1 if media_type == "video" else None,
+        "n_px": None,
+        "px_sum": None,
         "duration_s": round(n / 1000.0, 3) if media_type in {"audio", "video"} else None,
         "checksum": checksum,
     }
@@ -92,6 +139,8 @@ def extract_features(media: DataFrame) -> DataFrame:
                     "magic",
                     "width",
                     "height",
+                    "n_px",
+                    "px_sum",
                     "duration_s",
                     "checksum",
                 ]
@@ -100,16 +149,36 @@ def extract_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
-RESIZE_SCHEMA = "media_id long, width int, height int, content binary"
+RESIZE_SCHEMA = "media_id long, width int, height int, px_sum long, content binary"
 FRAME_SCHEMA = "media_id long, frame_idx int, frame bytes".replace("bytes", "binary")
 
 
-def resize_images(media: DataFrame, width: int = 224, height: int = 224) -> DataFrame:
-    """Resize stage (images only): mapInPandas with a STUBBED resampler.
+def _nn_resize(content: bytes, width: int, height: int) -> tuple[int, bytes]:
+    """REAL nearest-neighbour resample of a PNG/BMP payload to
+    (width x height), emitted as raw row-major pixel bytes (same channel
+    count as the source): out(i, j) = src(floor(i*h/height),
+    floor(j*w/width)) — the standard NN mapping, replayed arithmetically
+    by the oracle. Returns (px_sum, raw_bytes)."""
+    import numpy as np
 
-    The stub 'resizes' by deterministic byte subsampling so output size
-    tracks the target dims; swap the inner function for PIL's
+    from kitkat_spark.functions import imagecodec
+
+    w, h, c, px = imagecodec.decode_image(content)
+    arr = np.frombuffer(px, dtype=np.uint8).reshape(h, w, c)
+    ys = (np.arange(height) * h) // height
+    xs = (np.arange(width) * w) // width
+    out = arr[ys][:, xs]
+    return int(out.sum()), out.tobytes()
+
+
+def resize_images(media: DataFrame, width: int = 224, height: int = 224) -> DataFrame:
+    """Resize stage (images only): mapInPandas nearest-neighbour resample.
+
+    PNG/BMP payloads are REALLY decoded (functions/imagecodec.py) and
+    resampled; payloads without a codec fall back to the byte-subsampling
+    stub so the stage stays total. Swap ``_nn_resize`` for PIL's
     ``Image.resize`` — batching, schema, and partitioning are unchanged."""
+    from kitkat_spark.functions.imagecodec import BMP_SIG, PNG_SIG
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         target = width * height // 64  # stub: bytes proportional to area
@@ -117,14 +186,23 @@ def resize_images(media: DataFrame, width: int = 224, height: int = 224) -> Data
             imgs = pdf[pdf["media_type"] == "image"]
             if not len(imgs):
                 continue
+            sums, outs = [], []
+            for c in imgs["content"]:
+                c = c or b""
+                if c[:8] == PNG_SIG or c[:2] == BMP_SIG:
+                    s, o = _nn_resize(c, width, height)
+                else:  # stub path for codec-less payloads
+                    o = bytes(c[: max(1, target)])
+                    s = None
+                sums.append(s)
+                outs.append(o)
             yield pd.DataFrame(
                 {
                     "media_id": imgs["media_id"].values,
                     "width": width,
                     "height": height,
-                    "content": [
-                        bytes((c or b"")[: max(1, target)]) for c in imgs["content"]
-                    ],
+                    "px_sum": pd.array(sums, dtype="Int64"),
+                    "content": outs,
                 }
             )
 
@@ -152,35 +230,88 @@ def sample_frames(media: DataFrame, every_n_bytes: int = 256, max_frames: int = 
     return media.mapInPandas(run, schema=FRAME_SCHEMA)
 
 
+@F.pandas_udf(T.BinaryType())
+def _png_for_doc(doc_id: pd.Series) -> pd.Series:
+    """Deterministic PNG payload per doc: greyscale when doc_id % 8 == 0,
+    truecolour otherwise (image docs have doc_id % 4 == 0, so the split is
+    even). Runs Arrow-batched on executors — no driver-side encode loop."""
+    from kitkat_spark.functions.imagecodec import png_encode
+
+    out = []
+    for d in doc_id:
+        d = int(d)
+        w, h = _img_dims(d)
+        c = 1 if d % 8 == 0 else 3
+        out.append(png_encode(_img_pixels(d, c).tobytes(), w, h, c))
+    return pd.Series(out)
+
+
+@F.pandas_udf(T.BinaryType())
+def _image_for_doc(doc_id: pd.Series) -> pd.Series:
+    """Mixed-format payload per doc for q_image_decode: PNG greyscale
+    (doc_id % 3 == 0), PNG truecolour (== 1), 24-bit BMP (== 2)."""
+    from kitkat_spark.functions.imagecodec import bmp_encode, png_encode
+
+    out = []
+    for d in doc_id:
+        d = int(d)
+        w, h = _img_dims(d)
+        fmt = d % 3
+        if fmt == 0:
+            out.append(png_encode(_img_pixels(d, 1).tobytes(), w, h, 1))
+        elif fmt == 1:
+            out.append(png_encode(_img_pixels(d, 3).tobytes(), w, h, 3))
+        else:
+            out.append(bmp_encode(_img_pixels(d, 3).tobytes(), w, h))
+    return pd.Series(out)
+
+
 def synthesize_media(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic media fixture: documents' utf-8 bytes as fake payloads."""
+    """Deterministic media fixture: image docs carry REAL PNG payloads
+    (built executor-side from doc_id), the rest the documents' utf-8
+    bytes as fake audio/video/text payloads."""
     docs = load_table(spark, sf_dir, "documents")
+    is_image = F.pmod(F.col("doc_id"), F.lit(4)) == 0
+    content = F.when(is_image, _png_for_doc(F.col("doc_id"))).otherwise(
+        F.col("text").cast("binary")
+    )
     return docs.select(
         F.col("doc_id").alias("media_id"),
         F.element_at(
             F.array(F.lit("image"), F.lit("audio"), F.lit("video"), F.lit("text")),
             (F.pmod(F.col("doc_id"), F.lit(4)) + 1).cast("int"),
         ).alias("media_type"),
-        F.col("text").cast("binary").alias("content"),
+        content.alias("content"),
         F.struct(
             F.lit("application/octet-stream").alias("mime"),
-            F.octet_length("text").cast("long").alias("n_bytes"),
+            F.octet_length(content).cast("long").alias("n_bytes"),
         ).alias("meta"),
     )
 
 
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Feature extraction over synthesized media; n_bytes is oracle-checkable
-    (octet_length of the source text), the rest exercises the stub plumbing."""
+    """Feature extraction over synthesized media. Image rows exercise the
+    REAL PNG decoder: magic, width, height, n_px, and px_sum come from
+    parsing actual PNG bytes (CRC-checked, inflated, unfiltered) and the
+    oracle replays them arithmetically from doc_id — a decoder bug cannot
+    hash-green. Audio/video/text rows keep the documented stub features."""
     feats = extract_features(synthesize_media(spark, sf_dir))
-    return feats.select("media_id", "media_type", "n_bytes", "magic")
+    return feats.select(
+        "media_id", "media_type", "magic", "width", "height", "n_px", "px_sum"
+    )
 
 
 def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Resize plumbing: dims + output payload size are oracle-checkable."""
-    out = resize_images(synthesize_media(spark, sf_dir))
+    """REAL decode + nearest-neighbour resample to 16x16: output size and
+    the resampled pixel sum are both oracle-replayed (the NN source-index
+    arithmetic must match cell-for-cell)."""
+    out = resize_images(synthesize_media(spark, sf_dir), width=16, height=16)
     return out.select(
-        "media_id", "width", "height", F.octet_length("content").alias("n_out")
+        "media_id",
+        "width",
+        "height",
+        F.octet_length("content").alias("n_out"),
+        "px_sum",
     )
 
 
@@ -190,12 +321,66 @@ def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("media_id", "frame_idx", F.octet_length("frame").alias("n_frame"))
 
 
+def q_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All three real codec paths (PNG greyscale / PNG truecolour / 24-bit
+    BMP) over every document: encode executor-side, decode through the
+    magic-dispatch feature extractor, verify decoded dims + pixel sums
+    against the oracle's closed-form arithmetic. BMP rows prove the
+    bottom-up row flip and 4-byte padding strip (a padding leak would
+    corrupt px_sum)."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("media_type"),
+        _image_for_doc(F.col("doc_id")).alias("content"),
+    )
+    feats = extract_features(media)
+    fmt = F.element_at(
+        F.array(F.lit("png-gray"), F.lit("png-rgb"), F.lit("bmp")),
+        (F.pmod(F.col("media_id"), F.lit(3)) + 1).cast("int"),
+    )
+    return feats.select(
+        "media_id", fmt.alias("fmt"), "width", "height", "n_px", "px_sum"
+    )
+
+
+# Oracle grid arithmetic: v(x, y, id) = (7x + 13y + id) mod 256; RGB
+# channel sum = v + (v+85 mod 256) + (v+170 mod 256). Dims w = 4 + id%13
+# (max 16), h = 4 + id%11 (max 14); the fixed ranges below are cross-joined
+# then filtered per doc (DuckDB's generate_series cannot lateral-join).
+_PXSUM_GRID = """
+    gx AS (SELECT x FROM range(0, 16) t(x)),
+    gy AS (SELECT y FROM range(0, 14) t(y)),
+    px AS (
+      SELECT d.doc_id,
+             SUM(CASE WHEN {gray} THEN (7*gx.x + 13*gy.y + d.doc_id) % 256
+                 ELSE ((7*gx.x + 13*gy.y + d.doc_id) % 256)
+                    + (((7*gx.x + 13*gy.y + d.doc_id) % 256) + 85) % 256
+                    + (((7*gx.x + 13*gy.y + d.doc_id) % 256) + 170) % 256
+                 END) AS s
+      FROM documents d, gx, gy
+      WHERE {only} gx.x < 4 + d.doc_id % 13 AND gy.y < 4 + d.doc_id % 11
+      GROUP BY 1)
+"""
+
 ORACLE: dict[str, str] = {
     "q_media_resize": """
-        SELECT doc_id AS media_id,
-               224 AS width, 224 AS height,
-               CAST(least(octet_length(text::BLOB), 784) AS INT) AS n_out
-        FROM documents WHERE doc_id % 4 = 0
+        WITH gx AS (SELECT x FROM range(0, 16) t(x)),
+             gy AS (SELECT y FROM range(0, 16) t(y)),
+             nn AS (
+               SELECT d.doc_id,
+                      (7 * ((gx.x * (4 + d.doc_id % 13)) // 16)
+                       + 13 * ((gy.y * (4 + d.doc_id % 11)) // 16)
+                       + d.doc_id) % 256 AS v,
+                      d.doc_id % 8 = 0 AS gray
+               FROM documents d, gx, gy
+               WHERE d.doc_id % 4 = 0)
+        SELECT doc_id AS media_id, 16 AS width, 16 AS height,
+               CAST(CASE WHEN gray THEN 256 ELSE 768 END AS INT) AS n_out,
+               CAST(SUM(CASE WHEN gray THEN v
+                        ELSE v + (v + 85) % 256 + (v + 170) % 256 END)
+                    AS BIGINT) AS px_sum
+        FROM nn GROUP BY doc_id, gray
     """,
     "q_frame_sample": """
         SELECT doc_id AS media_id,
@@ -207,11 +392,37 @@ ORACLE: dict[str, str] = {
         WHERE doc_id % 4 = 2
     """,
     "q_multimodal_decode": """
-        SELECT doc_id AS media_id,
-               CASE doc_id % 4 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
-                               WHEN 2 THEN 'video' ELSE 'text' END AS media_type,
-               CAST(octet_length(text::BLOB) AS BIGINT) AS n_bytes,
-               lower(hex(encode(substring(text, 1, 4)))) AS magic
-        FROM documents
+        WITH """ + _PXSUM_GRID.format(
+        gray="d.doc_id % 8 = 0", only="d.doc_id % 4 = 0 AND"
+    ) + """
+        SELECT d.doc_id AS media_id,
+               CASE d.doc_id % 4 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                                 WHEN 2 THEN 'video' ELSE 'text' END AS media_type,
+               CASE WHEN d.doc_id % 4 = 0 THEN '89504e47'
+                    ELSE lower(hex(encode(substring(d.text, 1, 4)))) END AS magic,
+               CAST(CASE WHEN d.doc_id % 4 = 0 THEN 4 + d.doc_id % 13
+                         WHEN d.doc_id % 4 = 2
+                             THEN octet_length(d.text::BLOB) % 640 + 1
+                    END AS INT) AS width,
+               CAST(CASE WHEN d.doc_id % 4 = 0 THEN 4 + d.doc_id % 11
+                         WHEN d.doc_id % 4 = 2
+                             THEN octet_length(d.text::BLOB) % 480 + 1
+                    END AS INT) AS height,
+               CAST(CASE WHEN d.doc_id % 4 = 0
+                    THEN (4 + d.doc_id % 13) * (4 + d.doc_id % 11)
+                    END AS BIGINT) AS n_px,
+               CAST(px.s AS BIGINT) AS px_sum
+        FROM documents d LEFT JOIN px ON px.doc_id = d.doc_id
+    """,
+    "q_image_decode": """
+        WITH """ + _PXSUM_GRID.format(gray="d.doc_id % 3 = 0", only="") + """
+        SELECT d.doc_id AS media_id,
+               CASE d.doc_id % 3 WHEN 0 THEN 'png-gray' WHEN 1 THEN 'png-rgb'
+                                 ELSE 'bmp' END AS fmt,
+               CAST(4 + d.doc_id % 13 AS INT) AS width,
+               CAST(4 + d.doc_id % 11 AS INT) AS height,
+               CAST((4 + d.doc_id % 13) * (4 + d.doc_id % 11) AS BIGINT) AS n_px,
+               CAST(px.s AS BIGINT) AS px_sum
+        FROM documents d JOIN px ON px.doc_id = d.doc_id
     """,
 }

@@ -110,6 +110,8 @@ _VERIFY_FIRST = [
     "q_stream_mix_rebalance",
     "q_stream_session_wm",
     "q_multimodal_decode",   # real codec (this round)
+    "q_image_decode",        # NEW: PNG/BMP decode with pixel-sum oracle
+    "q_media_resize",        # real NN resample (this round)
     "q_ann_recall",          # LSH plane sizing (this round)
     "q_ann_recall_multiprobe",
     "q_ann_multiprobe",
@@ -155,8 +157,6 @@ _VERIFY_FIRST = [
     "q_mjoin_region_revenue",
     "q_mjoin_revenue",
     "q_nation_volume",
-    "q_normalize_window",
-    "q_pivot",
 ]
 
 assert len(_VERIFY_FIRST) == 50, len(_VERIFY_FIRST)
