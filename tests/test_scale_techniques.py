@@ -77,6 +77,22 @@ def test_recall_audit_multiprobe_dominates(spark):
         assert hits_multi >= hits_one, qid
 
 
+def test_ann_recall_absolute_floor(spark):
+    """Round-9: with the plane count trained from the corpus
+    (similarity._ann_planes, expected cell ~ANN_TARGET_BUCKET rows), the
+    audits must report a MEANINGFUL absolute recall, not just dominance.
+    Floors are set ~0.15 under the measured values (sf0.01: multiprobe
+    min 0.8 / mean 0.88; sf0.1: min 0.7 / mean 0.80 — SCALE_NOTES r9) so
+    an index regression fails but fixture drift does not."""
+    from kitkat_spark.operators.similarity import q_ann_recall_multiprobe
+
+    rows = q_ann_recall_multiprobe(spark, "/root/testdata/sf0.01").collect()
+    multi = [r.recall_at_k for r in rows if r.index_name == "lsh_multiprobe"]
+    assert multi, "no multiprobe audit rows"
+    assert min(multi) >= 0.6, multi
+    assert sum(multi) / len(multi) >= 0.75, multi
+
+
 def test_adaptive_salted_join_equals_plain_join(spark):
     """Hot-key-only salting must be row-for-row identical to the plain join
     for inner and left, with a synthetic celebrity key on the probe side."""
