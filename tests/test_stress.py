@@ -93,6 +93,38 @@ def test_batch_dedup_family_sublinear_at_10x(spark, stress_dir):
     assert not failures, f"10x wall-time ratios exceeded bounds: {failures}"
 
 
+@pytest.fixture(scope="module")
+def stress_dir_20(spark):
+    import os
+
+    from tools.stress import build
+
+    out = "/tmp/kitkat_stress_sf20"
+    if not os.path.exists(f"{out}/documents.parquet"):
+        build(spark, out, 20)
+    return out
+
+
+def test_r8_audit_queries_sublinear_at_20x(spark, stress_dir_20):
+    """The round-8 audit queries' 20x rows (round-8 verdict next-round #8):
+    q_oov_rate is one scan + a broadcast-vocab join, q_pack_efficiency is
+    three per-source integer aggs over the pack assignment — both must
+    track the scan, nowhere near the 20x data growth. Measured r9:
+    oov 1.2x, pack_efficiency 1.5x at 20x data (SCALE_NOTES)."""
+    from kitkat_spark.queries import QUERIES
+
+    QUERIES["q_scan_filter"](spark, BASE).count()
+    bounds = {"q_oov_rate": 5.0, "q_pack_efficiency": 5.0}
+    failures = []
+    for name, max_ratio in bounds.items():
+        base_s = _timed(spark, name, BASE)
+        stress_s = _timed(spark, name, stress_dir_20)
+        ratio = stress_s / max(base_s, 0.1)
+        if ratio > max_ratio:
+            failures.append((name, round(base_s, 2), round(stress_s, 2), round(ratio, 1)))
+    assert not failures, f"20x wall-time ratios exceeded bounds: {failures}"
+
+
 def test_passjoin_superset_of_blocked_at_10x(spark, stress_dir):
     """The cap-free claim, asserted at the density where it matters: on
     the 10x corpus (where 74 length blocks exceed EDIT_MAX_BUCKET and the
