@@ -188,6 +188,14 @@ HEADLINE = [
     "q_edit_dedup",
     "q_passjoin_dedup",
     "q_partition_prune",
+    "q_ship_priority",
+    "q_local_supplier_volume",
+    "q_big_orders",
+    "q_vocab_coverage",
+    "q_zipf_slope",
+    "q_doc_entropy",
+    "q_pq_codebook",
+    "q_stream_topk_wm",
     "q_stream_gap_fill",
     # Excluded on purpose (NOT a silent cap): q_cc_chain is the adversarial
     # deep-diameter CC verification query — it deliberately runs ~25 star

@@ -508,7 +508,141 @@ def q_normalize_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# vocabulary-coverage checkpoints: the tokenizer-budget curve is read at
+# power-of-two vocab sizes (ranks past the corpus vocab simply don't emit)
+COVERAGE_RANKS = (2, 4, 8, 16, 32)
+
+
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-budget curve: cumulative term-frequency coverage of the
+    top-k vocabulary at power-of-two checkpoints — the measurement that
+    decides a vocab size before training (the q_oov_rate audit's planning
+    twin). All integer arithmetic until the final ratio, so the curve is
+    engine-exact.
+
+    ONE token-count shuffle with map-side combine; ranking + running sum
+    then operate on the VOCABULARY (tokenizer-sized: tens of thousands of
+    rows at production scale, 31 here), so the single-partition window is
+    deliberate and irrelevant at any corpus size."""
+    par = spark.sparkContext.defaultParallelism
+    docs = load_table(spark, sf_dir, "documents").repartition(par)
+    tf = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("tf"))
+    )
+    w = W.orderBy(F.col("tf").desc(), "token")
+    ranked = tf.select(
+        "token", "tf", F.row_number().over(w).alias("rank")
+    ).withColumn(
+        "cum_tf", F.sum("tf").over(w.rowsBetween(W.unboundedPreceding, 0))
+    )
+    total = tf.agg(F.sum("tf").alias("total_tf"))
+    return (
+        ranked.filter(F.col("rank").isin(*COVERAGE_RANKS))
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col("rank").alias("vocab_k"),
+            "token",
+            "cum_tf",
+            F.round(F.col("cum_tf") / F.col("total_tf"), 6).alias("coverage"),
+        )
+    )
+
+
+def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-health check: the Zipf exponent — the least-squares slope of
+    ln(term frequency) over ln(rank). Natural text sits near -1; a slope
+    near 0 means degenerate/templated text, a cliff means a truncated
+    domain. Run over the VOCABULARY (tokenizer-sized), not the corpus:
+    one token-count shuffle, then the regression folds a SORTED
+    collect_list array left-to-right — bit-identical accumulation in both
+    engines, where a parallel regr_slope's partial-sum order would not be
+    (same determinism move as q_label_centroid's integer sums)."""
+    par = spark.sparkContext.defaultParallelism
+    docs = load_table(spark, sf_dir, "documents").repartition(par)
+    tf = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("tf"))
+    )
+    w = W.orderBy(F.col("tf").desc(), "token")
+    pts = tf.select(F.row_number().over(w).alias("rank"), "tf").agg(
+        F.sort_array(F.collect_list(F.struct("rank", "tf"))).alias("pts")
+    )
+    x = "ln(CAST(p.rank AS DOUBLE))"
+    y = "ln(CAST(p.tf AS DOUBLE))"
+    sums = pts.select(
+        F.size("pts").alias("n"),
+        F.expr(f"aggregate(pts, 0.0D, (a, p) -> a + {x})").alias("sx"),
+        F.expr(f"aggregate(pts, 0.0D, (a, p) -> a + {y})").alias("sy"),
+        F.expr(f"aggregate(pts, 0.0D, (a, p) -> a + {x} * {y})").alias("sxy"),
+        F.expr(f"aggregate(pts, 0.0D, (a, p) -> a + {x} * {x})").alias("sxx"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return sums.select(
+        F.col("n").alias("n_tokens"),
+        F.round(slope, 4).alias("zipf_slope"),
+        F.round(
+            (F.col("sy") - slope * F.col("sx")) / F.col("n"), 4
+        ).alias("intercept"),
+    )
+
+
 ORACLE: dict[str, str] = {
+    "q_vocab_coverage": f"""
+        WITH tf AS (
+            SELECT token, count(*) AS tf FROM (
+                SELECT unnest(string_split(text, ' ')) AS token FROM documents
+            ) GROUP BY token
+        ), ranked AS (
+            SELECT token, tf,
+                   CAST(row_number() OVER (ORDER BY tf DESC, token) AS INT)
+                       AS rank,
+                   sum(tf) OVER (ORDER BY tf DESC, token
+                                 ROWS UNBOUNDED PRECEDING) AS cum_tf
+            FROM tf
+        )
+        SELECT rank AS vocab_k, token,
+               CAST(cum_tf AS BIGINT) AS cum_tf,
+               round(CAST(cum_tf AS DOUBLE)
+                     / (SELECT CAST(sum(tf) AS DOUBLE) FROM tf), 6) AS coverage
+        FROM ranked WHERE rank IN {COVERAGE_RANKS}
+    """,
+    "q_zipf_slope": """
+        WITH tf AS (
+            SELECT token, count(*) AS tf FROM (
+                SELECT unnest(string_split(text, ' ')) AS token FROM documents
+            ) GROUP BY token
+        ), ranked AS (
+            SELECT CAST(row_number() OVER (ORDER BY tf DESC, token) AS INT)
+                       AS rank, tf
+            FROM tf
+        ), pts AS (
+            SELECT list(struct_pack(rank := rank, tf := tf) ORDER BY rank) AS pts FROM ranked
+        ), sums AS (
+            SELECT len(pts) AS n,
+                   list_sum(list_transform(pts,
+                       p -> ln(CAST(p.rank AS DOUBLE)))) AS sx,
+                   list_sum(list_transform(pts,
+                       p -> ln(CAST(p.tf AS DOUBLE)))) AS sy,
+                   list_sum(list_transform(pts,
+                       p -> ln(CAST(p.rank AS DOUBLE))
+                            * ln(CAST(p.tf AS DOUBLE)))) AS sxy,
+                   list_sum(list_transform(pts,
+                       p -> ln(CAST(p.rank AS DOUBLE))
+                            * ln(CAST(p.rank AS DOUBLE)))) AS sxx
+            FROM pts
+        )
+        SELECT CAST(n AS INT) AS n_tokens,
+               round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4)
+                   AS zipf_slope,
+               round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx)
+                     / n, 4) AS intercept
+        FROM sums
+    """,
     "q_token_pmi": f"""
         WITH dt AS (
             SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token

@@ -478,6 +478,71 @@ def q_ann_recall_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return single.unionByName(multi)
 
 
+PQ_SUBSPACES = 4  # M sub-vectors per embedding
+PQ_CODEBOOK_K = 4  # centroids per subspace (deterministic: vec_id < K)
+
+
+def q_pq_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encode — the compression layer of an IVF-PQ
+    index (Jégou, Douze & Schmid, "Product Quantization for Nearest
+    Neighbor Search", TPAMI 2011): each 64-dim embedding splits into
+    M = 4 sub-vectors, each assigned to its nearest sub-centroid by
+    squared L2, giving a 4-code representation (here 4 x 2 bits vs 64
+    doubles — the ratio that makes 100 TB of vectors fit an ANN index).
+    Codebook = the sub-vectors of vec_id < K, the same deterministic
+    convention as q_ann_kmeans_ivf's centroids.
+
+    Shape: slices posexplode to (vec, subspace, sub-vector) — a narrow map;
+    the codebook (M x K sub-centroids) broadcasts; argmin is one window on
+    rounded distance with centroid-id tie-break. d2 = xx - 2*xc + cc is
+    built from three dot() folds, the proven parity primitive, so the
+    oracle replays the distance bit-for-bit. Output adds the per-subspace
+    quantization error — summed per vector it is the reconstruction-error
+    audit a PQ deployment tracks."""
+    dim_per = 64 // PQ_SUBSPACES
+    emb = _with_norm(
+        load_table(spark, sf_dir, "embeddings").filter(F.size("embedding") > 0)
+    )
+    subs = emb.select(
+        "vec_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.slice(F.col("v"), s * dim_per + 1, dim_per)
+                    for s in range(PQ_SUBSPACES)
+                ]
+            )
+        ).alias("sub_id", "sv"),
+    )
+    cb = (
+        subs.filter(F.col("vec_id") < PQ_CODEBOOK_K)
+        .select(
+            F.col("vec_id").alias("code"),
+            F.col("sub_id").alias("cb_sub"),
+            F.col("sv").alias("cv"),
+        )
+        .withColumn("cc", dot(F.col("cv"), F.col("cv")))
+    )
+    scored = (
+        subs.withColumn("xx", dot(F.col("sv"), F.col("sv")))
+        .join(F.broadcast(cb), F.col("sub_id") == F.col("cb_sub"))
+        .select(
+            "vec_id",
+            "sub_id",
+            "code",
+            F.round(
+                F.col("xx") - 2 * dot(F.col("sv"), F.col("cv")) + F.col("cc"), 6
+            ).alias("d2"),
+        )
+    )
+    w = W.partitionBy("vec_id", "sub_id").orderBy("d2", "code")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "sub_id", "code", F.col("d2").alias("quant_err"))
+    )
+
+
 def q_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nearest-centroid assignment (the IVF/k-means training-step primitive):
     every vector assigned to its most-cosine-similar centroid, centroids
@@ -540,6 +605,8 @@ def q_label_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Shared oracle CTE replaying _ann_planes: the plane count derives from the
 # corpus count, so the SQL twin re-trains the identical index.
+_PQ_DIM_PER = 64 // PQ_SUBSPACES
+
 _ANN_PARAMS_SQL = f"""params AS (
             SELECT greatest({ANN_MIN_PLANES}, least({ANN_MAX_PLANES},
                    CAST(ceil(log2(greatest(
@@ -548,6 +615,35 @@ _ANN_PARAMS_SQL = f"""params AS (
         ), """
 
 ORACLE: dict[str, str] = {
+    # Replays the sub-vector slicing, the deterministic codebook, and the
+    # d2 = xx - 2xc + cc distance (three list_dot_product folds — the same
+    # parity primitive as every cosine in this module).
+    "q_pq_codebook": f"""
+        WITH e AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v
+            FROM embeddings WHERE len(embedding) > 0
+        ), subs AS (
+            SELECT vec_id, CAST(s.s AS INT) AS sub_id,
+                   v[s.s * {_PQ_DIM_PER} + 1 : s.s * {_PQ_DIM_PER} + {_PQ_DIM_PER}]
+                       AS sv
+            FROM e, (SELECT unnest(generate_series(0, {PQ_SUBSPACES - 1})) AS s) s
+        ), cb AS (
+            SELECT vec_id AS code, sub_id AS cb_sub, sv AS cv,
+                   list_dot_product(sv, sv) AS cc
+            FROM subs WHERE vec_id < {PQ_CODEBOOK_K}
+        ), scored AS (
+            SELECT subs.vec_id, subs.sub_id, cb.code,
+                   round(list_dot_product(subs.sv, subs.sv)
+                         - 2 * list_dot_product(subs.sv, cb.cv) + cb.cc, 6)
+                       AS d2
+            FROM subs JOIN cb ON cb.cb_sub = subs.sub_id
+        )
+        SELECT vec_id, sub_id, code, d2 AS quant_err FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY vec_id, sub_id ORDER BY d2, code) AS rk
+            FROM scored
+        ) WHERE rk = 1
+    """,
     # Shared replay of the sign-LSH bucketing (as in q_ann_ivf /
     # q_ann_multiprobe) plus the brute-force exact side (q_similarity_search
     # verbatim), then one recall aggregation per index, unioned with the

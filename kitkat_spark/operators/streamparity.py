@@ -423,6 +423,57 @@ def q_stream_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gap_fill_hourly(spark.table(name))
 
 
+STREAM_TOPK = 3
+
+
+def q_stream_topk_wm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming windowed TOP-N — the trending-items shape (per hour, the
+    3 busiest event types): a watermarked 1-hour tumbling count per
+    (window, event_type) in append mode, drained to a sink table, then the
+    rank computed AT READ TIME over the sealed windows (the same
+    post-state composition as q_stream_gap_fill's densify).
+
+    Why rank-at-read is the production form: a global top-N inside the
+    stream would need complete-mode output (re-emitting every window each
+    batch — unbounded re-writes) or arbitrary stateful processing; append
+    mode + read-time rank keeps streaming state at one count per live
+    (window, type) and emits each sealed window exactly once. The emitted
+    set is the watermark-sealed windows (window_end <= max(ts) - delay),
+    which the oracle states directly; ranks tie-break on event_type, so
+    the top-3 per window is engine-deterministic."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "ts")
+    path, n_rows = _replay_info(spark, sf_dir, "topk", lambda: ev)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .parquet(path)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+    )
+    name = f"stream_topk_wm_{_sink_suffix(path)}"
+    with _state_partitions(spark, n_rows):
+        q = (
+            stream.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    w = W.partitionBy("window_start").orderBy(
+        F.col("n_events").desc(), "event_type"
+    )
+    return (
+        spark.table(name)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= STREAM_TOPK)
+        .select("window_start", "event_type", "n_events", "rk")
+    )
+
+
 def q_stream_late_drop_wm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The watermark's LATE-DATA DROP, actually exercised: every other
     streaming query here replays in one batch, where the watermark starts
@@ -618,6 +669,21 @@ ORACLE: dict[str, str] = {
     # the batch gap-fill restricted to the windows append mode seals
     # (window end <= final watermark = max(ts) - 10 min), then the same
     # densify + locf replay as q_gap_fill's oracle
+    "q_stream_topk_wm": f"""
+        WITH hourly AS (
+            SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+                   event_type, count(*) AS n_events
+            FROM events GROUP BY 1, 2
+            HAVING CAST(date_trunc('hour', ts) AS TIMESTAMP) + INTERVAL 1 HOUR
+                   <= (SELECT max(ts) - INTERVAL 10 MINUTE FROM events)
+        )
+        SELECT window_start, event_type, n_events, rk FROM (
+            SELECT *, CAST(row_number() OVER (
+                PARTITION BY window_start
+                ORDER BY n_events DESC, event_type) AS INT) AS rk
+            FROM hourly
+        ) WHERE rk <= {STREAM_TOPK}
+    """,
     "q_stream_gap_fill": """
         WITH hourly AS (
             SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h, event_type,

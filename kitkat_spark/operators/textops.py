@@ -340,7 +340,75 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.select(F.row_number().over(w).alias("rk"), "doc_id", "score")
 
 
+# Shannon-entropy quality gate: token-distribution entropy below this many
+# bits marks a doc as repetitive/templated (the fixture's docs draw from a
+# 31-token domain, so healthy docs sit near log2(31) ~ 4.95 bits)
+ENTROPY_MIN_BITS = 3.0
+
+
+def q_doc_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token-distribution Shannon entropy — the information-
+    density quality signal (templated/repeated text scores low even when
+    q_repetition_filter's fixed-n n-gram test misses it; a real pipeline
+    runs both).
+
+    H = log2(n) - (sum_t c_t * log2(c_t)) / n over the doc's token counts
+    — the counts-only form needs no per-token probability division.
+    Determinism: the per-doc (token, count) list is SORTED and folded
+    left-to-right with a codegen'd aggregate(), so the double accumulation
+    order is identical in both engines (a parallel SUM of c*log2(c) would
+    be reduction-order-dependent). One explode -> (doc, token) count with
+    map-side combine, one per-doc fold: two shuffles of token-domain-sized
+    rows, nothing corpus-sized twice."""
+    par = spark.sparkContext.defaultParallelism
+    docs = load_table(spark, sf_dir, "documents").repartition(par)
+    cnt = (
+        docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("c"))
+    )
+    per_doc = cnt.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list(F.struct("token", "c"))).alias("tc"),
+        F.sum("c").alias("n"),
+    )
+    ent = F.log2(F.col("n")) - F.expr(
+        "aggregate(tc, 0.0D, (a, p) -> a + CAST(p.c AS DOUBLE)"
+        " * log2(CAST(p.c AS DOUBLE)))"
+    ) / F.col("n")
+    return per_doc.select(
+        "doc_id",
+        F.col("n").cast("long").alias("n_tokens"),
+        F.round(ent, 4).alias("entropy_bits"),
+        (F.round(ent, 4) < ENTROPY_MIN_BITS).alias("low_entropy"),
+    )
+
+
 ORACLE: dict[str, str] = {
+    "q_doc_entropy": f"""
+        WITH cnt AS (
+            SELECT doc_id, token, count(*) AS c FROM (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS token
+                FROM documents
+            ) GROUP BY doc_id, token
+        ), per_doc AS (
+            SELECT doc_id,
+                   list(struct_pack(token := token, c := c)
+                        ORDER BY token, c) AS tc,
+                   sum(c) AS n
+            FROM cnt GROUP BY doc_id
+        ), scored AS (
+            SELECT doc_id, n,
+                   round(log2(CAST(n AS DOUBLE))
+                         - list_sum(list_transform(tc,
+                               p -> CAST(p.c AS DOUBLE)
+                                    * log2(CAST(p.c AS DOUBLE))))
+                           / CAST(n AS DOUBLE), 4) AS entropy_bits
+            FROM per_doc
+        )
+        SELECT doc_id, CAST(n AS BIGINT) AS n_tokens, entropy_bits,
+               entropy_bits < {ENTROPY_MIN_BITS} AS low_entropy
+        FROM scored
+    """,
     "q_bm25": f"""
         WITH base AS (
             SELECT doc_id, len(string_split(text, ' ')) AS len,

@@ -508,7 +508,158 @@ def q_waiting_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SHIP_SEGMENT = "BUILDING"
+SHIP_CUTOFF = "1998-06-15"
+LOCAL_REGION = "ASIA"
+LOCAL_YEAR = ("1997-01-01", "1998-01-01")
+BIG_ORDER_MIN_QTY = 250
+
+
+def q_ship_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3 shape: top-10 unshipped-revenue orders for one market segment —
+    orders placed before the cutoff with lineitems shipping after it.
+    Customer (broadcast) filters orders FIRST, so the lineitem join sees
+    only the segment's orders; the fact shuffles once on orderkey, the
+    top-10 is a global sort of the (small) aggregated set. l_orderkey is
+    unique per group, so the limit is deterministic under the
+    (revenue DESC, o_orderdate, l_orderkey) order."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    seg = customer.filter(F.col("c_mktsegment") == SHIP_SEGMENT)
+    o = (
+        orders.filter(F.col("o_orderdate") < SHIP_CUTOFF)
+        .join(F.broadcast(seg), orders.o_custkey == seg.c_custkey)
+        .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    )
+    return (
+        li.filter(F.col("l_shipdate") > SHIP_CUTOFF)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dsum(_rev()).alias("revenue"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.col("o_orderdate").cast("date").alias("o_orderdate"),
+            "o_orderpriority",
+        )
+        .orderBy(F.col("revenue").desc(), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5 shape: per-nation revenue where the customer and supplier share a
+    nation inside one region, for one order year. All four dims broadcast;
+    the co-nationality predicate rides the supplier join (an equi-condition
+    on two already-joined columns), so the fact still shuffles only for the
+    orders join + final agg."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    lo, hi = LOCAL_YEAR
+    rnation = nation.join(
+        F.broadcast(region.filter(F.col("r_name") == LOCAL_REGION)),
+        nation.n_regionkey == region.r_regionkey,
+    ).select("n_nationkey", "n_name")
+    o = orders.filter(
+        (F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)
+    ).select("o_orderkey", "o_custkey")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(customer), o.o_custkey == customer.c_custkey)
+        .join(
+            F.broadcast(supplier),
+            (li.l_suppkey == supplier.s_suppkey)
+            & (customer.c_nationkey == supplier.s_nationkey),
+        )
+        .join(F.broadcast(rnation), supplier.s_nationkey == rnation.n_nationkey)
+        .groupBy("n_name")
+        .agg(dsum(_rev()).alias("revenue"))
+    )
+
+
+def q_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18 shape: large-volume orders — total quantity above the threshold,
+    joined back to order + customer. The quantity sum is decimal-exact
+    (double sums are reduction-order-dependent, see functions/numeric.py),
+    so the HAVING boundary is engine-identical. One fact shuffle for the
+    per-order agg; orders join back on the (rare) qualifying keys;
+    customer broadcasts."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    per_order = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,4)")).alias("qty_dec"))
+        .filter(F.col("qty_dec") > BIG_ORDER_MIN_QTY)
+    )
+    return (
+        per_order.join(orders, per_order.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("o_orderdate"),
+            F.round(F.col("o_totalprice").cast("decimal(18,2)"), 2)
+            .cast("double")
+            .alias("o_totalprice"),
+            F.round(F.col("qty_dec"), 2).cast("double").alias("total_qty"),
+        )
+    )
+
+
 ORACLE: dict[str, str] = {
+    "q_ship_priority": f"""
+        SELECT l_orderkey,
+               {dsum_sql(_REV_SQL)} AS revenue,
+               CAST(o_orderdate AS DATE) AS o_orderdate,
+               o_orderpriority
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = '{SHIP_SEGMENT}'
+          AND o_orderdate < TIMESTAMP '{SHIP_CUTOFF}'
+          AND l_shipdate > TIMESTAMP '{SHIP_CUTOFF}'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, o_orderdate, l_orderkey
+        LIMIT 10
+    """,
+    "q_local_supplier_volume": f"""
+        SELECT n_name, {dsum_sql(_REV_SQL)} AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+                     AND c_nationkey = s_nationkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = '{LOCAL_REGION}'
+          AND o_orderdate >= TIMESTAMP '{LOCAL_YEAR[0]}'
+          AND o_orderdate <  TIMESTAMP '{LOCAL_YEAR[1]}'
+        GROUP BY n_name
+    """,
+    "q_big_orders": f"""
+        WITH per_order AS (
+            SELECT l_orderkey,
+                   sum(CAST(l_quantity AS DECIMAL(18,4))) AS qty_dec
+            FROM lineitem
+            GROUP BY l_orderkey
+            HAVING sum(CAST(l_quantity AS DECIMAL(18,4))) > {BIG_ORDER_MIN_QTY}
+        )
+        SELECT c_name, c_custkey, o_orderkey,
+               CAST(o_orderdate AS DATE) AS o_orderdate,
+               CAST(round(CAST(o_totalprice AS DECIMAL(18,2)), 2) AS DOUBLE)
+                   AS o_totalprice,
+               CAST(round(qty_dec, 2) AS DOUBLE) AS total_qty
+        FROM per_order
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+    """,
     "q_nation_volume": f"""
         SELECT sn.n_name AS supp_nation,
                cn.n_name AS cust_nation,

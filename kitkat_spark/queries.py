@@ -116,6 +116,14 @@ _VERIFY_FIRST = [
     "q_ann_recall_multiprobe",
     "q_ann_multiprobe",
     "q_embedding_near_dup",
+    "q_ship_priority",       # NEW (Q3 shape)
+    "q_local_supplier_volume",  # NEW (Q5 shape)
+    "q_big_orders",          # NEW (Q18 shape)
+    "q_vocab_coverage",      # NEW: tokenizer-budget curve
+    "q_zipf_slope",          # NEW: corpus-health Zipf exponent
+    "q_doc_entropy",         # NEW: token-entropy quality gate
+    "q_pq_codebook",         # NEW: product-quantization encode
+    "q_stream_topk_wm",      # NEW: streaming windowed top-N
     # -- (b) the fourteen r5-stale greens (round-8 verdict next-round #1) --
     "q_similarity_search",
     "q_span_dedup",
@@ -148,15 +156,7 @@ _VERIFY_FIRST = [
     "q_forecast_revenue",
     "q_grouping_sets",
     "q_histogram",
-    "q_incremental_dedup",
-    "q_lang_mismatch",
-    "q_lm_score",
-    "q_market_share",
-    "q_min_cost_supplier",
     "q_mix_rebalance",
-    "q_mjoin_region_revenue",
-    "q_mjoin_revenue",
-    "q_nation_volume",
 ]
 
 assert len(_VERIFY_FIRST) == 50, len(_VERIFY_FIRST)
