@@ -767,6 +767,108 @@ def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CDC_GRAM = 4  # rolling window width (tokens) for the boundary gate
+CDC_MOD = 8  # boundary when gram-hash % MOD == 0 -> ~MOD-token chunks
+
+
+def cdc_chunks(docs: DataFrame) -> DataFrame:
+    """The content-defined chunk stream: one row (doc_id, source,
+    chunk_idx, fp, clen) per chunk. Factored out of q_cdc_chunk so the
+    shift-resilience property — insert tokens early and every chunk after
+    the next boundary keeps its fingerprint — is directly unit-testable
+    (tests/test_corpus.py).
+
+    Gate hash j (1-based) covers tokens j..j+3; a passing gate puts a
+    boundary after token j+3. The LAST gate (ending exactly at the final
+    token) is excluded — a trailing boundary would only emit an empty tail
+    chunk. Docs shorter than the gram width get zero gates (the slice
+    length clamps to 0 -> one whole-doc chunk)."""
+    d = docs.select("doc_id", "source", tokens(F.col("text")).alias("w")).filter(
+        F.size("w") > 0
+    )
+    m = F.greatest(F.size("w") - (CDC_GRAM - 1), F.lit(0))
+    grams = F.arrays_zip(
+        *[F.slice(F.col("w"), j + 1, m) for j in range(CDC_GRAM)]
+    )
+    gate = (
+        "transform(grams, x -> cast(conv(substring(md5(concat_ws(' ', "
+        "x['0'], x['1'], x['2'], x['3'])), 1, 15), 16, 10) as bigint)"
+        f" % {CDC_MOD})"
+    )
+    g = d.select("doc_id", "source", "w", grams.alias("grams")).select(
+        "doc_id", "source", "w", F.expr(gate).alias("gates")
+    )
+    # Spark's sequence(1, 0) DESCENDS; guard the empty/singleton-gate case
+    bnds = (
+        "(case when size(gates) > 1 then "
+        "filter(sequence(1, size(gates) - 1), j -> element_at(gates, j) = 0) "
+        "else cast(array() as array<int>) end)"
+    )
+    spans = g.select(
+        "doc_id",
+        "source",
+        "w",
+        F.expr(
+            f"concat(array(1), transform({bnds}, j -> j + {CDC_GRAM}))"
+        ).alias("starts"),
+        F.expr(
+            f"concat(transform({bnds}, j -> j + {CDC_GRAM} - 1), array(size(w)))"
+        ).alias("ends"),
+    )
+    return spans.select(
+        "doc_id",
+        "source",
+        F.posexplode(
+            F.expr(
+                "zip_with(starts, ends, (s, e) -> struct("
+                "md5(concat_ws(' ', slice(w, s, e - s + 1))) AS fp, "
+                "e - s + 1 AS clen))"
+            )
+        ).alias("chunk_idx", "c"),
+    ).select(
+        "doc_id",
+        "source",
+        "chunk_idx",
+        F.col("c.fp").alias("fp"),
+        F.col("c.clen").alias("clen"),
+    )
+
+
+def q_cdc_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking + chunk-level dedup audit — the storage-
+    dedup modality (rsync/LBFS/backup dedup): chunk boundaries are set by
+    CONTENT (a rolling-window hash gate), not by fixed offsets, so an
+    insertion early in a document shifts only the chunk it lands in and
+    every following chunk still fingerprints identically — exactly what
+    fixed-stride spans (q_span_dedup) lose. Word-level variant: a boundary
+    falls after token i when md5_long(4-gram ending at i) % CDC_MOD == 0.
+
+    Output: per source, chunk count, duplicated-chunk count (an occurrence
+    is a dup iff another occurrence of the same chunk fingerprint precedes
+    it in (doc_id, chunk_idx) order — the q_span_dedup rule), dup fraction,
+    and mean chunk length — the measurements that size a chunk store.
+
+    Plan: gates + boundaries + per-chunk fingerprints are ARRAY-NATIVE per
+    document (see cdc_chunks) — a narrow map, no shuffle until the chunk
+    stream exists; dup marking is ONE window shuffle on the fingerprint;
+    the per-source rollup partial-aggregates map-side. The array HOFs run
+    interpreted (the q_passjoin_dedup lesson) but over per-doc arrays, so
+    the cost is a constant per scanned token at any corpus size."""
+    chunks = cdc_chunks(load_table(spark, sf_dir, "documents"))
+    w_fp = W.partitionBy("fp").orderBy("doc_id", "chunk_idx")
+    marked = chunks.select(
+        "source",
+        "clen",
+        F.when(F.row_number().over(w_fp) > 1, 1).otherwise(0).alias("dup"),
+    )
+    return marked.groupBy("source").agg(
+        F.count("*").alias("n_chunks"),
+        F.sum("dup").cast("long").alias("n_dup_chunks"),
+        F.round(F.sum("dup") / F.count("*"), 4).alias("dup_frac"),
+        F.round(F.sum("clen") / F.count("*"), 4).alias("mean_chunk_len"),
+    )
+
+
 MANIFEST_SEED = "manifest1"
 
 
@@ -834,6 +936,48 @@ def q_train_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE: dict[str, str] = {
+    # Replays the content-defined chunking value-for-value: same md5_long
+    # gate (('0x' || md5-prefix)::BIGINT), same boundary rule, same chunk
+    # fingerprints; duckdb list indexing is 1-based like element_at.
+    "q_cdc_chunk": """
+        WITH d AS (
+            SELECT doc_id, source, string_split(text, ' ') AS w
+            FROM documents WHERE len(string_split(text, ' ')) > 0
+        ), g AS (
+            SELECT doc_id, source, w, len(w) AS n,
+                   list_transform(
+                       generate_series(1, greatest(len(w) - 3, 0)),
+                       j -> ('0x' || substr(md5(array_to_string(
+                                w[j:j+3], ' ')), 1, 15))::BIGINT % 8) AS gates
+            FROM d
+        ), b AS (
+            SELECT doc_id, source, w, n,
+                   list_filter(generate_series(1, greatest(len(gates) - 1, 0)),
+                               j -> gates[j] = 0) AS bnds
+            FROM g
+        ), se AS (
+            SELECT doc_id, source, w,
+                   list_prepend(1, list_transform(bnds, j -> j + 4)) AS starts,
+                   list_append(list_transform(bnds, j -> j + 3), n) AS ends
+            FROM b
+        ), chunks AS (
+            SELECT doc_id, source, t.i AS chunk_idx,
+                   md5(array_to_string(w[starts[t.i]:ends[t.i]], ' ')) AS fp,
+                   ends[t.i] - starts[t.i] + 1 AS clen
+            FROM se, unnest(generate_series(1, len(starts))) AS t(i)
+        ), marked AS (
+            SELECT source, clen,
+                   CASE WHEN row_number() OVER (
+                            PARTITION BY fp ORDER BY doc_id, chunk_idx) > 1
+                        THEN 1 ELSE 0 END AS dup
+            FROM chunks
+        )
+        SELECT source, count(*) AS n_chunks,
+               CAST(sum(dup) AS BIGINT) AS n_dup_chunks,
+               round(sum(dup) * 1.0 / count(*), 4) AS dup_frac,
+               round(sum(clen) * 1.0 / count(*), 4) AS mean_chunk_len
+        FROM marked GROUP BY source
+    """,
     "q_train_manifest": f"""
         WITH surv AS (
             SELECT doc_id,

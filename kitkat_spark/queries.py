@@ -124,6 +124,7 @@ _VERIFY_FIRST = [
     "q_doc_entropy",         # NEW: token-entropy quality gate
     "q_pq_codebook",         # NEW: product-quantization encode
     "q_stream_topk_wm",      # NEW: streaming windowed top-N
+    "q_cdc_chunk",           # NEW: content-defined chunk dedup audit
     # -- (b) the fourteen r5-stale greens (round-8 verdict next-round #1) --
     "q_similarity_search",
     "q_span_dedup",
@@ -155,7 +156,6 @@ _VERIFY_FIRST = [
     "q_excess_suppliers",
     "q_forecast_revenue",
     "q_grouping_sets",
-    "q_histogram",
     "q_mix_rebalance",
 ]
 

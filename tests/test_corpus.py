@@ -168,3 +168,33 @@ def test_members_dir_cleanup_removes_created_dirs(tmp_path):
         corpus._MEMBERS_DIRS_CREATED[:] = orig_dirs
         corpus._MEMBERS_PATHS.clear()
         corpus._MEMBERS_PATHS.update(orig_paths)
+
+
+def test_cdc_chunks_shift_resilient(spark):
+    """THE property content-defined chunking exists for: prepending tokens
+    to a document perturbs only the chunks up to the first shared boundary;
+    every later chunk keeps its fingerprint. A fixed-stride chunker (e.g.
+    q_span_dedup's spans) would lose ALL alignment after an insertion."""
+    import random
+
+    from kitkat_spark.operators.corpus import cdc_chunks
+
+    rng = random.Random(7)
+    base = " ".join(rng.choice("alpha beta gamma delta epsilon zeta".split())
+                    for _ in range(400))
+    shifted = "inserted tokens at the very front " + base
+    docs = spark.createDataFrame(
+        [(1, base, "s"), (2, shifted, "s")], "doc_id long, text string, source string"
+    )
+    rows = cdc_chunks(docs).collect()
+    fps = {d: [r.fp for r in sorted(rows, key=lambda r: r.chunk_idx)
+               if r.doc_id == d] for d in (1, 2)}
+    # the tail chunks realign: a long common suffix of identical fps
+    common_tail = 0
+    for a, b in zip(reversed(fps[1]), reversed(fps[2])):
+        if a != b:
+            break
+        common_tail += 1
+    assert common_tail >= max(3, len(fps[1]) - 3), (common_tail, len(fps[1]))
+    # and the heads differ (the insertion landed somewhere)
+    assert fps[1][0] != fps[2][0]
