@@ -26,6 +26,8 @@ from kitkat_spark.session import get_spark  # noqa: E402
 
 # Headline set: one per operator family (scan, joins, agg, window, temporal,
 # dedup families, similarity, text, payload codecs).
+_LOAD0 = (0.0, 0.0, 0.0)
+
 HEADLINE = [
     "q_scan_filter",
     "q_hash_join",
@@ -208,6 +210,8 @@ HEADLINE = [
 
 
 def main() -> None:
+    global _LOAD0
+    _LOAD0 = os.getloadavg()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark(app_name="kitkat_spark_bench")
@@ -243,6 +247,11 @@ def main() -> None:
             "aqe": spark.conf.get("spark.sql.adaptive.enabled"),
             "runs_per_query": "2",
             "report": "min (steady-state; first run pays per-plan codegen compile)",
+            # machine-load context: single-run totals scatter +-8-15% with
+            # background load (round-8 adjudication); loadavg at start/end
+            # lets a reader judge whether THIS run was contended
+            "loadavg_start": [round(x, 2) for x in _LOAD0],
+            "loadavg_end": [round(x, 2) for x in os.getloadavg()],
         },
     }
     # The driver stores only a 2000-char tail of stdout, which truncates the

@@ -180,6 +180,12 @@ def resize_images(media: DataFrame, width: int = 224, height: int = 224) -> Data
     ``Image.resize`` — batching, schema, and partitioning are unchanged."""
     from kitkat_spark.functions.imagecodec import BMP_SIG, PNG_SIG
 
+    # Catalyst pushes this filter through the synthesize union into both
+    # branches, so the non-image branch's rows never reach the (pricey)
+    # PNG-encode UDF projection; the in-batch guard below stays as the
+    # semantic contract for callers that pass unfiltered media.
+    media = media.filter(F.col("media_type") == "image")
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         target = width * height // 64  # stub: bytes proportional to area
         for pdf in batches:
@@ -213,6 +219,8 @@ def sample_frames(media: DataFrame, every_n_bytes: int = 256, max_frames: int = 
     """Frame-sampling stage (videos only): one output row per sampled frame —
     the mapInPandas 1->N fan-out shape. Stub frames are fixed-size byte
     windows; a real deployment decodes with ffmpeg at the same seam."""
+
+    media = media.filter(F.col("media_type") == "video")  # see resize_images
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -269,24 +277,35 @@ def _image_for_doc(doc_id: pd.Series) -> pd.Series:
 def synthesize_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic media fixture: image docs carry REAL PNG payloads
     (built executor-side from doc_id), the rest the documents' utf-8
-    bytes as fake audio/video/text payloads."""
+    bytes as fake audio/video/text payloads.
+
+    The two content kinds are built on SEPARATE filtered branches and
+    unioned: a pandas UDF inside when()/otherwise() is hoisted into an
+    ArrowEvalPython node and evaluated for EVERY row, so the single-branch
+    form paid the PNG encode 4x over (measured ~0.6 s at sf0.1 across the
+    three media queries)."""
     docs = load_table(spark, sf_dir, "documents")
+
+    def shape(df: DataFrame, content: F.Column) -> DataFrame:
+        return df.select(
+            F.col("doc_id").alias("media_id"),
+            F.element_at(
+                F.array(
+                    F.lit("image"), F.lit("audio"), F.lit("video"), F.lit("text")
+                ),
+                (F.pmod(F.col("doc_id"), F.lit(4)) + 1).cast("int"),
+            ).alias("media_type"),
+            content.alias("content"),
+            F.struct(
+                F.lit("application/octet-stream").alias("mime"),
+                F.octet_length(content).cast("long").alias("n_bytes"),
+            ).alias("meta"),
+        )
+
     is_image = F.pmod(F.col("doc_id"), F.lit(4)) == 0
-    content = F.when(is_image, _png_for_doc(F.col("doc_id"))).otherwise(
-        F.col("text").cast("binary")
-    )
-    return docs.select(
-        F.col("doc_id").alias("media_id"),
-        F.element_at(
-            F.array(F.lit("image"), F.lit("audio"), F.lit("video"), F.lit("text")),
-            (F.pmod(F.col("doc_id"), F.lit(4)) + 1).cast("int"),
-        ).alias("media_type"),
-        content.alias("content"),
-        F.struct(
-            F.lit("application/octet-stream").alias("mime"),
-            F.octet_length(content).cast("long").alias("n_bytes"),
-        ).alias("meta"),
-    )
+    images = shape(docs.filter(is_image), _png_for_doc(F.col("doc_id")))
+    others = shape(docs.filter(~is_image), F.col("text").cast("binary"))
+    return images.unionByName(others)
 
 
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:

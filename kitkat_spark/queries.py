@@ -140,8 +140,17 @@ _VERIFY_FIRST = [
     "q_triangle_count",
     "q_window_rank",
     "q_zorder_cluster",
-    # -- (c) oldest remaining greens (round 6), alphabetical; fills are
-    # dropped from the END as new round-9 queries enter block (a) --
+    # -- (c) oldest remaining greens (round 6), alphabetical; 33 r6
+    # greens don't fit this round's 50 (round 9 added 10 new queries) and
+    # head next round's block (c): q_histogram q_incremental_dedup
+    # q_lang_mismatch q_lm_score q_market_share q_min_cost_supplier
+    # q_mjoin_region_revenue q_mjoin_revenue q_nation_volume
+    # q_normalize_window q_pivot q_posexplode q_product_profit
+    # q_promo_revenue q_returned_revenue q_sample_split q_scan_filter
+    # q_simhash q_skew_join_auto q_skew_join_salted q_sort_limit
+    # q_stratified_sample q_string_agg q_subquery_scalar q_tfidf
+    # q_top_supplier q_unpivot q_weighted_sample q_window_frame
+    # q_window_ntile q_window_range q_winnow_fingerprint q_zlib --
     "q_agg_distinct",
     "q_agg_group",
     "q_bloom_join",
