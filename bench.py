@@ -199,6 +199,9 @@ HEADLINE = [
     "q_pq_codebook",
     "q_stream_topk_wm",
     "q_cdc_chunk",
+    "q_semdedup",
+    "q_dsir_weights",
+    "q_csv_roundtrip",
     "q_stream_gap_fill",
     # Excluded on purpose (NOT a silent cap): q_cc_chain is the adversarial
     # deep-diameter CC verification query — it deliberately runs ~25 star

@@ -78,7 +78,70 @@ def q_format_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CSV_CACHE: dict[tuple[str, str], str] = {}
+
+
+def _csv_fixture(spark: SparkSession, sf_dir: str) -> str:
+    import os
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _CSV_CACHE:
+        path = os.path.join(
+            "/tmp/kitkat_interchange",
+            spark.sparkContext.applicationId,
+            os.path.basename(os.path.normpath(sf_dir)),
+            "events_csv",
+        )
+        # header on, quoting left at the RFC-4180 defaults (the props column
+        # is a JSON document full of commas/quotes — the quote/escape round
+        # trip is exactly what this fixture must exercise), microsecond
+        # timestamps pinned like the JSON trip
+        (
+            load_table(spark, sf_dir, "events")
+            .write.mode("overwrite")
+            .option("header", "true")
+            .option("timestampFormat", _TS_FMT)
+            .csv(path)
+        )
+        _CSV_CACHE[key] = path
+    return _CSV_CACHE[key]
+
+
+def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events -> CSV (RFC-4180 quoting, header, µs timestamps) ->
+    explicit-schema read -> per-type rollup; same contract as
+    q_format_roundtrip but through the escaping-sensitive format: the
+    nested-JSON `props` column is full of commas and double quotes, so a
+    quoting/escaping bug in either direction changes n_props or drops rows
+    and hash-fails against the parquet-side oracle."""
+    ev = load_table(spark, sf_dir, "events")
+    path = _csv_fixture(spark, sf_dir)
+    back = (
+        spark.read.schema(ev.schema)
+        .option("header", "true")
+        .option("timestampFormat", _TS_FMT)
+        .csv(path)
+    )
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        dsum("value").alias("sum_value"),
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("first_ts"),
+        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("last_ts"),
+        F.count_distinct("props").alias("n_props"),
+    )
+
+
 ORACLE: dict[str, str] = {
+    "q_csv_roundtrip": """
+        SELECT event_type,
+               count(*) AS n_events,
+               CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE)
+                   AS sum_value,
+               strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS first_ts,
+               strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS last_ts,
+               count(DISTINCT props) AS n_props
+        FROM events GROUP BY event_type
+    """,
     "q_format_roundtrip": """
         SELECT event_type,
                count(*) AS n_events,

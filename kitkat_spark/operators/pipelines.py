@@ -508,6 +508,88 @@ def q_normalize_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DSIR_BUCKETS = 64  # hashed-bigram feature space (paper: 10k; vocab-scaled)
+DSIR_TARGET = "src0"  # the target-domain sample the weights steer toward
+
+
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al., "Data Selection for Language
+    Models via Importance Resampling", NeurIPS 2023): per-document log
+    importance weight log p_target(x)/p_raw(x) under hashed-bigram
+    bag-of-ngrams models — the score that resamples a raw web corpus
+    toward a target domain. Features are md5-hashed bigrams in
+    DSIR_BUCKETS buckets; both models are add-1-smoothed categorical
+    distributions (target = the DSIR_TARGET source's docs, raw = the
+    whole corpus).
+
+    Shape: one exploded pass aggregates to (doc, bucket) counts (map-side
+    combine); the two bucket marginals are DSIR_BUCKETS-row aggregates of
+    that table, broadcast back; the per-doc score folds a SORTED bucket
+    list left-to-right (the q_doc_entropy determinism move — a parallel
+    double SUM would be reduction-order-dependent). Corpus shuffles once.
+    """
+    par = spark.sparkContext.defaultParallelism
+    docs = load_table(spark, sf_dir, "documents").repartition(par)
+    toks = tokens(F.col("text"))
+    bg = docs.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.when(F.size(toks) >= 2, _zipped_ngrams(toks, 2)).otherwise(F.array())
+        ).alias("b"),
+    ).select(
+        "doc_id",
+        "source",
+        F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws(" ", F.col("b")["0"], F.col("b")["1"])), 1, 15
+                ),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(DSIR_BUCKETS),
+        ).alias("bucket"),
+    )
+    per_doc = bg.groupBy("doc_id", "source", "bucket").agg(
+        F.count("*").alias("c")
+    )
+    raw = per_doc.groupBy("bucket").agg(F.sum("c").alias("cr"))
+    tgt = (
+        per_doc.filter(F.col("source") == DSIR_TARGET)
+        .groupBy("bucket")
+        .agg(F.sum("c").alias("ct"))
+    )
+    stats = raw.join(tgt, "bucket", "left").select(
+        "bucket", "cr", F.coalesce("ct", F.lit(0)).alias("ct")
+    )
+    totals = stats.agg(
+        F.sum("cr").alias("nr"), F.sum("ct").alias("nt")
+    )
+    folded = (
+        per_doc.join(F.broadcast(stats), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("bucket", "c", "ct", "cr"))).alias(
+                "bs"
+            ),
+            F.sum("c").alias("n_bigrams"),
+        )
+        .crossJoin(F.broadcast(totals))
+    )
+    logw = F.expr(
+        "aggregate(bs, 0.0D, (a, p) -> a + CAST(p.c AS DOUBLE) * ("
+        f"ln((CAST(p.ct AS DOUBLE) + 1.0) / (CAST(nt AS DOUBLE) + {DSIR_BUCKETS}))"
+        f" - ln((CAST(p.cr AS DOUBLE) + 1.0) / (CAST(nr AS DOUBLE) + {DSIR_BUCKETS}))))"
+    )
+    return folded.select(
+        "doc_id",
+        F.col("n_bigrams").cast("long").alias("n_bigrams"),
+        F.round(logw, 4).alias("log_weight"),
+        (F.round(logw, 4) > 0).alias("target_like"),
+    )
+
+
 # vocabulary-coverage checkpoints: the tokenizer-budget curve is read at
 # power-of-two vocab sizes (ranks past the corpus vocab simply don't emit)
 COVERAGE_RANKS = (2, 4, 8, 16, 32)
@@ -592,6 +674,57 @@ def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE: dict[str, str] = {
+    # Replays the hashed-bigram bucketing, both smoothed marginals, and the
+    # sorted per-doc fold (list ORDER BY bucket == Spark's sort_array on a
+    # bucket-led struct; docs with < 2 tokens emit no bigrams, as Spark's
+    # size guard does).
+    "q_dsir_weights": f"""
+        WITH bg AS (
+            SELECT doc_id, source,
+                   ('0x' || substr(md5(w[j] || ' ' || w[j+1]), 1, 15))::BIGINT
+                       % {DSIR_BUCKETS} AS bucket
+            FROM (SELECT doc_id, source, string_split(text, ' ') AS w
+                  FROM documents),
+                 unnest(generate_series(1, greatest(len(w) - 1, 0))) AS t(j)
+        ), per_doc AS (
+            SELECT doc_id, source, bucket, count(*) AS c
+            FROM bg GROUP BY 1, 2, 3
+        ), raw AS (
+            SELECT bucket, sum(c) AS cr FROM per_doc GROUP BY bucket
+        ), tgt AS (
+            SELECT bucket, sum(c) AS ct FROM per_doc
+            WHERE source = '{DSIR_TARGET}' GROUP BY bucket
+        ), stats AS (
+            SELECT raw.bucket, raw.cr, coalesce(tgt.ct, 0) AS ct
+            FROM raw LEFT JOIN tgt ON raw.bucket = tgt.bucket
+        ), totals AS (
+            SELECT sum(cr) AS nr, sum(ct) AS nt FROM stats
+        ), folded AS (
+            SELECT p.doc_id,
+                   list(struct_pack(bucket := p.bucket, c := p.c,
+                                    ct := s.ct, cr := s.cr)
+                        ORDER BY p.bucket) AS bs,
+                   sum(p.c) AS n_bigrams
+            FROM per_doc p JOIN stats s ON p.bucket = s.bucket
+            GROUP BY p.doc_id
+        )
+        SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+               round(list_sum(list_transform(bs, p ->
+                   CAST(p.c AS DOUBLE) * (
+                       ln((CAST(p.ct AS DOUBLE) + 1.0)
+                          / (CAST(nt AS DOUBLE) + {DSIR_BUCKETS}))
+                     - ln((CAST(p.cr AS DOUBLE) + 1.0)
+                          / (CAST(nr AS DOUBLE) + {DSIR_BUCKETS}))))), 4)
+                   AS log_weight,
+               round(list_sum(list_transform(bs, p ->
+                   CAST(p.c AS DOUBLE) * (
+                       ln((CAST(p.ct AS DOUBLE) + 1.0)
+                          / (CAST(nt AS DOUBLE) + {DSIR_BUCKETS}))
+                     - ln((CAST(p.cr AS DOUBLE) + 1.0)
+                          / (CAST(nr AS DOUBLE) + {DSIR_BUCKETS}))))), 4) > 0
+                   AS target_like
+        FROM folded, totals
+    """,
     "q_vocab_coverage": f"""
         WITH tf AS (
             SELECT token, count(*) AS tf FROM (

@@ -478,6 +478,82 @@ def q_ann_recall_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return single.unionByName(multi)
 
 
+SEMDEDUP_COS = 0.4  # within-cell semantic-duplicate cosine threshold
+
+
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al., "SemDeDup: Data-efficient learning at
+    web-scale through semantic deduplication", arXiv 2023): semantic
+    dedup of embeddings INSIDE coarse k-means cells — pairs are only
+    scored within a cell (the move that makes web-scale semantic dedup
+    tractable), duplicate groups are the connected components of the
+    cosine-threshold graph, and the keeper is each component's min
+    vec_id. Output: every vector with its cell, duplicate-group id and
+    keep flag — the table a pipeline joins to drop semantic duplicates.
+
+    Shape: cell assignment is exactly q_ann_kmeans_ivf's broadcast-
+    centroid argmax; the within-cell pair join shuffles on the cell id;
+    components come from the large-star/small-star module (graph.py,
+    O(log^2 n) rounds). At fixture scale the 8 fixed centroids make cells
+    corpus/8 — production sizes k with the corpus (the q_ann_kmeans story)
+    so cells stay bounded and the pair join stays cell-local."""
+    from kitkat_spark.operators.graph import connected_components_star
+
+    emb = _with_norm(
+        load_table(spark, sf_dir, "embeddings").filter(F.size("embedding") > 0)
+    )
+    cents = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("cn"),
+    )
+    scored = emb.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "v",
+        "nrm",
+        "centroid_id",
+        F.round(dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cn")), 6).alias(
+            "c_cos"
+        ),
+    )
+    w = W.partitionBy("vec_id").orderBy(F.col("c_cos").desc(), "centroid_id")
+    indexed = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "v", "nrm", F.col("centroid_id").alias("cell"))
+        .persist()
+    )
+    a = indexed.select(
+        F.col("vec_id").alias("ua"), F.col("v").alias("va"),
+        F.col("nrm").alias("na"), "cell",
+    )
+    b = indexed.select(
+        F.col("vec_id").alias("ub"), F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"), "cell",
+    )
+    pairs = (
+        a.join(b, "cell")
+        .filter(F.col("ua") < F.col("ub"))
+        .filter(
+            F.round(dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6)
+            >= SEMDEDUP_COS
+        )
+        .select("ua", "ub")
+    )
+    comp = connected_components_star(pairs, src="ua", dst="ub")
+    return (
+        indexed.join(comp, indexed.vec_id == comp.u, "left")
+        .select(
+            "vec_id",
+            "cell",
+            F.coalesce(F.col("label"), F.col("vec_id")).alias("cluster_id"),
+            (
+                F.coalesce(F.col("label"), F.col("vec_id")) == F.col("vec_id")
+            ).alias("is_kept"),
+        )
+    )
+
+
 PQ_SUBSPACES = 4  # M sub-vectors per embedding
 PQ_CODEBOOK_K = 4  # centroids per subspace (deterministic: vec_id < K)
 
@@ -615,6 +691,52 @@ _ANN_PARAMS_SQL = f"""params AS (
         ), """
 
 ORACLE: dict[str, str] = {
+    # Replays the cell assignment (q_ann_kmeans_ivf's), the within-cell
+    # threshold pairs, and the component labeling as a recursive CTE (the
+    # q_dedup_clusters pattern).
+    "q_semdedup": f"""
+        WITH RECURSIVE e AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v,
+                   sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                       AS nrm
+            FROM embeddings WHERE len(embedding) > 0
+        ), cents AS (
+            SELECT vec_id AS centroid_id, v AS cv, nrm AS cn
+            FROM e WHERE vec_id < {N_CENTROIDS}
+        ), assigned AS (
+            SELECT vec_id, centroid_id AS cell FROM (
+                SELECT e.vec_id, c.centroid_id,
+                       row_number() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY round(list_dot_product(e.v, c.cv)
+                                          / (e.nrm * c.cn), 6) DESC,
+                                    c.centroid_id) AS rk
+                FROM e CROSS JOIN cents c
+            ) WHERE rk = 1
+        ), pairs AS (
+            SELECT a.vec_id AS ua, b.vec_id AS ub
+            FROM assigned a
+            JOIN assigned b ON b.cell = a.cell AND a.vec_id < b.vec_id
+            JOIN e ea ON ea.vec_id = a.vec_id
+            JOIN e eb ON eb.vec_id = b.vec_id
+            WHERE round(list_dot_product(ea.v, eb.v) / (ea.nrm * eb.nrm), 6)
+                  >= {SEMDEDUP_COS}
+        ), edges AS (
+            SELECT ua AS u, ub AS v FROM pairs
+            UNION ALL
+            SELECT ub, ua FROM pairs
+        ), reach(u, r) AS (
+            SELECT DISTINCT u, u FROM edges
+            UNION
+            SELECT e2.u, reach.r FROM edges e2 JOIN reach ON e2.v = reach.u
+        ), comp AS (
+            SELECT u, min(r) AS cluster FROM reach GROUP BY u
+        )
+        SELECT a.vec_id, a.cell,
+               coalesce(c.cluster, a.vec_id) AS cluster_id,
+               coalesce(c.cluster, a.vec_id) = a.vec_id AS is_kept
+        FROM assigned a LEFT JOIN comp c ON c.u = a.vec_id
+    """,
     # Replays the sub-vector slicing, the deterministic codebook, and the
     # d2 = xx - 2xc + cc distance (three list_dot_product folds — the same
     # parity primitive as every cosine in this module).

@@ -125,6 +125,9 @@ _VERIFY_FIRST = [
     "q_pq_codebook",         # NEW: product-quantization encode
     "q_stream_topk_wm",      # NEW: streaming windowed top-N
     "q_cdc_chunk",           # NEW: content-defined chunk dedup audit
+    "q_semdedup",            # NEW: SemDeDup within-cell semantic dedup
+    "q_dsir_weights",        # NEW: DSIR importance weights
+    "q_csv_roundtrip",       # NEW: RFC-4180 CSV round trip
     # -- (b) the fourteen r5-stale greens (round-8 verdict next-round #1) --
     "q_similarity_search",
     "q_span_dedup",
@@ -140,9 +143,10 @@ _VERIFY_FIRST = [
     "q_triangle_count",
     "q_window_rank",
     "q_zorder_cluster",
-    # -- (c) oldest remaining greens (round 6), alphabetical; 33 r6
-    # greens don't fit this round's 50 (round 9 added 10 new queries) and
-    # head next round's block (c): q_histogram q_incremental_dedup
+    # -- (c) oldest remaining greens (round 6), alphabetical; 36 r6
+    # greens don't fit this round's 50 (round 9 added 13 new queries) and
+    # head next round's block (c): q_excess_suppliers q_forecast_revenue
+    # q_grouping_sets q_histogram q_incremental_dedup
     # q_lang_mismatch q_lm_score q_market_share q_min_cost_supplier
     # q_mjoin_region_revenue q_mjoin_revenue q_nation_volume
     # q_normalize_window q_pivot q_posexplode q_product_profit
@@ -162,9 +166,6 @@ _VERIFY_FIRST = [
     "q_decontaminate",
     "q_disjunctive_join",
     "q_embedding_audit",
-    "q_excess_suppliers",
-    "q_forecast_revenue",
-    "q_grouping_sets",
     "q_mix_rebalance",
 ]
 
