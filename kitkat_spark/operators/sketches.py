@@ -231,7 +231,178 @@ def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+HLL_P = 6
+HLL_M = 1 << HLL_P  # 64 registers per group
+HLL_REST_W = 32  # bits of hash feeding the leading-zero count
+HLL_S = HLL_REST_W + 1  # 2^(S - rho) harmonic terms stay integer (rho <= S)
+HLL_ALPHA = 0.709  # Flajolet-Fusy-Gandouet-Meunier 2007 constant for m = 64
+_HLL_M2S = HLL_M * HLL_M * (1 << HLL_S)  # 2^45 — exact as a double
+
+
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-count audit: estimate |distinct l_orderkey| per
+    l_returnflag from a 64-register HLL sketch (Flajolet, Fusy, Gandouet,
+    Meunier, AofA 2007 — public literature) and report it next to the exact
+    count. Completes the sketch family: Count-Min (frequency), histogram
+    (rank), HLL (cardinality).
+
+    Why it matters at 100 TB: COUNT(DISTINCT key) shuffles the full
+    distinct key domain (billions of URLs/doc ids on a web corpus); the HLL
+    state is m=64 6-bit registers per group, built with ONE partial-agg
+    shuffle whose key domain is at most groups x m, and sketches from
+    different shards/days merge by register-wise MAX. Duplicates hash to
+    the same register update, so the sketch needs NO distinct pass — the
+    exact side here exists only to verify it (same audit shape as
+    q_count_min / q_quantile_sketch).
+
+    Determinism: registers derive from md5_long (bit-identical in DuckDB);
+    the harmonic mean is computed as an INTEGER sum of 2^(S - rho) terms
+    (bit shifts, no float accumulation order), and the only float ops are
+    one literal-multiply and one divide per group — identical IEEE
+    evaluation both engines, so the driver hash-compares the ESTIMATES.
+    The small-range linear-counting branch (raw <= 2.5m with empty
+    registers) is written in both engines; at every tested SF the per-flag
+    cardinality (>= ~700) keeps the pure-HLL branch taken on both sides.
+    Expected relative error is 1.04/sqrt(64) ~= 13%; tests/test_sketches.py
+    asserts the measured error inside that envelope."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"), F.col("l_orderkey").alias("k")
+    )
+    h = md5_long(F.concat(F.lit("hll|"), F.col("k").cast("string")))
+    hashed = li.select(
+        "flag",
+        F.pmod(h, F.lit(HLL_M)).alias("bucket"),
+        F.pmod(F.shiftright(h, HLL_P), F.lit(1 << HLL_REST_W)).alias("rest"),
+    )
+    # rho = 1-based position of the leading 1-bit in the REST_W-bit window:
+    # REST_W - bitlength(rest) + 1, with all-zeros mapping to REST_W + 1.
+    # bitlength via length(bin(x)) — bin() drops leading zeros identically
+    # in Spark and DuckDB.
+    regs = (
+        hashed.select(
+            "flag",
+            "bucket",
+            F.when(F.col("rest") == 0, F.lit(HLL_REST_W + 1))
+            .otherwise(F.lit(HLL_REST_W + 1) - F.length(F.bin("rest")))
+            .alias("rho"),
+        )
+        .groupBy("flag", "bucket")
+        .agg(F.max("rho").alias("r"))
+    )
+    # Empty registers never surface as rows; they contribute 2^S each to
+    # the harmonic sum (register value 0), folded in arithmetically.
+    sk = regs.groupBy("flag").agg(
+        (F.lit(HLL_M) - F.count("*")).cast("long").alias("zeros"),
+        (
+            F.sum(
+                F.expr(
+                    f"shiftleft(cast(1 as bigint), cast({HLL_S} - r as int))"
+                )
+            )
+            + (F.lit(HLL_M) - F.count("*")) * F.lit(1 << HLL_S)
+        )
+        .cast("long")
+        .alias("hsum"),
+    )
+    raw = F.lit(HLL_ALPHA) * F.lit(float(_HLL_M2S)) / F.col("hsum").cast(
+        "double"
+    )
+    est = sk.select(
+        "flag",
+        "zeros",
+        "hsum",
+        F.round(
+            F.when(
+                (raw <= F.lit(2.5 * HLL_M)) & (F.col("zeros") > 0),
+                F.lit(float(HLL_M))
+                * F.log(F.lit(float(HLL_M)) / F.col("zeros").cast("double")),
+            ).otherwise(raw)
+        )
+        .cast("long")
+        .alias("est_distinct"),
+    )
+    exact = li.groupBy("flag").agg(
+        F.countDistinct("k").alias("exact_distinct")
+    )
+    return (
+        est.join(exact, "flag")
+        .select(
+            "flag",
+            "zeros",
+            "hsum",
+            "est_distinct",
+            "exact_distinct",
+            F.round(
+                (F.col("est_distinct") - F.col("exact_distinct")).cast(
+                    "double"
+                )
+                / F.col("exact_distinct").cast("double"),
+                4,
+            ).alias("rel_err"),
+        )
+        .orderBy("flag")
+    )
+
+
 ORACLE: dict[str, str] = {
+    "q_hll_distinct": f"""
+        WITH li AS (
+            SELECT l_returnflag AS flag, l_orderkey AS k FROM lineitem
+        ),
+        h AS (
+            SELECT flag,
+                   ('0x' || substr(md5('hll|' || k), 1, 15))::BIGINT AS hv
+            FROM li
+        ),
+        rr AS (
+            SELECT flag, hv % {HLL_M} AS bucket,
+                   (hv // {HLL_M}) % {1 << HLL_REST_W} AS rest
+            FROM h
+        ),
+        rho AS (
+            SELECT flag, bucket,
+                   CASE WHEN rest = 0 THEN {HLL_REST_W + 1}
+                        ELSE {HLL_REST_W + 1} - length(bin(rest)) END AS rho
+            FROM rr
+        ),
+        regs AS (
+            SELECT flag, bucket, max(rho) AS r FROM rho GROUP BY flag, bucket
+        ),
+        sk AS (
+            SELECT flag,
+                   CAST({HLL_M} - count(*) AS BIGINT) AS zeros,
+                   CAST(sum(1::BIGINT << CAST({HLL_S} - r AS INT))
+                        + ({HLL_M} - count(*)) * (1::BIGINT << {HLL_S})
+                        AS BIGINT) AS hsum
+            FROM regs GROUP BY flag
+        ),
+        est0 AS (
+            SELECT flag, zeros, hsum,
+                   CAST({HLL_ALPHA!r} AS DOUBLE) * {float(_HLL_M2S)!r}
+                       / CAST(hsum AS DOUBLE) AS raw
+            FROM sk
+        ),
+        est AS (
+            SELECT flag, zeros, hsum,
+                   CAST(round(
+                       CASE WHEN raw <= {2.5 * HLL_M!r} AND zeros > 0
+                            THEN {float(HLL_M)!r}
+                                 * ln({float(HLL_M)!r} / CAST(zeros AS DOUBLE))
+                            ELSE raw END
+                   ) AS BIGINT) AS est_distinct
+            FROM est0
+        ),
+        ex AS (
+            SELECT flag, count(DISTINCT k) AS exact_distinct FROM li
+            GROUP BY flag
+        )
+        SELECT est.flag, zeros, hsum, est_distinct,
+               CAST(exact_distinct AS BIGINT) AS exact_distinct,
+               round((est_distinct - exact_distinct)
+                     / CAST(exact_distinct AS DOUBLE), 4) AS rel_err
+        FROM est JOIN ex ON est.flag = ex.flag
+        ORDER BY est.flag
+    """,
     "q_quantile_sketch": f"""
         WITH b AS (
             SELECT min(value) AS mn, max(value) AS mx,

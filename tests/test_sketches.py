@@ -78,3 +78,45 @@ def test_cms_raw_stream_equals_vocab_weighted_grid(spark):
     ).groupBy("c.seed", "c.bucket").agg(F.sum("n").alias("n"))
     weighted = {(r["seed"], r["bucket"]): r["n"] for r in cells.collect()}
     assert raw == weighted
+
+
+def test_hll_error_within_envelope_and_merge_law(spark):
+    """q_hll_distinct's estimates must land inside ~2.5 standard errors of
+    the m=64 HLL bound (1.04/sqrt(64) ~= 13% per group), and the sketch
+    must obey the merge law the 100 TB story depends on: registers built
+    from two disjoint shards MAX-merge to exactly the registers of the
+    union (which is what lets per-day/per-shard sketches combine without a
+    distinct pass)."""
+    from kitkat_spark.operators.sketches import q_hll_distinct
+
+    rows = q_hll_distinct(spark, SF).collect()
+    assert len(rows) == 3
+    for r in rows:
+        assert abs(r["rel_err"]) < 0.33, (r["flag"], r["rel_err"])
+
+    # merge law on the raw registers: split lineitem by parity of orderkey
+    from kitkat_spark.functions.text import md5_long
+    from kitkat_spark.operators.sketches import HLL_M, HLL_P, HLL_REST_W
+
+    li = load_table(spark, SF, "lineitem").select(F.col("l_orderkey").alias("k"))
+    h = md5_long(F.concat(F.lit("hll|"), F.col("k").cast("string")))
+    hashed = li.select(
+        (F.col("k") % 2).alias("shard"),
+        F.pmod(h, F.lit(HLL_M)).alias("bucket"),
+        F.when(F.pmod(F.shiftright(h, HLL_P), F.lit(1 << HLL_REST_W)) == 0,
+               F.lit(HLL_REST_W + 1))
+        .otherwise(
+            F.lit(HLL_REST_W + 1)
+            - F.length(F.bin(F.pmod(F.shiftright(h, HLL_P), F.lit(1 << HLL_REST_W))))
+        ).alias("rho"),
+    )
+    per_shard = hashed.groupBy("shard", "bucket").agg(F.max("rho").alias("r"))
+    merged = {
+        r["bucket"]: r["r"]
+        for r in per_shard.groupBy("bucket").agg(F.max("r").alias("r")).collect()
+    }
+    union = {
+        r["bucket"]: r["r"]
+        for r in hashed.groupBy("bucket").agg(F.max("rho").alias("r")).collect()
+    }
+    assert merged == union
