@@ -309,7 +309,93 @@ def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SKY_BUCKET_CENTS = 100  # ~100 price buckets across the catalog's range
+
+
+def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline / Pareto-frontier operator (Börzsönyi, Kossmann, Stocker,
+    ICDE 2001 — public literature): the parts no other part strictly
+    dominates on (retail price MINIMIZED, size MAXIMIZED) — the
+    "cheapest-for-its-size" frontier. A part is dominated iff another part
+    is <= on price and >= on size with at least one strict; ties on both
+    dims survive together (no strict edge either way).
+
+    Scale shape: the textbook formulation is an O(n^2) NOT-EXISTS self-join
+    (the oracle runs exactly that); a single-sort cummax needs ONE global
+    ordering — a single-partition window at 100 TB. This plan instead
+    two-phases it like a prefix aggregation: (1) prices quantize to exact
+    integer cents (decimal multiply — no float rounding) and bucket by
+    cents div {SKY_BUCKET_CENTS}; (2) per-bucket size maxima aggregate to a
+    ~price-range/{SKY_BUCKET_CENTS}-row relation whose prefix-max window is
+    domain-sized (irrelevant at any corpus size, same argument as
+    q_quantile_sketch's 256-row cum window) and broadcasts back; (3) the
+    strict-dominance tests are bucket-local windows — rangeBetween(-1) on
+    integer cents for cents' < cents, a (bucket, cents) partition max for
+    the equal-price strict-size test — all partitioned by bucket, so every
+    corpus-sized step shuffles once on the bucket key and sorts only within
+    buckets. greatest(carry, in-bucket strict max) >= size OR
+    equal-price max > size == dominated."""
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        (F.col("p_retailprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+        "p_size",
+    )
+    pts = p.withColumn(
+        "b", F.floor(F.col("cents") / F.lit(SKY_BUCKET_CENTS)).cast("long")
+    )
+    bm = pts.groupBy("b").agg(F.max("p_size").alias("bmax"))
+    wb = W.orderBy("b").rowsBetween(W.unboundedPreceding, -1)
+    carry = bm.select(
+        "b", F.coalesce(F.max("bmax").over(wb), F.lit(-1)).alias("carry")
+    )
+    j = pts.join(F.broadcast(carry), "b")
+    w_in = (
+        W.partitionBy("b")
+        .orderBy("cents")
+        .rangeBetween(W.unboundedPreceding, -1)
+    )
+    w_eq = W.partitionBy("b", "cents")
+    dom = j.select(
+        "p_partkey",
+        "cents",
+        "p_size",
+        F.greatest(
+            F.col("carry"),
+            F.coalesce(F.max("p_size").over(w_in), F.lit(-1)),
+        ).alias("lt_max"),
+        F.max("p_size").over(w_eq).alias("eq_max"),
+    )
+    sky = dom.filter(
+        ~(
+            (F.col("lt_max") >= F.col("p_size"))
+            | (F.col("eq_max") > F.col("p_size"))
+        )
+    )
+    return sky.select("p_partkey", "cents", "p_size").orderBy(
+        "cents", "p_partkey"
+    )
+
+
 ORACLE: dict[str, str] = {
+    "q_skyline": """
+        WITH p AS (
+            SELECT p_partkey,
+                   CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                       AS cents,
+                   p_size
+            FROM part
+        )
+        SELECT a.p_partkey, a.cents, a.p_size
+        FROM p a
+        WHERE NOT EXISTS (
+            SELECT 1 FROM p b
+            WHERE b.cents <= a.cents AND b.p_size >= a.p_size
+              AND (b.cents < a.cents OR b.p_size > a.p_size)
+        )
+        ORDER BY a.cents, a.p_partkey
+    """,
     "q_trend_slope": """
         SELECT event_type,
                count(*) AS n_events,

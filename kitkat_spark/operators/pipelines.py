@@ -101,6 +101,93 @@ def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BPE_TOP_K = 20
+BPE_EOW = "</w>"
+
+
+def q_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer-training step (Sennrich, Haddow, Birch, ACL 2016 —
+    public literature): the adjacent-symbol-pair frequency table of the
+    first merge iteration, occurrence-weighted by word frequency, with the
+    end-of-word marker pair included — rank 1 IS the first merge the
+    trainer would apply. Output: top-20 candidate pairs with their
+    occurrence-weighted counts and distinct-word support.
+
+    Why this is the 100 TB shape: BPE training NEVER iterates over the
+    corpus — ONE corpus pass aggregates to the (word, freq) table (Heap's
+    law: vocabulary grows ~sqrt of corpus, and is capped in practice), and
+    every merge iteration runs on that domain-sized table. Here the corpus
+    pass is one explode + partial-agg shuffle keyed on the word; the pair
+    fan-out explodes ~|word| rows per VOCAB row (not per corpus token), and
+    the pair aggregation's key domain is symbol-pairs. The final top-K is
+    TakeOrderedAndProject; the rank window runs over 20 rows. Subsequent
+    iterations (apply merge, recount) touch only the same vocab table —
+    the per-word resegmentation is driver-free, bounded work a production
+    trainer loops in milliseconds.
+
+    Determinism: counts are exact integers; ties break on the pair itself;
+    the oracle replays the identical arithmetic (substr is 1-based in both
+    engines; DuckDB generate_series(1, 0) and the guarded Spark sequence
+    both yield no inner pairs for single-char words)."""
+    par = spark.sparkContext.defaultParallelism
+    docs = load_table(spark, sf_dir, "documents").repartition(par)
+    # the ONE corpus-sized pass: word-frequency table (vocab-domain-sized);
+    # eager checkpoint — both the inner-pair and end-pair branches consume it
+    words = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("w"))
+        .filter(F.length("w") > 0)
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+        .localCheckpoint(eager=True)
+    )
+    # sequence(1, 0) DESCENDS in Spark — clamp the upper bound, then filter
+    # the phantom position back out for single-char words
+    inner = (
+        words.select(
+            "w",
+            "freq",
+            F.explode(
+                F.sequence(
+                    F.lit(1), F.greatest(F.length("w") - 1, F.lit(1))
+                )
+            ).alias("i"),
+        )
+        .filter(F.col("i") <= F.length("w") - 1)
+        .select(
+            "w",
+            "freq",
+            F.col("w").substr(F.col("i"), F.lit(1)).alias("sym1"),
+            F.col("w").substr(F.col("i") + 1, F.lit(1)).alias("sym2"),
+        )
+    )
+    end = words.select(
+        "w",
+        "freq",
+        F.col("w").substr(F.length("w"), F.lit(1)).alias("sym1"),
+        F.lit(BPE_EOW).alias("sym2"),
+    )
+    pairs = (
+        inner.select("w", "freq", "sym1", "sym2")
+        .unionByName(end)
+        .groupBy("sym1", "sym2")
+        .agg(
+            F.sum("freq").cast("long").alias("pair_count"),
+            F.countDistinct("w").alias("n_words"),
+        )
+    )
+    top = pairs.orderBy(F.col("pair_count").desc(), "sym1", "sym2").limit(
+        BPE_TOP_K
+    )
+    w_r = W.orderBy(F.col("pair_count").desc(), "sym1", "sym2")
+    return top.select(
+        F.row_number().over(w_r).alias("rank"),
+        "sym1",
+        "sym2",
+        "pair_count",
+        "n_words",
+    )
+
+
 def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top TF-IDF term per document (smoothed idf = ln((N+1)/(df+1))).
 
@@ -888,6 +975,38 @@ ORACLE: dict[str, str] = {
                      / sum(n), 4) AS oov_rate
         FROM st LEFT JOIN vocab v ON st.token = v.token
         GROUP BY st.source
+    """,
+    "q_bpe_pairs": f"""
+        WITH wf AS (
+            SELECT w, count(*) AS freq FROM (
+                SELECT unnest(string_split(text, ' ')) AS w FROM documents
+            ) t WHERE length(w) > 0 GROUP BY w
+        ),
+        inner_p AS (
+            SELECT w, freq,
+                   substr(w, i, 1) AS sym1, substr(w, i + 1, 1) AS sym2
+            FROM wf, unnest(generate_series(1, length(w) - 1)) AS t(i)
+        ),
+        end_p AS (
+            SELECT w, freq,
+                   substr(w, length(w), 1) AS sym1, '{BPE_EOW}' AS sym2
+            FROM wf
+        ),
+        pairs AS (
+            SELECT sym1, sym2,
+                   CAST(sum(freq) AS BIGINT) AS pair_count,
+                   CAST(count(DISTINCT w) AS BIGINT) AS n_words
+            FROM (SELECT * FROM inner_p UNION ALL SELECT * FROM end_p)
+            GROUP BY sym1, sym2
+        ),
+        top AS (
+            SELECT * FROM pairs
+            ORDER BY pair_count DESC, sym1, sym2 LIMIT {BPE_TOP_K}
+        )
+        SELECT row_number() OVER (ORDER BY pair_count DESC, sym1, sym2)
+                   AS rank,
+               sym1, sym2, pair_count, n_words
+        FROM top
     """,
     "q_vocab": """
         WITH toks AS (

@@ -128,6 +128,10 @@ _VERIFY_FIRST = [
     "q_semdedup",            # NEW: SemDeDup within-cell semantic dedup
     "q_dsir_weights",        # NEW: DSIR importance weights
     "q_csv_roundtrip",       # NEW: RFC-4180 CSV round trip
+    "q_hll_distinct",        # NEW: HyperLogLog distinct sketch
+    "q_bpe_pairs",           # NEW: BPE merge-pair counting
+    "q_skyline",             # NEW: Pareto frontier, bucketed prefix-max
+    "q_binary_ingest",       # NEW: binaryFile source + real PNG decode
     # -- (b) the fourteen r5-stale greens (round-8 verdict next-round #1) --
     "q_similarity_search",
     "q_span_dedup",
@@ -143,17 +147,18 @@ _VERIFY_FIRST = [
     "q_triangle_count",
     "q_window_rank",
     "q_zorder_cluster",
-    # -- (c) oldest remaining greens (round 6), alphabetical; 36 r6
-    # greens don't fit this round's 50 (round 9 added 13 new queries) and
-    # head next round's block (c): q_excess_suppliers q_forecast_revenue
-    # q_grouping_sets q_histogram q_incremental_dedup
+    # -- (c) oldest remaining greens (round 6), alphabetical; 40 r6
+    # greens don't fit this round's 50 (round 9 added 17 new queries) and
+    # head next round's block (c): q_decontaminate
+    # q_disjunctive_join q_embedding_audit q_excess_suppliers
+    # q_forecast_revenue q_grouping_sets q_histogram q_incremental_dedup
     # q_lang_mismatch q_lm_score q_market_share q_min_cost_supplier
-    # q_mjoin_region_revenue q_mjoin_revenue q_nation_volume
-    # q_normalize_window q_pivot q_posexplode q_product_profit
-    # q_promo_revenue q_returned_revenue q_sample_split q_scan_filter
-    # q_simhash q_skew_join_auto q_skew_join_salted q_sort_limit
-    # q_stratified_sample q_string_agg q_subquery_scalar q_tfidf
-    # q_top_supplier q_unpivot q_weighted_sample q_window_frame
+    # q_mix_rebalance q_mjoin_region_revenue q_mjoin_revenue
+    # q_nation_volume q_normalize_window q_pivot q_posexplode
+    # q_product_profit q_promo_revenue q_returned_revenue q_sample_split
+    # q_scan_filter q_simhash q_skew_join_auto q_skew_join_salted
+    # q_sort_limit q_stratified_sample q_string_agg q_subquery_scalar
+    # q_tfidf q_top_supplier q_unpivot q_weighted_sample q_window_frame
     # q_window_ntile q_window_range q_winnow_fingerprint q_zlib --
     "q_agg_distinct",
     "q_agg_group",
@@ -163,10 +168,6 @@ _VERIFY_FIRST = [
     "q_conditional_funcs",
     "q_corpus_pipeline",
     "q_datetime_funcs",
-    "q_decontaminate",
-    "q_disjunctive_join",
-    "q_embedding_audit",
-    "q_mix_rebalance",
 ]
 
 assert len(_VERIFY_FIRST) == 50, len(_VERIFY_FIRST)
