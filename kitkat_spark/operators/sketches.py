@@ -238,6 +238,25 @@ HLL_S = HLL_REST_W + 1  # 2^(S - rho) harmonic terms stay integer (rho <= S)
 HLL_ALPHA = 0.709  # Flajolet-Fusy-Gandouet-Meunier 2007 constant for m = 64
 _HLL_M2S = HLL_M * HLL_M * (1 << HLL_S)  # 2^45 — exact as a double
 
+# Small-range linear-counting estimates, PRECOMPUTED: round(m * ln(m/z))
+# for z empty registers. ln() is the one transcendental in HLL and libm
+# results are not guaranteed bit-identical across the JVM and DuckDB —
+# baking the 63 integers into BOTH engines' expressions (a literal lookup
+# here, a CASE in the oracle) makes the branch engine-exact by
+# construction, the same precompute-and-ship move as the PassJoin triple
+# relation. z = 0 never reaches the table (the branch requires zeros > 0).
+import math as _math
+
+HLL_LC = tuple(
+    int(_math.floor(HLL_M * _math.log(HLL_M / z) + 0.5))
+    for z in range(1, HLL_M)
+)
+_HLL_LC_SQL = (
+    "CASE zeros "
+    + " ".join(f"WHEN {z + 1} THEN {v}" for z, v in enumerate(HLL_LC))
+    + " END"
+)
+
 
 def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog distinct-count audit: estimate |distinct l_orderkey| per
@@ -261,8 +280,11 @@ def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     one literal-multiply and one divide per group — identical IEEE
     evaluation both engines, so the driver hash-compares the ESTIMATES.
     The small-range linear-counting branch (raw <= 2.5m with empty
-    registers) is written in both engines; at every tested SF the per-flag
-    cardinality (>= ~700) keeps the pure-HLL branch taken on both sides.
+    registers) uses the PRECOMPUTED HLL_LC integer table in both engines
+    (no cross-engine ln()); the branch decision itself compares the
+    engine-identical raw estimate. At every tested SF the per-flag
+    cardinality (>= ~700) keeps the pure-HLL branch taken here — the
+    streaming variant (q_stream_hll_wm) exercises the linear branch hot.
     Expected relative error is 1.04/sqrt(64) ~= 13%; tests/test_sketches.py
     asserts the measured error inside that envelope."""
     li = load_table(spark, sf_dir, "lineitem").select(
@@ -311,13 +333,14 @@ def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "flag",
         "zeros",
         "hsum",
-        F.round(
-            F.when(
-                (raw <= F.lit(2.5 * HLL_M)) & (F.col("zeros") > 0),
-                F.lit(float(HLL_M))
-                * F.log(F.lit(float(HLL_M)) / F.col("zeros").cast("double")),
-            ).otherwise(raw)
+        F.when(
+            (raw <= F.lit(2.5 * HLL_M)) & (F.col("zeros") > 0),
+            F.element_at(
+                F.array(*[F.lit(v) for v in HLL_LC]),
+                F.greatest(F.col("zeros"), F.lit(1)).cast("int"),
+            ),
         )
+        .otherwise(F.round(raw))
         .cast("long")
         .alias("est_distinct"),
     )
@@ -384,12 +407,10 @@ ORACLE: dict[str, str] = {
         ),
         est AS (
             SELECT flag, zeros, hsum,
-                   CAST(round(
-                       CASE WHEN raw <= {2.5 * HLL_M!r} AND zeros > 0
-                            THEN {float(HLL_M)!r}
-                                 * ln({float(HLL_M)!r} / CAST(zeros AS DOUBLE))
-                            ELSE raw END
-                   ) AS BIGINT) AS est_distinct
+                   CAST(CASE WHEN raw <= {2.5 * HLL_M!r} AND zeros > 0
+                             THEN {_HLL_LC_SQL}
+                             ELSE round(raw) END
+                        AS BIGINT) AS est_distinct
             FROM est0
         ),
         ex AS (

@@ -474,6 +474,120 @@ def q_stream_topk_wm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_hll_wm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming distinct-count — hourly distinct users estimated by a
+    watermarked windowed HyperLogLog (the canonical unbounded-cardinality
+    streaming ask: "unique users per hour" without keeping user sets in
+    state). The stream carries only (window, register-bucket) -> max(rho):
+    at most 64 6-bit registers of state per live window regardless of user
+    cardinality, emitted once per sealed window in append mode. Estimate +
+    exact-side audit compose AT READ TIME over the sealed registers (the
+    same post-state composition as q_stream_topk_wm's rank).
+
+    Why this and not dropDuplicates + count: exact streaming distinct
+    keeps every key in state (unbounded); approx_count_distinct's t-digest
+    sketch is engine-private. The HLL registers here are md5-derived and
+    integer-exact, so the DuckDB oracle rebuilds register-for-register and
+    the driver hash-compares the estimates — including the small-range
+    linear-counting branch, which is HOT at fixture scale (1-30 distinct
+    users/window) and served from the precomputed HLL_LC table in both
+    engines (sketches.py — no cross-engine ln()). At sf0.1 (~100-170
+    users/window) windows straddle the branch boundary, exercising both
+    paths with the branch decided by the engine-identical raw estimate.
+
+    The sealed set is the watermark boundary the other wm queries state:
+    window_end <= max(ts) - delay. Exact counts come from the batch table
+    on the same boundary — verification only; a production run keeps just
+    the registers."""
+    from kitkat_spark.functions.text import md5_long
+    from kitkat_spark.operators.sketches import (
+        HLL_ALPHA,
+        HLL_LC,
+        HLL_M,
+        HLL_P,
+        HLL_REST_W,
+        HLL_S,
+        _HLL_M2S,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    path, n_rows = _replay_info(spark, sf_dir, "hll", lambda: ev)
+    h = md5_long(F.concat(F.lit("shll|"), F.col("user_id").cast("string")))
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .parquet(path)
+        .withWatermark("ts", "10 minutes")
+        .select(
+            "ts",
+            F.pmod(h, F.lit(HLL_M)).alias("bucket"),
+            F.pmod(F.shiftright(h, HLL_P), F.lit(1 << HLL_REST_W)).alias(
+                "rest"
+            ),
+        )
+        .select(
+            "ts",
+            "bucket",
+            F.when(F.col("rest") == 0, F.lit(HLL_REST_W + 1))
+            .otherwise(F.lit(HLL_REST_W + 1) - F.length(F.bin("rest")))
+            .alias("rho"),
+        )
+        .groupBy(F.window("ts", "1 hour").alias("w"), "bucket")
+        .agg(F.max("rho").alias("r"))
+        .select(F.col("w.start").alias("window_start"), "bucket", "r")
+    )
+    name = f"stream_hll_wm_{_sink_suffix(path)}"
+    with _state_partitions(spark, n_rows):
+        q = (
+            stream.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    sk = spark.table(name).groupBy("window_start").agg(
+        (F.lit(HLL_M) - F.count("*")).cast("long").alias("zeros"),
+        (
+            F.sum(
+                F.expr(
+                    f"shiftleft(cast(1 as bigint), cast({HLL_S} - r as int))"
+                )
+            )
+            + (F.lit(HLL_M) - F.count("*")) * F.lit(1 << HLL_S)
+        )
+        .cast("long")
+        .alias("hsum"),
+    )
+    raw = F.lit(HLL_ALPHA) * F.lit(float(_HLL_M2S)) / F.col("hsum").cast(
+        "double"
+    )
+    est = sk.select(
+        "window_start",
+        "zeros",
+        F.when(
+            (raw <= F.lit(2.5 * HLL_M)) & (F.col("zeros") > 0),
+            F.element_at(
+                F.array(*[F.lit(v) for v in HLL_LC]),
+                F.greatest(F.col("zeros"), F.lit(1)).cast("int"),
+            ),
+        )
+        .otherwise(F.round(raw))
+        .cast("long")
+        .alias("est_distinct"),
+    )
+    exact = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.countDistinct("user_id").alias("exact_distinct"))
+        .select(F.col("w.start").alias("window_start"), "exact_distinct")
+    )
+    return (
+        est.join(exact, "window_start")
+        .select("window_start", "zeros", "est_distinct", "exact_distinct")
+        .orderBy("window_start")
+    )
+
+
 def q_stream_late_drop_wm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The watermark's LATE-DATA DROP, actually exercised: every other
     streaming query here replays in one batch, where the watermark starts
@@ -663,7 +777,75 @@ def q_stateful_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return user_profiles(load_table(spark, sf_dir, "events"))
 
 
+from kitkat_spark.operators.sketches import (  # noqa: E402
+    _HLL_LC_SQL as _LC_SQL,
+    HLL_ALPHA as _HA,
+    HLL_M as _HM,
+    _HLL_M2S as _HM2S,
+    HLL_REST_W as _HRW,
+    HLL_S as _HS,
+)
+
 ORACLE: dict[str, str] = {
+    "q_stream_hll_wm": f"""
+        WITH sealed AS (
+            SELECT user_id,
+                   CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start
+            FROM events
+            WHERE CAST(date_trunc('hour', ts) AS TIMESTAMP) + INTERVAL 1 HOUR
+                  <= (SELECT max(ts) - INTERVAL 10 MINUTE FROM events)
+        ),
+        h AS (
+            SELECT window_start,
+                   ('0x' || substr(md5('shll|' || user_id), 1, 15))::BIGINT
+                       AS hv
+            FROM sealed
+        ),
+        rr AS (
+            SELECT window_start, hv % {_HM} AS bucket,
+                   (hv // {_HM}) % {1 << _HRW} AS rest
+            FROM h
+        ),
+        rho AS (
+            SELECT window_start, bucket,
+                   CASE WHEN rest = 0 THEN {_HRW + 1}
+                        ELSE {_HRW + 1} - length(bin(rest)) END AS rho
+            FROM rr
+        ),
+        regs AS (
+            SELECT window_start, bucket, max(rho) AS r
+            FROM rho GROUP BY 1, 2
+        ),
+        sk AS (
+            SELECT window_start,
+                   CAST({_HM} - count(*) AS BIGINT) AS zeros,
+                   CAST(sum(1::BIGINT << CAST({_HS} - r AS INT))
+                        + ({_HM} - count(*)) * (1::BIGINT << {_HS})
+                        AS BIGINT) AS hsum
+            FROM regs GROUP BY 1
+        ),
+        est0 AS (
+            SELECT window_start, zeros,
+                   CAST({_HA!r} AS DOUBLE) * {float(_HM2S)!r}
+                       / CAST(hsum AS DOUBLE) AS raw
+            FROM sk
+        ),
+        est AS (
+            SELECT window_start, zeros,
+                   CAST(CASE WHEN raw <= {2.5 * _HM!r} AND zeros > 0
+                             THEN {_LC_SQL}
+                             ELSE round(raw) END AS BIGINT) AS est_distinct
+            FROM est0
+        ),
+        ex AS (
+            SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct
+            FROM events GROUP BY 1
+        )
+        SELECT est.window_start, zeros, est_distinct, exact_distinct
+        FROM est JOIN ex ON est.window_start = ex.window_start
+        ORDER BY est.window_start
+    """,
     # the doubled stream deduped on event_id is exactly the events table
     # (event_id is unique there) — DISTINCT expresses it
     # the batch gap-fill restricted to the windows append mode seals
