@@ -203,6 +203,16 @@ HEADLINE = [
     "q_dsir_weights",
     "q_csv_roundtrip",
     "q_stream_gap_fill",
+    "q_hll_distinct",
+    "q_bpe_pairs",
+    "q_skyline",
+    "q_binary_ingest",
+    "q_stream_hll_wm",
+    "q_ewma",
+    "q_anomaly_mad",
+    "q_winsorize",
+    "q_kmv_intersect",
+    "q_rrf_fusion",
     # Excluded on purpose (NOT a silent cap): q_cc_chain is the adversarial
     # deep-diameter CC verification query — it deliberately runs ~25 star
     # rounds on a path graph, so its wall time is per-round scheduler

@@ -378,7 +378,142 @@ def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MAD_K = 0.6745  # Phi^-1(0.75): scales MAD to sigma-equivalent units
+MAD_THRESHOLD = 3.5  # Iglewicz-Hoaglin modified z-score cutoff
+
+
+def q_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-type outliers via the median/MAD modified z-score
+    (Iglewicz & Hoaglin 1993, public statistics literature): |0.6745 *
+    (x - median) / MAD| > 3.5. Unlike q_anomaly_zscore's mean/stddev, the
+    median/MAD pair has a 50% breakdown point — the outliers themselves
+    cannot drag the threshold, which is why production data-quality gates
+    prefer it on heavy-tailed value streams.
+
+    Plan: two tiny per-type aggregations (exact percentile — sort-based
+    within each of the handful of type groups), each broadcast BACK onto
+    the scan (the q_anomaly_zscore / q_length_outliers pattern), so the
+    event stream itself never shuffles and the filter is a narrow map at
+    any scale. At 100 TB the exact median swaps for the q_quantile_sketch
+    mergeable summary; the broadcast-back shape is unchanged.
+
+    Determinism: median and MAD are SNAPPED to the 4-dp grid before the
+    score — interpolated medians of 2-dp values land ~1e-13 from a 3-dp
+    gridpoint, so both engines round identically and the score arithmetic
+    then runs on bit-identical inputs (engines may interpolate
+    a+(b-a)*f vs (1-f)*a+f*b, which differ in the last ulp)."""
+    ev = load_table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5D)"), 4).alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type")
+    mad = (
+        dev.withColumn("adev", F.abs(F.col("value") - F.col("med")))
+        .groupBy("event_type")
+        .agg(
+            F.round(F.expr("percentile(adev, 0.5D)"), 4).alias("mad"),
+            F.first("med").alias("med"),
+        )
+    )
+    rz = MAD_K * (F.col("value") - F.col("med")) / F.col("mad")
+    return (
+        ev.join(F.broadcast(mad), "event_type")
+        .filter((F.col("mad") > 0) & (F.abs(rz) > MAD_THRESHOLD))
+        .select(
+            "event_id",
+            "event_type",
+            F.round("value", 2).alias("value"),
+            F.round(rz, 4).alias("mad_z"),
+        )
+    )
+
+
+WINSOR_LO = 0.05
+WINSOR_HI = 0.95
+
+
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type winsorized mean: values clamped to the [p5, p95] band
+    before averaging — the robust location estimate training-data quality
+    reports use when a value column has fat tails (raw means are dominated
+    by the tail; trimming drops data, winsorizing keeps row counts).
+
+    Plan: one tiny per-type percentile aggregate broadcast back onto the
+    scan (stream never shuffles), clamp = codegen'd least/greatest, then
+    ONE map-side-combinable aggregate for count/sum/clamp tallies. The
+    p5/p95 cut points are 4-dp-snapped like q_anomaly_mad's median so both
+    engines clamp at bit-identical thresholds; clamped values live on a
+    4-dp grid, so the decimal(18,4) sum is exact in both engines and the
+    mean divides that exact sum by the count in double."""
+    ev = load_table(spark, sf_dir, "events")
+    cuts = ev.groupBy("event_type").agg(
+        F.round(F.expr(f"percentile(value, {WINSOR_LO}D)"), 4).alias("lo"),
+        F.round(F.expr(f"percentile(value, {WINSOR_HI}D)"), 4).alias("hi"),
+    )
+    clamped = ev.join(F.broadcast(cuts), "event_type").withColumn(
+        "wv", F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))
+    )
+    return clamped.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.first("lo").alias("lo"),
+        F.first("hi").alias("hi"),
+        F.sum((F.col("value") < F.col("lo")).cast("long")).alias("n_clamped_lo"),
+        F.sum((F.col("value") > F.col("hi")).cast("long")).alias("n_clamped_hi"),
+        F.round(
+            F.sum(F.col("wv").cast("decimal(18,4)")).cast("double")
+            / F.count("*"),
+            4,
+        ).alias("winsor_mean"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double")
+            / F.count("*"),
+            4,
+        ).alias("raw_mean"),
+    )
+
+
 ORACLE: dict[str, str] = {
+    "q_anomaly_mad": f"""
+        WITH med AS (
+            SELECT event_type, round(quantile_cont(value, 0.5), 4) AS med
+            FROM events GROUP BY event_type
+        ), mad AS (
+            SELECT e.event_type,
+                   round(quantile_cont(abs(e.value - m.med), 0.5), 4) AS mad,
+                   any_value(m.med) AS med
+            FROM events e JOIN med m ON e.event_type = m.event_type
+            GROUP BY e.event_type
+        )
+        SELECT event_id, e.event_type,
+               round(value, 2) AS value,
+               round({MAD_K} * (value - med) / mad, 4) AS mad_z
+        FROM events e JOIN mad ON e.event_type = mad.event_type
+        WHERE mad > 0
+          AND abs({MAD_K} * (value - med) / mad) > {MAD_THRESHOLD}
+    """,
+    "q_winsorize": f"""
+        WITH cuts AS (
+            SELECT event_type,
+                   round(quantile_cont(value, {WINSOR_LO}), 4) AS lo,
+                   round(quantile_cont(value, {WINSOR_HI}), 4) AS hi
+            FROM events GROUP BY event_type
+        )
+        SELECT e.event_type,
+               count(*) AS n_events,
+               any_value(lo) AS lo,
+               any_value(hi) AS hi,
+               CAST(sum(CASE WHEN value < lo THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_clamped_lo,
+               CAST(sum(CASE WHEN value > hi THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_clamped_hi,
+               round(CAST(sum(CAST(least(greatest(value, lo), hi)
+                                   AS DECIMAL(18,4))) AS DOUBLE)
+                     / count(*), 4) AS winsor_mean,
+               round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+                     / count(*), 4) AS raw_mean
+        FROM events e JOIN cuts c ON e.event_type = c.event_type
+        GROUP BY e.event_type
+    """,
     "q_skyline": """
         WITH p AS (
             SELECT p_partkey,

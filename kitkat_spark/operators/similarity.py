@@ -696,6 +696,74 @@ def q_label_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RRF_K = 60  # the standard RRF damping constant (Cormack et al., SIGIR 2009)
+RRF_POOL = 50  # per-leg candidate depth
+RRF_TOP = 10
+RRF_QUERY_VEC = 0  # semantic leg's query = embedding of doc 0
+
+
+def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via reciprocal-rank fusion (Cormack, Clarke &
+    Büttcher, SIGIR 2009 — public literature): a BM25 lexical leg (shared
+    scorer with q_bm25, textops.bm25_scores) and a brute-force cosine
+    semantic leg each rank their top-{RRF_POOL}; a document's fused score
+    is Σ_legs 1/({RRF_K} + rank), summed over the legs that retrieved it —
+    the standard zero-tuning way to combine incomparable score scales, and
+    the retrieval core of every RAG/search stack.
+
+    Plan: both legs end in TakeOrderedAndProject (per-partition heads
+    only — no global sort), so each leg's cost is its scorer's: BM25
+    touches only matching postings, the cosine leg is one broadcast-query
+    map over the embedding table (q_similarity_search's shape; at 100 TB
+    the semantic leg swaps in q_ann_multiprobe's bucketed index — the
+    fusion join is rank-only and never changes). The fusion itself joins
+    two {RRF_POOL}-row relations — driver-trivial at any corpus size.
+
+    Determinism: both legs rank on ROUNDED scores with doc_id tie-breaks
+    (the q_bm25 rule — a rank boundary must never hang on an ulp), and the
+    fused sum is two fixed-order double terms, identical cross-engine."""
+    from kitkat_spark.operators.textops import bm25_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    lex = bm25_scores(docs).orderBy(F.col("score").desc(), "doc_id").limit(
+        RRF_POOL
+    )
+    w_lex = W.orderBy(F.col("score").desc(), "doc_id")
+    lex_r = lex.select(
+        F.row_number().over(w_lex).alias("lex_rk"), "doc_id"
+    )
+    emb = _with_norm(load_table(spark, sf_dir, "embeddings"))
+    q = emb.filter(F.col("vec_id") == RRF_QUERY_VEC).select(
+        F.col("v").alias("qv"), F.col("nrm").alias("qn")
+    )
+    sem = emb.crossJoin(F.broadcast(q)).select(
+        F.col("vec_id").alias("doc_id"),
+        F.round(
+            dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm")), 6
+        ).alias("cosine"),
+    )
+    sem_top = sem.orderBy(F.col("cosine").desc(), "doc_id").limit(RRF_POOL)
+    w_sem = W.orderBy(F.col("cosine").desc(), "doc_id")
+    sem_r = sem_top.select(
+        F.row_number().over(w_sem).alias("sem_rk"), "doc_id"
+    )
+    rrf = F.coalesce(
+        F.lit(1.0) / (F.lit(RRF_K) + F.col("lex_rk")), F.lit(0.0)
+    ) + F.coalesce(F.lit(1.0) / (F.lit(RRF_K) + F.col("sem_rk")), F.lit(0.0))
+    fused = lex_r.join(sem_r, "doc_id", "full_outer").select(
+        "doc_id", "lex_rk", "sem_rk", F.round(rrf, 6).alias("rrf_score")
+    )
+    top = fused.orderBy(F.col("rrf_score").desc(), "doc_id").limit(RRF_TOP)
+    w_f = W.orderBy(F.col("rrf_score").desc(), "doc_id")
+    return top.select(
+        F.row_number().over(w_f).alias("rk"),
+        "doc_id",
+        "lex_rk",
+        "sem_rk",
+        "rrf_score",
+    )
+
+
 
 # Shared oracle CTE replaying _ann_planes: the plane count derives from the
 # corpus count, so the SQL twin re-trains the identical index.
@@ -708,7 +776,50 @@ _ANN_PARAMS_SQL = f"""params AS (
             FROM embeddings WHERE len(embedding) > 0
         ), """
 
+from kitkat_spark.operators.textops import BM25_SCORED_SQL  # noqa: E402
+
 ORACLE: dict[str, str] = {
+    "q_rrf_fusion": f"""
+        WITH {BM25_SCORED_SQL},
+        lex AS (
+            SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+                        AS INT) AS lex_rk, doc_id
+            FROM (SELECT doc_id, score FROM scored
+                  ORDER BY score DESC, doc_id LIMIT {RRF_POOL})
+        ),
+        e AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v,
+                   sqrt(list_dot_product(embedding::DOUBLE[],
+                                         embedding::DOUBLE[])) AS nrm
+            FROM embeddings
+        ),
+        sem AS (
+            SELECT c.vec_id AS doc_id,
+                   round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6)
+                       AS cosine
+            FROM e c, (SELECT v, nrm FROM e
+                       WHERE vec_id = {RRF_QUERY_VEC}) q
+        ),
+        sem_r AS (
+            SELECT CAST(row_number() OVER (ORDER BY cosine DESC, doc_id)
+                        AS INT) AS sem_rk, doc_id
+            FROM (SELECT doc_id, cosine FROM sem
+                  ORDER BY cosine DESC, doc_id LIMIT {RRF_POOL})
+        ),
+        fused AS (
+            SELECT coalesce(l.doc_id, s.doc_id) AS doc_id,
+                   l.lex_rk, s.sem_rk,
+                   round(coalesce(1.0::DOUBLE / ({RRF_K} + l.lex_rk), 0.0)
+                         + coalesce(1.0::DOUBLE / ({RRF_K} + s.sem_rk), 0.0),
+                         6) AS rrf_score
+            FROM lex l FULL OUTER JOIN sem_r s ON l.doc_id = s.doc_id
+        )
+        SELECT CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id)
+                    AS INT) AS rk,
+               doc_id, lex_rk, sem_rk, rrf_score
+        FROM (SELECT * FROM fused
+              ORDER BY rrf_score DESC, doc_id LIMIT {RRF_TOP})
+    """,
     # Replays the cell assignment (q_ann_kmeans_ivf's), the within-cell
     # threshold pairs, and the component labeling as a recursive CTE (the
     # q_dedup_clusters pattern).

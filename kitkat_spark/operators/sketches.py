@@ -26,7 +26,7 @@ approximation structure (same trick as the LSH family's replayed oracles).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from kitkat_spark.functions.text import md5_long, tokens
@@ -367,7 +367,178 @@ def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+KMV_K = 64  # sketch size: k minimum hash values per set
+KMV_DOMAIN = float(2**60)  # md5_long range [0, 2^60)
+KMV_TYPE_A = "view"
+KMV_TYPE_B = "purchase"
+
+
+def q_kmv_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) distinct sketches with SET-OPERATION support
+    (Beyer et al., SIGMOD 2007 — public literature): per-audience distinct
+    users, union size, Jaccard, and INTERSECTION estimated from k=
+    {KMV_K}-hash sketches, next to the exact answers the fixture can still
+    afford — the driver hash-verifies estimator and truth together.
+
+    Why KMV and not HLL here: HLL registers union cleanly but cannot
+    intersect without inclusion-exclusion error blowup; KMV sketches
+    support intersection natively (K∩ = |uni_k ∩ S_A ∩ S_B|, J = K∩/k,
+    |A∩B| ≈ J * est_union) — the audience-overlap question every
+    cross-corpus dedup/contamination report asks.
+
+    Scale: the (type, user) distinct is ONE map-side-combinable shuffle of
+    8-byte hashes; the per-type k-minima run through a rank<=k window that
+    Spark 3.5+'s WindowGroupLimit rewrites into per-partition partial
+    top-k before the shuffle, and the global union minima are a
+    TakeOrderedAndProject (per-partition heads only). A production stream
+    would keep per-shard k-min heaps and merge them — the estimator's
+    defining property; the exact columns exist to price its error and
+    vanish at 100 TB. Estimate = (k-1) * 2^60 / kth_min, exact-count
+    passthrough when the sketch saw fewer than k distinct values.
+
+    Determinism: md5_long hashes are bit-identical in DuckDB, so the
+    oracle rebuilds the same sketches and the same estimates."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin(KMV_TYPE_A, KMV_TYPE_B)
+    )
+    du = ev.select("event_type", "user_id").distinct()
+    hashed = du.select(
+        "event_type", md5_long(F.col("user_id").cast("string")).alias("h")
+    )
+    w = W.partitionBy("event_type").orderBy("h")
+    sk = hashed.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= KMV_K
+    )
+    is_a = F.col("event_type") == KMV_TYPE_A
+    is_b = F.col("event_type") == KMV_TYPE_B
+    sk_stats = sk.groupBy().agg(
+        F.max(F.when(is_a, F.col("h"))).alias("kth_a"),
+        F.sum(is_a.cast("long")).alias("keff_a"),
+        F.max(F.when(is_b, F.col("h"))).alias("kth_b"),
+        F.sum(is_b.cast("long")).alias("keff_b"),
+    )
+    uni = hashed.select("h").distinct().orderBy("h").limit(KMV_K)
+    uni_stats = uni.groupBy().agg(
+        F.max("h").alias("kth_u"), F.count("*").alias("keff_u")
+    )
+    both_h = (
+        sk.groupBy("h")
+        .agg(F.countDistinct("event_type").alias("nt"))
+        .filter(F.col("nt") == 2)
+    )
+    inter_k = uni.join(both_h.select("h"), "h", "left_semi").groupBy().agg(
+        F.count("*").alias("k_inter")
+    )
+    per_user = du.groupBy("user_id").agg(
+        F.max(is_a.cast("int")).alias("in_a"),
+        F.max(is_b.cast("int")).alias("in_b"),
+    )
+    exact = per_user.groupBy().agg(
+        F.sum("in_a").cast("long").alias("n_a_exact"),
+        F.sum("in_b").cast("long").alias("n_b_exact"),
+        F.sum(F.col("in_a") * F.col("in_b")).cast("long").alias("n_inter_exact"),
+        F.count("*").cast("long").alias("n_union_exact"),
+    )
+
+    def est(keff: str, kth: str):
+        return F.when(
+            F.col(keff) < KMV_K, F.col(keff).cast("double")
+        ).otherwise(
+            (F.col(keff) - 1).cast("double")
+            * F.lit(KMV_DOMAIN)
+            / F.col(kth).cast("double")
+        )
+
+    out = (
+        exact.crossJoin(F.broadcast(sk_stats))
+        .crossJoin(F.broadcast(uni_stats))
+        .crossJoin(F.broadcast(inter_k))
+    )
+    jac = F.col("k_inter").cast("double") / F.col("keff_u").cast("double")
+    return out.select(
+        F.lit(KMV_K).alias("k"),
+        "n_a_exact",
+        "n_b_exact",
+        "n_union_exact",
+        "n_inter_exact",
+        F.round(est("keff_a", "kth_a"), 2).alias("est_a"),
+        F.round(est("keff_b", "kth_b"), 2).alias("est_b"),
+        F.round(est("keff_u", "kth_u"), 2).alias("est_union"),
+        F.round(jac, 4).alias("jaccard_est"),
+        F.round(jac * est("keff_u", "kth_u"), 2).alias("est_inter"),
+    )
+
+
+def _kmv_est_sql(keff: str, kth: str) -> str:
+    return (
+        f"CASE WHEN {keff} < {KMV_K} THEN CAST({keff} AS DOUBLE) "
+        f"ELSE CAST({keff} - 1 AS DOUBLE) * {KMV_DOMAIN!r} "
+        f"/ CAST({kth} AS DOUBLE) END"
+    )
+
+
 ORACLE: dict[str, str] = {
+    "q_kmv_intersect": f"""
+        WITH du AS (
+            SELECT DISTINCT event_type, user_id FROM events
+            WHERE event_type IN ('{KMV_TYPE_A}', '{KMV_TYPE_B}')
+        ), h AS (
+            SELECT event_type,
+                   CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)
+                        AS BIGINT) AS h
+            FROM du
+        ), sk AS (
+            SELECT event_type, h FROM (
+                SELECT event_type, h,
+                       row_number() OVER (
+                           PARTITION BY event_type ORDER BY h) AS rk
+                FROM h
+            ) WHERE rk <= {KMV_K}
+        ), sk_stats AS (
+            SELECT max(CASE WHEN event_type = '{KMV_TYPE_A}' THEN h END)
+                       AS kth_a,
+                   CAST(sum(CASE WHEN event_type = '{KMV_TYPE_A}'
+                            THEN 1 ELSE 0 END) AS BIGINT) AS keff_a,
+                   max(CASE WHEN event_type = '{KMV_TYPE_B}' THEN h END)
+                       AS kth_b,
+                   CAST(sum(CASE WHEN event_type = '{KMV_TYPE_B}'
+                            THEN 1 ELSE 0 END) AS BIGINT) AS keff_b
+            FROM sk
+        ), uni AS (
+            SELECT DISTINCT h FROM h ORDER BY h LIMIT {KMV_K}
+        ), uni_stats AS (
+            SELECT max(h) AS kth_u, count(*) AS keff_u FROM uni
+        ), both_h AS (
+            SELECT h FROM sk GROUP BY h
+            HAVING count(DISTINCT event_type) = 2
+        ), inter_k AS (
+            SELECT count(*) AS k_inter FROM uni
+            WHERE h IN (SELECT h FROM both_h)
+        ), per_user AS (
+            SELECT user_id,
+                   max(CASE WHEN event_type = '{KMV_TYPE_A}'
+                       THEN 1 ELSE 0 END) AS in_a,
+                   max(CASE WHEN event_type = '{KMV_TYPE_B}'
+                       THEN 1 ELSE 0 END) AS in_b
+            FROM du GROUP BY user_id
+        ), exact AS (
+            SELECT CAST(sum(in_a) AS BIGINT) AS n_a_exact,
+                   CAST(sum(in_b) AS BIGINT) AS n_b_exact,
+                   CAST(sum(in_a * in_b) AS BIGINT) AS n_inter_exact,
+                   CAST(count(*) AS BIGINT) AS n_union_exact
+            FROM per_user
+        )
+        SELECT {KMV_K} AS k, n_a_exact, n_b_exact, n_union_exact,
+               n_inter_exact,
+               round({_kmv_est_sql('keff_a', 'kth_a')}, 2) AS est_a,
+               round({_kmv_est_sql('keff_b', 'kth_b')}, 2) AS est_b,
+               round({_kmv_est_sql('keff_u', 'kth_u')}, 2) AS est_union,
+               round(CAST(k_inter AS DOUBLE) / CAST(keff_u AS DOUBLE), 4)
+                   AS jaccard_est,
+               round(CAST(k_inter AS DOUBLE) / CAST(keff_u AS DOUBLE)
+                     * ({_kmv_est_sql('keff_u', 'kth_u')}), 2) AS est_inter
+        FROM exact, sk_stats, uni_stats, inter_k
+    """,
     "q_hll_distinct": f"""
         WITH li AS (
             SELECT l_returnflag AS flag, l_orderkey AS k FROM lineitem

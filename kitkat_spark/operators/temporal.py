@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from kitkat_spark.functions.numeric import dsum
+from kitkat_spark.functions.numeric import dsum, dsum_sql
 from kitkat_spark.sources import load_table
 
 SESSION_GAP_MINUTES = 30
@@ -237,7 +237,62 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+EWMA_ALPHA = 0.3  # smoothing: s_i = alpha*x_i + (1-alpha)*s_{i-1}
+
+
+def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially weighted moving average of event value — the
+    standard online smoothing signal (monitoring baselines, per-entity
+    activity level). EWMA is an inherently ORDERED left fold, which a
+    parallel SUM cannot express; the scalable shape is one shuffle on the
+    entity key, an in-group sort, and a codegen'd sequential fold — the
+    q_doc_entropy determinism move, so the double accumulation order is
+    identical in both engines and the result is bitwise reproducible.
+
+    Scale: per-user event counts are bounded (the fixture's heaviest user
+    holds ~1/n_users of the stream); a celebrity entity would cap the
+    collected list the way q_ngram_jaccard's DF_CAP bounds hot shingles, or
+    switch that key to the streaming twin (flatMapGroupsWithState keeps
+    O(1) state per key — no list at all). The collect_list here is
+    per-GROUP state, never driver-side."""
+    ev = load_table(spark, sf_dir, "events")
+    per = ev.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        dsum("value").alias("sum_value"),
+        F.array_sort(
+            F.collect_list(F.struct("ts", "event_id", "value"))
+        ).alias("s"),
+    )
+    per = per.withColumn("vals", F.expr("transform(s, p -> p.value)"))
+    ewma = F.expr(
+        "aggregate(slice(vals, 2, greatest(size(vals) - 1, 0)), vals[0],"
+        f" (a, x) -> {EWMA_ALPHA}D * x + {1 - EWMA_ALPHA}D * a)"
+    )
+    return per.select(
+        "user_id",
+        "n_events",
+        "sum_value",
+        F.round(ewma, 4).alias("ewma_value"),
+        F.round(F.element_at("vals", -1), 2).alias("last_value"),
+    )
+
+
 ORACLE: dict[str, str] = {
+    "q_ewma": f"""
+        WITH per AS (
+            SELECT user_id, count(*) AS n_events,
+                   {dsum_sql('value')} AS sum_value,
+                   list(CAST(value AS DOUBLE) ORDER BY ts, event_id) AS vals
+            FROM events GROUP BY user_id
+        )
+        SELECT user_id, n_events, sum_value,
+               round(list_reduce(vals,
+                     (a, x) -> {EWMA_ALPHA}::DOUBLE * x
+                               + {1 - EWMA_ALPHA}::DOUBLE * a), 4)
+                   AS ewma_value,
+               round(vals[-1], 2) AS last_value
+        FROM per
+    """,
     "q_asof_join": """
         SELECT e.event_id, e.user_id,
                (SELECT o.o_orderkey FROM orders o

@@ -300,6 +300,18 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     query batch: explode once, semi-join the query-token set, score —
     cost tracks matching postings, not the corpus."""
     docs = load_table(spark, sf_dir, "documents")
+    scored = bm25_scores(docs)
+    from pyspark.sql import Window as W
+
+    ranked = scored.orderBy(F.col("score").desc(), "doc_id").limit(BM25_TOP)
+    w = W.orderBy(F.col("score").desc(), "doc_id")
+    return ranked.select(F.row_number().over(w).alias("rk"), "doc_id", "score")
+
+
+def bm25_scores(docs: DataFrame) -> DataFrame:
+    """(doc_id, score): corpus BM25 for the fixed BM25_QUERY terms — the
+    scoring stage of q_bm25, shared with similarity.q_rrf_fusion's lexical
+    leg (docstring there for the fusion semantics)."""
     base = docs.select(
         "doc_id", F.size(tokens(F.col("text"))).alias("len"), tokens(F.col("text")).alias("w")
     )
@@ -333,11 +345,38 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.round(F.sum("contrib"), 4).alias("score"))
     )
-    from pyspark.sql import Window as W
+    return scored
 
-    ranked = scored.orderBy(F.col("score").desc(), "doc_id").limit(BM25_TOP)
-    w = W.orderBy(F.col("score").desc(), "doc_id")
-    return ranked.select(F.row_number().over(w).alias("rk"), "doc_id", "score")
+
+# DuckDB twin of bm25_scores as a CTE chain ending in scored(doc_id, score)
+# — spliced into the q_bm25 oracle here and q_rrf_fusion's in similarity.py
+# so both engines' lexical legs stay one definition.
+BM25_SCORED_SQL = f"""base AS (
+            SELECT doc_id, len(string_split(text, ' ')) AS len,
+                   string_split(text, ' ') AS w
+            FROM documents
+        ),
+        stats AS (
+            SELECT count(*) AS n_docs, avg(len) AS avglen FROM base
+        ),
+        tf AS (
+            SELECT doc_id, len, token, count(*) AS tf
+            FROM (SELECT doc_id, len, unnest(w) AS token FROM base)
+            WHERE token IN ({', '.join(repr(t) for t in BM25_QUERY)})
+            GROUP BY doc_id, len, token
+        ),
+        dft AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+        scored AS (
+            SELECT tf.doc_id,
+                   round(sum(
+                       ln((stats.n_docs - dft.df + 0.5) / (dft.df + 0.5) + 1.0)
+                       * (tf.tf * ({BM25_K1} + 1))
+                       / (tf.tf + {BM25_K1}
+                          * (1 - {BM25_B} + {BM25_B} * tf.len / stats.avglen))
+                   ), 4) AS score
+            FROM tf JOIN dft USING (token), stats
+            GROUP BY tf.doc_id
+        )"""
 
 
 # Shannon-entropy quality gate: token-distribution entropy below this many
@@ -410,32 +449,7 @@ ORACLE: dict[str, str] = {
         FROM scored
     """,
     "q_bm25": f"""
-        WITH base AS (
-            SELECT doc_id, len(string_split(text, ' ')) AS len,
-                   string_split(text, ' ') AS w
-            FROM documents
-        ),
-        stats AS (
-            SELECT count(*) AS n_docs, avg(len) AS avglen FROM base
-        ),
-        tf AS (
-            SELECT doc_id, len, token, count(*) AS tf
-            FROM (SELECT doc_id, len, unnest(w) AS token FROM base)
-            WHERE token IN ({', '.join(repr(t) for t in BM25_QUERY)})
-            GROUP BY doc_id, len, token
-        ),
-        dft AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
-        scored AS (
-            SELECT tf.doc_id,
-                   round(sum(
-                       ln((stats.n_docs - dft.df + 0.5) / (dft.df + 0.5) + 1.0)
-                       * (tf.tf * ({BM25_K1} + 1))
-                       / (tf.tf + {BM25_K1}
-                          * (1 - {BM25_B} + {BM25_B} * tf.len / stats.avglen))
-                   ), 4) AS score
-            FROM tf JOIN dft USING (token), stats
-            GROUP BY tf.doc_id
-        ),
+        WITH {BM25_SCORED_SQL},
         top AS (
             SELECT doc_id, score FROM scored
             ORDER BY score DESC, doc_id LIMIT {BM25_TOP}

@@ -133,6 +133,11 @@ _VERIFY_FIRST = [
     "q_skyline",             # NEW: Pareto frontier, bucketed prefix-max
     "q_binary_ingest",       # NEW: binaryFile source + real PNG decode
     "q_stream_hll_wm",       # NEW: streaming windowed HLL distinct
+    "q_ewma",                # NEW: per-user EWMA, deterministic sorted fold
+    "q_anomaly_mad",         # NEW: median/MAD robust outliers
+    "q_winsorize",           # NEW: winsorized per-type mean
+    "q_kmv_intersect",       # NEW: KMV sketch union/intersection estimate
+    "q_rrf_fusion",          # NEW: BM25 + cosine reciprocal-rank fusion
     # -- (b) the fourteen r5-stale greens (round-8 verdict next-round #1) --
     "q_similarity_search",
     "q_span_dedup",
@@ -148,9 +153,11 @@ _VERIFY_FIRST = [
     "q_triangle_count",
     "q_window_rank",
     "q_zorder_cluster",
-    # -- (c) oldest remaining greens (round 6), alphabetical; 41 r6
-    # greens don't fit this round's 50 (round 9 added 18 new queries) and
-    # head next round's block (c): q_datetime_funcs q_decontaminate
+    # -- (c) oldest remaining greens (round 6), alphabetical; 46 r6
+    # greens don't fit this round's 50 (round 9 added 23 new queries) and
+    # head next round's block (c): q_bloom_join q_column_profile
+    # q_column_profile_approx q_conditional_funcs q_corpus_pipeline
+    # q_datetime_funcs q_decontaminate
     # q_disjunctive_join q_embedding_audit q_excess_suppliers
     # q_forecast_revenue q_grouping_sets q_histogram q_incremental_dedup
     # q_lang_mismatch q_lm_score q_market_share q_min_cost_supplier
@@ -163,11 +170,6 @@ _VERIFY_FIRST = [
     # q_window_ntile q_window_range q_winnow_fingerprint q_zlib --
     "q_agg_distinct",
     "q_agg_group",
-    "q_bloom_join",
-    "q_column_profile",
-    "q_column_profile_approx",
-    "q_conditional_funcs",
-    "q_corpus_pipeline",
 ]
 
 assert len(_VERIFY_FIRST) == 50, len(_VERIFY_FIRST)
