@@ -97,6 +97,15 @@ def test_batch_dedup_family_sublinear_at_10x(spark, stress_dir):
         # skyline: one bucket-key shuffle + domain-sized prefix relation
         # (q_binary_ingest is constant-input by fixture design — excluded)
         "q_skyline": 4.0,
+        # EWMA: one entity-key shuffle + per-group fold (measured 0.6x)
+        "q_ewma": 4.0,
+        # robust stats: tiny percentile aggs broadcast back, scan-bound
+        "q_anomaly_mad": 4.0,
+        "q_winsorize": 4.0,
+        # KMV: distinct shuffle of 8-byte hashes + fixed-size sketches
+        "q_kmv_intersect": 4.0,
+        # RRF: two TakeOrdered legs + 50-row fusion join (measured 1.0x)
+        "q_rrf_fusion": 4.0,
     }
     failures = []
     for name, max_ratio in bounds.items():
