@@ -213,6 +213,11 @@ HEADLINE = [
     "q_winsorize",
     "q_kmv_intersect",
     "q_rrf_fusion",
+    "q_active_intervals",
+    "q_chi2_tokens",
+    "q_ks_drift",
+    "q_orc_roundtrip",
+    "q_stream_ewma",
     # Excluded on purpose (NOT a silent cap): q_cc_chain is the adversarial
     # deep-diameter CC verification query — it deliberately runs ~25 star
     # rounds on a path graph, so its wall time is per-round scheduler

@@ -131,7 +131,57 @@ def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ORC_CACHE: dict[tuple[str, str], str] = {}
+
+
+def _orc_fixture(spark: SparkSession, sf_dir: str) -> str:
+    import os
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _ORC_CACHE:
+        path = os.path.join(
+            "/tmp/kitkat_interchange",
+            spark.sparkContext.applicationId,
+            os.path.basename(os.path.normpath(sf_dir)),
+            "events_orc",
+        )
+        load_table(spark, sf_dir, "events").write.mode("overwrite").orc(path)
+        _ORC_CACHE[key] = path
+    return _ORC_CACHE[key]
+
+
+def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events -> ORC -> read -> per-type rollup; completes the interchange
+    matrix (parquet native, JSON, CSV, ORC — the second columnar format a
+    warehouse migration actually moves through). Unlike the text trips,
+    ORC is binary columnar: timestamps carry nanos natively (no format
+    pinning needed) and the read side keeps predicate pushdown and column
+    pruning — the rollup here reads only its 3 columns. The oracle runs
+    the same rollup on the ORIGINAL parquet, so any type coercion or
+    precision loss in the ORC writer/reader hash-fails."""
+    ev = load_table(spark, sf_dir, "events")
+    path = _orc_fixture(spark, sf_dir)
+    back = spark.read.schema(ev.schema).orc(path)
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        dsum("value").alias("sum_value"),
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("first_ts"),
+        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("last_ts"),
+        F.count_distinct("props").alias("n_props"),
+    )
+
+
 ORACLE: dict[str, str] = {
+    "q_orc_roundtrip": """
+        SELECT event_type,
+               count(*) AS n_events,
+               CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE)
+                   AS sum_value,
+               strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS first_ts,
+               strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS last_ts,
+               count(DISTINCT props) AS n_props
+        FROM events GROUP BY event_type
+    """,
     "q_csv_roundtrip": """
         SELECT event_type,
                count(*) AS n_events,

@@ -777,6 +777,41 @@ def q_stateful_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return user_profiles(load_table(spark, sf_dir, "events"))
 
 
+def q_stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL stateful-streaming EWMA, driver-verifiable: events replayed
+    through a file stream into applyInPandasWithState (streaming/
+    stateful.py user_ewma — O(1) state per key: the smoothed value is its
+    own sufficient statistic), update-mode memory sink; the sink's final
+    update per user must equal the batch q_ewma fold bit-for-bit (same
+    IEEE ops, same event-time order — replay is one availableNow batch).
+
+    This is the scale contrast the EWMA pair exists to show: the batch
+    twin materializes each group's value list to fold it; the streaming
+    operator carries two scalars per key forever — the shape that survives
+    an unbounded stream. Oracle: the same list_reduce fold DuckDB runs for
+    q_ewma, minus the list-dependent columns."""
+    from kitkat_spark.operators.temporal import EWMA_ALPHA
+    from kitkat_spark.streaming.stateful import user_ewma
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    path, n_rows = _replay_info(spark, sf_dir, "ewma", lambda: ev)
+    stream = spark.readStream.schema(ev.schema).parquet(path)
+    smoothed = user_ewma(stream, alpha=EWMA_ALPHA)
+    name = f"stream_ewma_{_sink_suffix(path)}"
+    with _state_partitions(spark, n_rows):
+        q = (
+            smoothed.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(name)
+
+
 from kitkat_spark.operators.sketches import (  # noqa: E402
     _HLL_LC_SQL as _LC_SQL,
     HLL_ALPHA as _HA,
@@ -969,6 +1004,18 @@ ORACLE: dict[str, str] = {
         UNION ALL
         SELECT 'quarantined:kpl_decode_failed' AS disposition,
                CAST(1 AS BIGINT) AS n
+    """,
+    "q_stream_ewma": """
+        WITH per AS (
+            SELECT user_id, count(*) AS n_events,
+                   list(CAST(value AS DOUBLE) ORDER BY ts, event_id) AS vals
+            FROM events GROUP BY user_id
+        )
+        SELECT user_id, n_events,
+               round(list_reduce(vals,
+                     (a, x) -> 0.3::DOUBLE * x + 0.7::DOUBLE * a), 4)
+                   AS ewma_value
+        FROM per
     """,
     "q_stateful_profile": """
         WITH gaps AS (

@@ -237,6 +237,54 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_active_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-concurrency sweep line: how many orders are OPEN (placed,
+    not yet fully shipped) on each day — the classic active-sessions /
+    in-flight-work time series, computed without an interval join.
+
+    The naive formulation joins every interval against every day it spans
+    (|intervals| x avg-duration rows) or worse, an interval x interval
+    overlap join. The sweep-line shape instead collapses the fact table to
+    DAY-DOMAIN DELTAS first: +1 on the open day, -1 the day after the
+    close, aggregated per day in ONE map-side-combinable shuffle — then the
+    running sum over the ~date-range-sized delta relation is a
+    domain-sized window (the q_skyline prefix-relation argument: its size
+    is the calendar, not the corpus). Interval construction itself is one
+    orderkey join/agg (order placed -> last line shipped).
+
+    Output: one row per calendar day with opens, closes, and the running
+    open-order count — integers end to end, so cross-engine exact."""
+    li = load_table(spark, sf_dir, "lineitem").groupBy("l_orderkey").agg(
+        F.max(F.to_date("l_shipdate")).alias("last_ship")
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.to_date("o_orderdate").alias("open_d")
+    )
+    iv = o.join(li, o.o_orderkey == li.l_orderkey, "inner")
+    deltas = iv.select(
+        F.col("open_d").alias("day"),
+        F.lit(1).alias("n_opened"),
+        F.lit(0).alias("n_closed"),
+    ).unionByName(
+        iv.select(
+            F.date_add("last_ship", 1).alias("day"),
+            F.lit(0).alias("n_opened"),
+            F.lit(1).alias("n_closed"),
+        )
+    )
+    per_day = deltas.groupBy("day").agg(
+        F.sum("n_opened").cast("long").alias("n_opened"),
+        F.sum("n_closed").cast("long").alias("n_closed"),
+    )
+    w = W.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return per_day.select(
+        "day",
+        "n_opened",
+        "n_closed",
+        F.sum(F.col("n_opened") - F.col("n_closed")).over(w).alias("open_orders"),
+    )
+
+
 EWMA_ALPHA = 0.3  # smoothing: s_i = alpha*x_i + (1-alpha)*s_{i-1}
 
 
@@ -278,6 +326,31 @@ def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE: dict[str, str] = {
+    "q_active_intervals": """
+        WITH iv AS (
+            SELECT o.o_orderkey,
+                   CAST(o.o_orderdate AS DATE) AS open_d,
+                   max(CAST(l.l_shipdate AS DATE)) AS last_ship
+            FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+            GROUP BY o.o_orderkey, CAST(o.o_orderdate AS DATE)
+        ), deltas AS (
+            SELECT open_d AS day, 1 AS n_opened, 0 AS n_closed FROM iv
+            UNION ALL
+            SELECT last_ship + 1 AS day, 0 AS n_opened, 1 AS n_closed
+            FROM iv
+        ), per_day AS (
+            SELECT day,
+                   CAST(sum(n_opened) AS BIGINT) AS n_opened,
+                   CAST(sum(n_closed) AS BIGINT) AS n_closed
+            FROM deltas GROUP BY day
+        )
+        SELECT day, n_opened, n_closed,
+               sum(n_opened - n_closed) OVER (
+                   ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS open_orders
+        FROM per_day
+    """,
     "q_ewma": f"""
         WITH per AS (
             SELECT user_id, count(*) AS n_events,

@@ -8,7 +8,7 @@ same thing in Java regex (Spark) and RE2 (DuckDB).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from kitkat_spark.functions.text import fingerprint_md5, tokens
@@ -348,6 +348,119 @@ def bm25_scores(docs: DataFrame) -> DataFrame:
     return scored
 
 
+KS_SRC_A = "src0"
+KS_SRC_B = "src1"
+KS_CRIT = 1.358  # two-sample KS critical coefficient at alpha = 0.05
+
+
+def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov drift test between two sources'
+    doc-length distributions — the distribution-shift gate a corpus
+    refresh pipeline runs before mixing a new crawl into training data
+    (D = max |ECDF_a - ECDF_b|; drift iff D exceeds the alpha=0.05
+    critical value c(α)·sqrt((n1+n2)/(n1·n2))).
+
+    Plan: the corpus collapses to VALUE-DOMAIN counts first — one
+    map-side-combinable groupBy on the length value — then both ECDFs are
+    running sums over that domain-sized relation (the q_skyline /
+    q_active_intervals prefix argument: its size is the value domain, not
+    the corpus), and D is a 1-row max. Counts and cumsums are integers;
+    the only doubles are two divisions and one sqrt from identical
+    integer inputs, so cross-engine exact."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("source").isin(KS_SRC_A, KS_SRC_B)
+    )
+    per_v = docs.groupBy("n_chars").agg(
+        F.sum((F.col("source") == KS_SRC_A).cast("long")).alias("c1"),
+        F.sum((F.col("source") == KS_SRC_B).cast("long")).alias("c2"),
+    )
+    w = W.orderBy("n_chars").rowsBetween(W.unboundedPreceding, W.currentRow)
+    cum = per_v.select(
+        F.sum("c1").over(w).alias("k1"), F.sum("c2").over(w).alias("k2")
+    )
+    tot = per_v.groupBy().agg(
+        F.sum("c1").cast("long").alias("n1"),
+        F.sum("c2").cast("long").alias("n2"),
+    )
+    diff = F.abs(
+        F.col("k1").cast("double") / F.col("n1").cast("double")
+        - F.col("k2").cast("double") / F.col("n2").cast("double")
+    )
+    crit = F.lit(KS_CRIT) * F.sqrt(
+        (F.col("n1") + F.col("n2")).cast("double")
+        / (F.col("n1") * F.col("n2")).cast("double")
+    )
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .groupBy("n1", "n2")
+        .agg(F.round(F.max(diff), 4).alias("ks_stat"))
+        .select(
+            "n1",
+            "n2",
+            "ks_stat",
+            F.round(crit, 4).alias("ks_crit"),
+            (F.col("ks_stat") > F.round(crit, 4)).alias("drift"),
+        )
+    )
+
+
+CHI2_TOP = 5
+
+
+def q_chi2_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source most-discriminative tokens by chi-squared association —
+    the classic feature-selection statistic (Yang & Pedersen, ICML 1997 —
+    public literature) behind domain classifiers and corpus-mix audits:
+    which tokens over-represent in THIS source vs the rest of the corpus.
+
+    2x2 contingency per (source, token) on occurrence counts: a = in-source
+    occurrences, b = other in-source tokens, c = token elsewhere, d = rest;
+    chi2 = n*(ad-bc)^2 / ((a+b)(c+d)(a+c)(b+d)).
+
+    Plan: ONE corpus-sized stage — the exploded (source, token) count with
+    map-side combine. Everything downstream lives on the vocab domain
+    (Heap's law — the q_bpe_pairs argument): the token marginal joins back
+    on the token key (broadcast here; a co-partitioned shuffle of
+    vocab-sized rows at 100 TB), source marginal and N are broadcast
+    scalars. Ranking is rank<=k per source — WindowGroupLimit sends only
+    per-partition heads across the wire. Doubles: counts are exact in
+    double (ad < 2^53), the square is by self-multiplication (not pow) and
+    the denominator's association is pinned identically in both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("source", F.explode(tokens(F.col("text"))).alias("token"))
+    st = tok.groupBy("source", "token").agg(F.count("*").alias("a0"))
+    tok_tot = st.groupBy("token").agg(F.sum("a0").alias("t_tot"))
+    src_tot = st.groupBy("source").agg(F.sum("a0").alias("s_tot"))
+    n_tot = st.groupBy().agg(F.sum("a0").alias("n0"))
+    j = (
+        st.join(F.broadcast(tok_tot), "token")
+        .join(F.broadcast(src_tot), "source")
+        .crossJoin(F.broadcast(n_tot))
+    )
+    a = F.col("a0").cast("double")
+    b = (F.col("s_tot") - F.col("a0")).cast("double")
+    c = (F.col("t_tot") - F.col("a0")).cast("double")
+    d = (F.col("n0") - F.col("s_tot") - F.col("t_tot") + F.col("a0")).cast(
+        "double"
+    )
+    num = a * d - b * c
+    chi2 = (
+        F.col("n0").cast("double")
+        * (num * num)
+        / (((a + b) * (c + d)) * ((a + c) * (b + d)))
+    )
+    scored = j.select(
+        "source",
+        "token",
+        F.col("a0").cast("long").alias("n_occurrences"),
+        F.round(chi2, 4).alias("chi2"),
+    )
+    w = W.partitionBy("source").orderBy(F.col("chi2").desc(), "token")
+    return scored.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= CHI2_TOP
+    )
+
+
 # DuckDB twin of bm25_scores as a CTE chain ending in scored(doc_id, score)
 # — spliced into the q_bm25 oracle here and q_rrf_fusion's in similarity.py
 # so both engines' lexical legs stay one definition.
@@ -423,6 +536,78 @@ def q_doc_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE: dict[str, str] = {
+    "q_ks_drift": f"""
+        WITH d2 AS (
+            SELECT source, n_chars FROM documents
+            WHERE source IN ('{KS_SRC_A}', '{KS_SRC_B}')
+        ), per_v AS (
+            SELECT n_chars,
+                   sum(CASE WHEN source = '{KS_SRC_A}' THEN 1 ELSE 0 END)
+                       AS c1,
+                   sum(CASE WHEN source = '{KS_SRC_B}' THEN 1 ELSE 0 END)
+                       AS c2
+            FROM d2 GROUP BY n_chars
+        ), cum AS (
+            SELECT sum(c1) OVER w AS k1, sum(c2) OVER w AS k2
+            FROM per_v
+            WINDOW w AS (ORDER BY n_chars
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ), tot AS (
+            SELECT CAST(sum(c1) AS BIGINT) AS n1,
+                   CAST(sum(c2) AS BIGINT) AS n2
+            FROM per_v
+        ), agg AS (
+            SELECT n1, n2,
+                   round(max(abs(CAST(k1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                                 - CAST(k2 AS DOUBLE) / CAST(n2 AS DOUBLE))),
+                         4) AS ks_stat
+            FROM cum, tot GROUP BY n1, n2
+        )
+        SELECT n1, n2, ks_stat,
+               round({KS_CRIT} * sqrt(CAST(n1 + n2 AS DOUBLE)
+                                      / CAST(n1 * n2 AS DOUBLE)), 4)
+                   AS ks_crit,
+               ks_stat > round({KS_CRIT} * sqrt(CAST(n1 + n2 AS DOUBLE)
+                                                / CAST(n1 * n2 AS DOUBLE)), 4)
+                   AS drift
+        FROM agg
+    """,
+    "q_chi2_tokens": f"""
+        WITH tok AS (
+            SELECT source, unnest(string_split(text, ' ')) AS token
+            FROM documents
+        ), st AS (
+            SELECT source, token, count(*) AS a0
+            FROM tok GROUP BY source, token
+        ), tok_tot AS (
+            SELECT token, sum(a0) AS t_tot FROM st GROUP BY token
+        ), src_tot AS (
+            SELECT source, sum(a0) AS s_tot FROM st GROUP BY source
+        ), n_tot AS (
+            SELECT sum(a0) AS n0 FROM st
+        ), cells AS (
+            SELECT st.source, st.token,
+                   CAST(a0 AS BIGINT) AS n_occurrences,
+                   CAST(a0 AS DOUBLE) AS a,
+                   CAST(s_tot - a0 AS DOUBLE) AS b,
+                   CAST(t_tot - a0 AS DOUBLE) AS c,
+                   CAST(n0 - s_tot - t_tot + a0 AS DOUBLE) AS d,
+                   CAST(n0 AS DOUBLE) AS n
+            FROM st
+            JOIN tok_tot USING (token)
+            JOIN src_tot USING (source), n_tot
+        ), scored AS (
+            SELECT source, token, n_occurrences,
+                   round(n * ((a*d - b*c) * (a*d - b*c))
+                         / (((a+b) * (c+d)) * ((a+c) * (b+d))), 4) AS chi2
+            FROM cells
+        )
+        SELECT source, token, n_occurrences, chi2, rk FROM (
+            SELECT *, CAST(row_number() OVER (
+                PARTITION BY source ORDER BY chi2 DESC, token) AS INT) AS rk
+            FROM scored
+        ) WHERE rk <= {CHI2_TOP}
+    """,
     "q_doc_entropy": f"""
         WITH cnt AS (
             SELECT doc_id, token, count(*) AS c FROM (

@@ -108,12 +108,9 @@ _VERIFY_FIRST = [
     "q_partition_prune",     # explicit day DATE cast on read
     "q_stream_gap_fill",     # md5 sink name + pinned no-data flush
     "q_stream_mix_rebalance",
-    "q_stream_session_wm",
     "q_multimodal_decode",   # real codec (this round)
     "q_image_decode",        # NEW: PNG/BMP decode with pixel-sum oracle
-    "q_media_resize",        # real NN resample (this round)
     "q_ann_recall",          # LSH plane sizing (this round)
-    "q_ann_recall_multiprobe",
     "q_ann_multiprobe",
     "q_embedding_near_dup",
     "q_ship_priority",       # NEW (Q3 shape)
@@ -138,6 +135,11 @@ _VERIFY_FIRST = [
     "q_winsorize",           # NEW: winsorized per-type mean
     "q_kmv_intersect",       # NEW: KMV sketch union/intersection estimate
     "q_rrf_fusion",          # NEW: BM25 + cosine reciprocal-rank fusion
+    "q_active_intervals",    # NEW: sweep-line interval concurrency
+    "q_chi2_tokens",         # NEW: chi^2 per-source token association
+    "q_ks_drift",            # NEW: two-sample KS distribution drift
+    "q_orc_roundtrip",       # NEW: ORC interchange round trip
+    "q_stream_ewma",         # NEW: stateful-streaming EWMA (O(1) state)
     # -- (b) the fourteen r5-stale greens (round-8 verdict next-round #1) --
     "q_similarity_search",
     "q_span_dedup",
@@ -153,9 +155,14 @@ _VERIFY_FIRST = [
     "q_triangle_count",
     "q_window_rank",
     "q_zorder_cluster",
-    # -- (c) oldest remaining greens (round 6), alphabetical; 46 r6
-    # greens don't fit this round's 50 (round 9 added 23 new queries) and
-    # head next round's block (c): q_bloom_join q_column_profile
+    # -- (c) NO room for round-6 refreshes this round: round 9 added 28 new
+    # queries and changed 8 more, and blocks (a)+(b) fill all 50 slots.
+    # Re-verify-next-round head: the three round-9-changed queries squeezed
+    # out of (a) — q_ann_recall_multiprobe q_stream_session_wm
+    # q_media_resize (each's changed code path is covered by a slotted
+    # sibling: q_ann_recall+q_ann_multiprobe, the wm family pins, and
+    # q_multimodal_decode/q_image_decode share the codec) — then the 48 r6
+    # greens: q_agg_distinct q_agg_group q_bloom_join q_column_profile
     # q_column_profile_approx q_conditional_funcs q_corpus_pipeline
     # q_datetime_funcs q_decontaminate
     # q_disjunctive_join q_embedding_audit q_excess_suppliers
@@ -168,8 +175,6 @@ _VERIFY_FIRST = [
     # q_sort_limit q_stratified_sample q_string_agg q_subquery_scalar
     # q_tfidf q_top_supplier q_unpivot q_weighted_sample q_window_frame
     # q_window_ntile q_window_range q_winnow_fingerprint q_zlib --
-    "q_agg_distinct",
-    "q_agg_group",
 ]
 
 assert len(_VERIFY_FIRST) == 50, len(_VERIFY_FIRST)

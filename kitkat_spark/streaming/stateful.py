@@ -131,3 +131,77 @@ def user_profiles(events: DataFrame, idle_timeout_ms: int | None = None) -> Data
         F.round(F.sum("value"), 2).alias("sum_value"),
         F.round(F.coalesce(F.max("gap_s"), F.lit(0.0)), 1).alias("max_gap_s"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming EWMA: O(1) state per key where the batch twin (operators/
+# temporal.py q_ewma) collects and folds the group's full event list —
+# the reason EWMA belongs in the stateful-streaming escape hatch at scale:
+# the smoothed value is itself the sufficient statistic.
+
+EWMA_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n_events", T.LongType()),
+        T.StructField("ewma", T.DoubleType()),
+    ]
+)
+
+EWMA_OUTPUT_SCHEMA = "user_id long, n_events long, ewma_value double"
+
+
+def _make_update_ewma(alpha: float):
+    one_m = 1.0 - alpha
+
+    def update_ewma(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        n, s = state.get if state.exists else (0, None)
+        for pdf in pdfs:
+            # event-time order within the batch (replay = one availableNow
+            # batch, so this IS the group's global order; across live
+            # batches the operator smooths in arrival order — the online
+            # semantics)
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for x in pdf["value"].tolist():
+                # identical IEEE ops to the batch fold's a*x + (1-a)*s
+                s = float(x) if s is None else alpha * float(x) + one_m * s
+            n += len(pdf)
+        state.update((n, s))
+
+        def _round_half_up(x: float, digits: int) -> float:
+            import math
+
+            scale = 10**digits
+            return math.floor(x * scale + 0.5) / scale
+
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "ewma_value": [_round_half_up(s, 4)],
+            }
+        )
+
+    return update_ewma
+
+
+def user_ewma(events: DataFrame, alpha: float) -> DataFrame:
+    """Per-user streaming EWMA of ``value`` (update mode): state is two
+    scalars per key regardless of event count — contrast the batch fold,
+    which materializes the group's value list. Streaming input only; the
+    batch twin is operators/temporal.py q_ewma."""
+    if not events.isStreaming:
+        raise ValueError("user_ewma is the streaming path; use q_ewma in batch")
+    return (
+        events.select("user_id", "ts", "event_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _make_update_ewma(alpha),
+            outputStructType=EWMA_OUTPUT_SCHEMA,
+            stateStructType=EWMA_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

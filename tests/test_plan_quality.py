@@ -72,6 +72,11 @@ def test_window_rank_single_shuffle(spark):
     df = QUERIES["q_window_rank"](spark, SF)
     # partitionBy shuffle only; no extra exchanges from sloppy composition
     assert shuffle_count(df) <= 2
+    # the rank<=k filter must push into a PARTIAL WindowGroupLimit below
+    # the exchange — per-partition top-k heads cross the wire, not every
+    # group member (the grouped-top-k scale lever; Spark 3.5+)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan and "Partial" in plan
 
 
 def test_sort_limit_is_topk_not_global_sort(spark):

@@ -106,6 +106,15 @@ def test_batch_dedup_family_sublinear_at_10x(spark, stress_dir):
         "q_kmv_intersect": 4.0,
         # RRF: two TakeOrdered legs + 50-row fusion join (measured 1.0x)
         "q_rrf_fusion": 4.0,
+        # sweep line: fact collapses to calendar-day deltas pre-window
+        "q_active_intervals": 4.0,
+        # chi2/KS: one combinable corpus shuffle, domain-sized downstream
+        "q_chi2_tokens": 4.0,
+        "q_ks_drift": 4.0,
+        # columnar read path, column-pruned rollup (write cached/session)
+        "q_orc_roundtrip": 4.0,
+        # streaming harness + O(1)-state per-group fold (measured 0.6x)
+        "q_stream_ewma": 4.0,
     }
     failures = []
     for name, max_ratio in bounds.items():
