@@ -218,6 +218,7 @@ HEADLINE = [
     "q_ks_drift",
     "q_orc_roundtrip",
     "q_stream_ewma",
+    "q_pq_search",
     # Excluded on purpose (NOT a silent cap): q_cc_chain is the adversarial
     # deep-diameter CC verification query — it deliberately runs ~25 star
     # rounds on a path graph, so its wall time is per-round scheduler

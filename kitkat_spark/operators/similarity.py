@@ -593,21 +593,10 @@ def q_pq_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle replays the distance bit-for-bit. Output adds the per-subspace
     quantization error — summed per vector it is the reconstruction-error
     audit a PQ deployment tracks."""
-    dim_per = 64 // PQ_SUBSPACES
     emb = _with_norm(
         load_table(spark, sf_dir, "embeddings").filter(F.size("embedding") > 0)
     )
-    subs = emb.select(
-        "vec_id",
-        F.posexplode(
-            F.array(
-                *[
-                    F.slice(F.col("v"), s * dim_per + 1, dim_per)
-                    for s in range(PQ_SUBSPACES)
-                ]
-            )
-        ).alias("sub_id", "sv"),
-    )
+    subs = _pq_subvectors(emb)
     cb = (
         subs.filter(F.col("vec_id") < PQ_CODEBOOK_K)
         .select(
@@ -634,6 +623,140 @@ def q_pq_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") == 1)
         .select("vec_id", "sub_id", "code", F.col("d2").alias("quant_err"))
+    )
+
+
+PQ_QUERY_VEC = 7  # ADC query vector (outside the vec_id < 4 codebook)
+PQ_SEARCH_TOP = 10
+
+
+def _pq_subvectors(emb: DataFrame) -> DataFrame:
+    """(vec_id, sub_id, sv): every embedding split into PQ_SUBSPACES
+    sub-vectors — shared by q_pq_codebook (encode) and q_pq_search (ADC)."""
+    dim_per = 64 // PQ_SUBSPACES
+    return emb.select(
+        "vec_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.slice(F.col("v"), s * dim_per + 1, dim_per)
+                    for s in range(PQ_SUBSPACES)
+                ]
+            )
+        ).alias("sub_id", "sv"),
+    )
+
+
+def q_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance search (ADC — the query half of Jégou et
+    al.'s IVF-PQ, TPAMI 2011, completing q_pq_codebook's encode half):
+    rank the corpus against a query by summing, per subspace, the EXACT
+    distance from the query's sub-vector to the corpus vector's assigned
+    sub-centroid. The corpus side touches only its M-code representation —
+    at 100 TB the scan reads 4 small ints per vector instead of 64
+    doubles; the query-side lookup table (M x K = 16 distances) is
+    computed once and broadcast.
+
+    Determinism: LUT entries round to 6 dp then sum as DECIMAL(18,6) —
+    exact fixed-point addition, so the per-vector ADC total is
+    order-independent in both engines (a double sum of the 4 terms would
+    hang the ranking on accumulation order). Top-k by (adc_d2, vec_id)
+    via TakeOrderedAndProject; `in_exact_topk` marks overlap with the
+    true squared-L2 top-{PQ_SEARCH_TOP} — the recall signal an ADC
+    deployment monitors (reconstruction error is q_pq_codebook's)."""
+    emb = _with_norm(
+        load_table(spark, sf_dir, "embeddings").filter(F.size("embedding") > 0)
+    )
+    subs = _pq_subvectors(emb)
+    cb = (
+        subs.filter(F.col("vec_id") < PQ_CODEBOOK_K)
+        .select(
+            F.col("vec_id").alias("code"),
+            F.col("sub_id").alias("cb_sub"),
+            F.col("sv").alias("cv"),
+        )
+        .withColumn("cc", dot(F.col("cv"), F.col("cv")))
+    )
+    # encode: every corpus vector's nearest sub-centroid per subspace
+    scored = (
+        subs.withColumn("xx", dot(F.col("sv"), F.col("sv")))
+        .join(F.broadcast(cb), F.col("sub_id") == F.col("cb_sub"))
+        .select(
+            "vec_id",
+            "sub_id",
+            "code",
+            F.round(
+                F.col("xx") - 2 * dot(F.col("sv"), F.col("cv")) + F.col("cc"), 6
+            ).alias("d2"),
+        )
+    )
+    w_enc = W.partitionBy("vec_id", "sub_id").orderBy("d2", "code")
+    codes = (
+        scored.withColumn("rk", F.row_number().over(w_enc))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "sub_id", "code")
+    )
+    # query-side LUT: d2(query sub-vector, each sub-centroid)
+    qsub = subs.filter(F.col("vec_id") == PQ_QUERY_VEC).select(
+        F.col("sub_id").alias("q_sub"), F.col("sv").alias("qv")
+    )
+    lut = (
+        qsub.join(F.broadcast(cb), F.col("q_sub") == F.col("cb_sub"))
+        .select(
+            "q_sub",
+            "code",
+            F.round(
+                dot(F.col("qv"), F.col("qv"))
+                - 2 * dot(F.col("qv"), F.col("cv"))
+                + F.col("cc"),
+                6,
+            ).alias("ld2"),
+        )
+    )
+    adc = (
+        codes.join(
+            F.broadcast(lut),
+            (F.col("sub_id") == F.col("q_sub")) & (codes.code == lut.code),
+        )
+        .groupBy("vec_id")
+        .agg(
+            F.sum(F.col("ld2").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("adc_d2")
+        )
+    )
+    top = adc.filter(F.col("vec_id") != PQ_QUERY_VEC).orderBy(
+        "adc_d2", "vec_id"
+    ).limit(PQ_SEARCH_TOP)
+    # exact squared-L2 top-k for the recall flag
+    q = emb.filter(F.col("vec_id") == PQ_QUERY_VEC).select(
+        F.col("v").alias("fqv")
+    )
+    exact = (
+        emb.filter(F.col("vec_id") != PQ_QUERY_VEC)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.round(
+                dot(F.col("v"), F.col("v"))
+                - 2 * dot(F.col("fqv"), F.col("v"))
+                + dot(F.col("fqv"), F.col("fqv")),
+                6,
+            ).alias("ed2"),
+        )
+        .orderBy("ed2", "vec_id")
+        .limit(PQ_SEARCH_TOP)
+        .select("vec_id")
+    )
+    w_r = W.orderBy("adc_d2", "vec_id")
+    return (
+        top.join(F.broadcast(exact.withColumn("in_exact", F.lit(True))), "vec_id", "left")
+        .select(
+            "vec_id",
+            "adc_d2",
+            F.coalesce("in_exact", F.lit(False)).alias("in_exact_topk"),
+        )
+        .withColumn("rk", F.row_number().over(w_r))
     )
 
 
@@ -899,6 +1022,68 @@ ORACLE: dict[str, str] = {
                 PARTITION BY vec_id, sub_id ORDER BY d2, code) AS rk
             FROM scored
         ) WHERE rk = 1
+    """,
+    # ADC replay: re-derive the codes (q_pq_codebook verbatim), build the
+    # query-side LUT, sum the per-subspace LUT distances as DECIMAL(18,6)
+    # (exact fixed-point — order-independent in both engines), and flag
+    # overlap with the brute-force squared-L2 top-k.
+    "q_pq_search": f"""
+        WITH e AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v
+            FROM embeddings WHERE len(embedding) > 0
+        ), subs AS (
+            SELECT vec_id, CAST(s.s AS INT) AS sub_id,
+                   v[s.s * {_PQ_DIM_PER} + 1 : s.s * {_PQ_DIM_PER} + {_PQ_DIM_PER}]
+                       AS sv
+            FROM e, (SELECT unnest(generate_series(0, {PQ_SUBSPACES - 1})) AS s) s
+        ), cb AS (
+            SELECT vec_id AS code, sub_id AS cb_sub, sv AS cv,
+                   list_dot_product(sv, sv) AS cc
+            FROM subs WHERE vec_id < {PQ_CODEBOOK_K}
+        ), codes AS (
+            SELECT vec_id, sub_id, code FROM (
+                SELECT subs.vec_id, subs.sub_id, cb.code,
+                       row_number() OVER (
+                           PARTITION BY subs.vec_id, subs.sub_id
+                           ORDER BY round(list_dot_product(subs.sv, subs.sv)
+                                 - 2 * list_dot_product(subs.sv, cb.cv)
+                                 + cb.cc, 6), cb.code) AS rk
+                FROM subs JOIN cb ON cb.cb_sub = subs.sub_id
+            ) WHERE rk = 1
+        ), lut AS (
+            SELECT q.sub_id AS q_sub, cb.code,
+                   round(list_dot_product(q.sv, q.sv)
+                         - 2 * list_dot_product(q.sv, cb.cv) + cb.cc, 6)
+                       AS ld2
+            FROM subs q JOIN cb ON cb.cb_sub = q.sub_id
+            WHERE q.vec_id = {PQ_QUERY_VEC}
+        ), adc AS (
+            SELECT c.vec_id,
+                   CAST(sum(CAST(l.ld2 AS DECIMAL(18,6))) AS DOUBLE) AS adc_d2
+            FROM codes c
+            JOIN lut l ON l.q_sub = c.sub_id AND l.code = c.code
+            GROUP BY c.vec_id
+        ), top AS (
+            SELECT vec_id, adc_d2 FROM adc
+            WHERE vec_id <> {PQ_QUERY_VEC}
+            ORDER BY adc_d2, vec_id LIMIT {PQ_SEARCH_TOP}
+        ), qv AS (
+            SELECT v FROM e WHERE vec_id = {PQ_QUERY_VEC}
+        ), exact AS (
+            SELECT vec_id FROM (
+                SELECT c.vec_id,
+                       round(list_dot_product(c.v, c.v)
+                             - 2 * list_dot_product(q.v, c.v)
+                             + list_dot_product(q.v, q.v), 6) AS ed2
+                FROM e c, qv q WHERE c.vec_id <> {PQ_QUERY_VEC}
+                ORDER BY ed2, vec_id LIMIT {PQ_SEARCH_TOP}
+            )
+        )
+        SELECT t.vec_id, t.adc_d2,
+               (ex.vec_id IS NOT NULL) AS in_exact_topk,
+               CAST(row_number() OVER (ORDER BY t.adc_d2, t.vec_id) AS INT)
+                   AS rk
+        FROM top t LEFT JOIN exact ex ON ex.vec_id = t.vec_id
     """,
     # Shared replay of the sign-LSH bucketing (as in q_ann_ivf /
     # q_ann_multiprobe) plus the brute-force exact side (q_similarity_search

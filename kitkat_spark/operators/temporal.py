@@ -345,10 +345,10 @@ ORACLE: dict[str, str] = {
             FROM deltas GROUP BY day
         )
         SELECT day, n_opened, n_closed,
-               sum(n_opened - n_closed) OVER (
+               CAST(sum(n_opened - n_closed) OVER (
                    ORDER BY day
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-               ) AS open_orders
+               ) AS BIGINT) AS open_orders
         FROM per_day
     """,
     "q_ewma": f"""
