@@ -104,7 +104,7 @@ for _m in _MODULES:
 # (round 6), refreshed oldest-first alphabetical.
 _VERIFY_FIRST = [
     # -- (a) changed/new this round --
-    "q_passjoin_dedup",      # persisted shared docs projection
+    "q_pq_search",           # NEW: PQ asymmetric-distance top-k search
     "q_partition_prune",     # explicit day DATE cast on read
     "q_stream_gap_fill",     # md5 sink name + pinned no-data flush
     "q_stream_mix_rebalance",
@@ -157,11 +157,13 @@ _VERIFY_FIRST = [
     "q_zorder_cluster",
     # -- (c) NO room for round-6 refreshes this round: round 9 added 28 new
     # queries and changed 8 more, and blocks (a)+(b) fill all 50 slots.
-    # Re-verify-next-round head: the three round-9-changed queries squeezed
-    # out of (a) — q_ann_recall_multiprobe q_stream_session_wm
-    # q_media_resize (each's changed code path is covered by a slotted
-    # sibling: q_ann_recall+q_ann_multiprobe, the wm family pins, and
-    # q_multimodal_decode/q_image_decode share the codec) — then the 48 r6
+    # Re-verify-next-round head: the four round-9-changed queries squeezed
+    # out of (a) — q_passjoin_dedup (r9 persist change measured
+    # hash-identical; r8 green stands) q_ann_recall_multiprobe
+    # q_stream_session_wm q_media_resize (each's changed code path is
+    # covered by a slotted sibling: q_ann_recall+q_ann_multiprobe, the wm
+    # family pins, and q_multimodal_decode/q_image_decode share the
+    # codec) — then the 48 r6
     # greens: q_agg_distinct q_agg_group q_bloom_join q_column_profile
     # q_column_profile_approx q_conditional_funcs q_corpus_pipeline
     # q_datetime_funcs q_decontaminate
