@@ -219,6 +219,13 @@ HEADLINE = [
     "q_orc_roundtrip",
     "q_stream_ewma",
     "q_pq_search",
+    "q_kn_bigram",
+    "q_assoc_rules",
+    "q_markov_transitions",
+    "q_triplet_mining",
+    "q_ngram_novelty",
+    "q_source_overlap",
+    "q_stream_anomaly_wm",
     # Excluded on purpose (NOT a silent cap): q_cc_chain is the adversarial
     # deep-diameter CC verification query — it deliberately runs ~25 star
     # rounds on a path graph, so its wall time is per-round scheduler

@@ -635,6 +635,138 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+NOVELTY_NGRAM = 3
+
+
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty: the fraction of a doc's distinct
+    3-gram shingles whose FIRST occurrence (lowest doc_id in ingest
+    order) is this doc — the memorization/repetition audit that separates
+    fresh text from recombinations of already-ingested material (the
+    complement of q_span_dedup's duplicated-span view).
+
+    Two shuffles, both narrow: (1) the distinct (doc, shingle-hash) pairs
+    shuffle once keyed on the 8-byte hash so a partitionBy(shingle)
+    window can take min(doc_id) — first-occurrence assignment without a
+    groupBy + self-join (which would shuffle the same table twice);
+    (2) the per-doc roll-up. Shingles travel as full-range xxhash64
+    longs (equality up to 2^-64 collisions — same contract as
+    q_decontaminate); the oracle verifies at the string level."""
+    par = spark.sparkContext.defaultParallelism
+    docs = load_table(spark, sf_dir, "documents").repartition(par)
+    sh = docs.select(
+        "doc_id",
+        F.explode(
+            full_shingle_hashes(tokens(F.col("text")), NOVELTY_NGRAM)
+        ).alias("s"),
+    )
+    w = W.partitionBy("s")
+    marked = sh.withColumn("first_doc", F.min("doc_id").over(w))
+    return (
+        marked.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(
+                F.when(F.col("doc_id") == F.col("first_doc"), 1).otherwise(0)
+            ).alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            F.col("n_novel").cast("long").alias("n_novel"),
+            F.round(
+                F.col("n_novel").cast("double") / F.col("n_shingles").cast("double"),
+                6,
+            ).alias("novelty"),
+        )
+    )
+
+
+OVERLAP_TOP_K = 20
+
+
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix: for every source pair, the
+    Jaccard similarity of their distinct 3-gram shingle sets — the
+    governance check that finds mirror sites, scraped re-posts, and
+    shared boilerplate BETWEEN corpus sources before mixing weights are
+    chosen. Output: top-20 pairs by Jaccard.
+
+    ONE corpus-sized shuffle: the exploded (shingle-hash, source) stream
+    aggregates straight to collect_set(source) keyed on the 8-byte hash
+    (set-union partials combine map-side; the set is bounded by the
+    source count, so no group can grow with the data). Source PAIRS are
+    then generated map-side from each set — sorted, nested transform,
+    a < b — exactly the q_assoc_rules fan-out, bounded by C(|sources|,2)
+    per shingle, and aggregate to the |sources|^2 matrix; a self-join of
+    the distinct (source, shingle) table would shuffle the corpus twice
+    more. Set sizes come from exploding the same checkpointed set table.
+    Jaccard = inter / (|A| + |B| - inter) on exact integers cast to
+    double in the same order in both engines."""
+    par = spark.sparkContext.defaultParallelism
+    docs = load_table(spark, sf_dir, "documents").repartition(par)
+    sets = (
+        docs.select(
+            "source",
+            F.explode(
+                full_shingle_hashes(tokens(F.col("text")), NOVELTY_NGRAM)
+            ).alias("s"),
+        )
+        .groupBy("s")
+        .agg(F.sort_array(F.collect_set("source")).alias("srcs"))
+        .localCheckpoint(eager=True)
+    )
+    sizes = (
+        sets.select(F.explode("srcs").alias("source"))
+        .groupBy("source")
+        .agg(F.count("*").alias("n_sh"))
+    )
+    pair_structs = F.filter(
+        F.flatten(
+            F.transform(
+                F.col("srcs"),
+                lambda a: F.transform(
+                    F.col("srcs"),
+                    lambda b: F.struct(a.alias("a"), b.alias("b")),
+                ),
+            )
+        ),
+        lambda s: s["a"] < s["b"],
+    )
+    inter = (
+        sets.select(F.explode(pair_structs).alias("p"))
+        .select(F.col("p")["a"].alias("src_a"), F.col("p")["b"].alias("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    jac = (
+        inter.join(
+            F.broadcast(sizes.select(F.col("source").alias("src_a"), F.col("n_sh").alias("n_a"))),
+            "src_a",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("source").alias("src_b"), F.col("n_sh").alias("n_b"))),
+            "src_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.col("n_common").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double"),
+        )
+    )
+    top = jac.orderBy(F.col("jaccard").desc(), "src_a", "src_b").limit(OVERLAP_TOP_K)
+    w_r = W.orderBy(F.col("jaccard").desc(), "src_a", "src_b")
+    return top.select(
+        F.row_number().over(w_r).alias("rank"),
+        "src_a",
+        "src_b",
+        "n_common",
+        "n_a",
+        "n_b",
+        F.round(F.col("jaccard"), 6).alias("jaccard"),
+    )
+
+
 def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental-ingest dedup: the last 20% of doc_ids play an incoming
     batch, deduped against the existing corpus (fingerprint anti-join) and
@@ -1143,6 +1275,53 @@ ORACLE: dict[str, str] = {
                round(n_tokens / (padded_bins * {PACK_BIN_TOKENS}.0), 4)
                    AS util_padded
         FROM agg
+    """,
+    # String-level shingles stand in for Spark's xxhash64 longs (equality
+    # contract, same as q_decontaminate); min-over-partition replays the
+    # first-occurrence window.
+    "q_ngram_novelty": """
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        ), sh AS (
+            SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS s
+            FROM toks, UNNEST(generate_series(1, len(w) - 2)) AS t(i)
+            WHERE len(w) >= 3
+        ), marked AS (
+            SELECT doc_id, min(doc_id) OVER (PARTITION BY s) AS first_doc
+            FROM sh
+        )
+        SELECT doc_id, count(*) AS n_shingles,
+               CAST(sum(CASE WHEN doc_id = first_doc THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_novel,
+               round(CAST(sum(CASE WHEN doc_id = first_doc THEN 1 ELSE 0 END)
+                          AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS novelty
+        FROM marked GROUP BY doc_id
+    """,
+    "q_source_overlap": """
+        WITH toks AS (
+            SELECT source, string_split(text, ' ') AS w FROM documents
+        ), sh AS (
+            SELECT DISTINCT source, array_to_string(w[i:i+2], ' ') AS s
+            FROM toks, UNNEST(generate_series(1, len(w) - 2)) AS t(i)
+            WHERE len(w) >= 3
+        ), sizes AS (
+            SELECT source, count(*) AS n_sh FROM sh GROUP BY source
+        ), inter AS (
+            SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_common
+            FROM sh a JOIN sh b ON a.s = b.s AND a.source < b.source
+            GROUP BY 1, 2
+        ), jac AS (
+            SELECT src_a, src_b, n_common, sa.n_sh AS n_a, sb.n_sh AS n_b,
+                   CAST(n_common AS DOUBLE)
+                       / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) AS jaccard
+            FROM inter
+            JOIN sizes sa ON src_a = sa.source
+            JOIN sizes sb ON src_b = sb.source
+        )
+        SELECT CAST(row_number() OVER (
+                   ORDER BY jaccard DESC, src_a, src_b) AS INT) AS rank,
+               src_a, src_b, n_common, n_a, n_b, round(jaccard, 6) AS jaccard
+        FROM jac ORDER BY jaccard DESC, src_a, src_b LIMIT 20
     """,
     "q_decontaminate": """
         WITH toks AS (

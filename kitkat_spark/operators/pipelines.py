@@ -760,6 +760,159 @@ def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+KN_DISCOUNT = 0.75  # Kneser-Ney absolute discount (Chen & Goodman's D)
+
+
+def q_kn_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram table (Kneser & Ney, ICASSP 1995;
+    Chen & Goodman, 1998 — public literature): for every frequent first
+    token, the most likely continuation under the SMOOTHED model
+      P_KN(t2|t1) = max(c(t1,t2) - D, 0)/c(t1)
+                  + D * N1+(t1,*)/c(t1) * N1+(*,t2)/B
+    where N1+(t1,*) / N1+(*,t2) are the distinct-continuation /
+    distinct-history counts and B the number of distinct bigram types.
+    This is the production n-gram smoothing — the raw-count argmax
+    (q_bigram_lm) over-trusts sparse rows; KN's continuation prior can
+    and does change the argmax.
+
+    Scale: ONE corpus shuffle (explode -> (t1,t2) partial-count agg with
+    map-side combine). Everything after runs on the BIGRAM-TYPE table
+    (vocab^2-bounded — Heap's law keeps this tokenizer-sized at 100 TB):
+    c(t1) and N1+(t1,*) come from the same partitionBy(t1) sort, N1+(*,t2)
+    from a partitionBy(t2) window over the same tiny table, B from a 1-row
+    broadcast. All counts are exact integers; the probability arithmetic
+    is written in the identical order in both engines."""
+    par = spark.sparkContext.defaultParallelism
+    docs = load_table(spark, sf_dir, "documents").repartition(par)
+    toks = tokens(F.col("text"))
+    bg = docs.select(
+        F.explode(
+            F.when(F.size(toks) >= 2, _zipped_ngrams(toks, 2)).otherwise(F.array())
+        ).alias("b")
+    ).select(F.col("b")["0"].alias("t1"), F.col("b")["1"].alias("t2"))
+    # the bigram-type table is consumed by BOTH the B aggregate and the
+    # scored windows — eager checkpoint (it is vocab^2-bounded) so the
+    # corpus explode+agg runs once, not once per consumer (q_oov_rate's
+    # move; without it the plan re-ran the corpus pass: 8 exchanges vs 5)
+    pair = (
+        bg.groupBy("t1", "t2")
+        .agg(F.count("*").alias("c12"))
+        .localCheckpoint(eager=True)
+    )
+    types = pair.agg(F.count("*").alias("bt"))
+    w1 = W.partitionBy("t1")
+    w2 = W.partitionBy("t2")
+    scored = (
+        pair.withColumn("c1", F.sum("c12").over(w1))
+        .withColumn("fwd", F.count("*").over(w1))
+        .withColumn("bwd", F.count("*").over(w2))
+        .crossJoin(F.broadcast(types))
+    )
+    p_kn = (
+        F.greatest(F.col("c12") - F.lit(KN_DISCOUNT), F.lit(0.0)) / F.col("c1")
+        + F.lit(KN_DISCOUNT) * F.col("fwd") / F.col("c1") * (F.col("bwd") / F.col("bt"))
+    )
+    w_rank = W.partitionBy("t1").orderBy(F.col("p").desc(), "t2")
+    return (
+        scored.filter(F.col("c1") >= BIGRAM_MIN_COUNT)
+        .withColumn("p", p_kn)
+        .withColumn("rn", F.row_number().over(w_rank))
+        .filter(F.col("rn") == 1)
+        .select(
+            "t1",
+            F.col("t2").alias("next_tok"),
+            F.col("c12").alias("n_bigram"),
+            F.round(F.col("p"), 6).alias("p_kn"),
+        )
+    )
+
+
+ASSOC_MIN_SUPPORT = 0.05  # rules must cover >= 5% of the corpus
+ASSOC_TOP_K = 20
+
+
+def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association-rule mining (Agrawal & Srikant, VLDB 1994 — public
+    literature): top-20 token-level rules a -> b by lift, with support and
+    confidence, over per-document distinct-token baskets. The corpus-
+    curation reading: which token strongly predicts which other token —
+    boilerplate and template detection.
+
+    Scale: ordered pairs are generated MAP-SIDE from each doc's distinct-
+    token array (nested transform + flatten — no self-join, no shuffle of
+    exploded items) and aggregate immediately: the ONE corpus shuffle
+    carries (a, b) partial counts whose key domain is bounded by the
+    frequent-vocabulary square, with map-side combine. Item supports are a
+    vocab-sized agg broadcast back twice. The per-doc pair fan-out is
+    quadratic in the doc's DISTINCT tokens — production prunes baskets to
+    frequent items first (Apriori monotonicity: supp(ab) <= supp(a) makes
+    the prune lossless for any support threshold); the fixture vocabulary
+    is domain-bounded so the prune is a no-op here and elided. Lift and
+    confidence divide exact integer counts cast to double in the same
+    order in both engines; ties break on (antecedent, consequent)."""
+    par = spark.sparkContext.defaultParallelism
+    raw = load_table(spark, sf_dir, "documents")
+    docs = raw.repartition(par)
+    items = F.array_distinct(tokens(F.col("text")))
+    pair_structs = F.filter(
+        F.flatten(
+            F.transform(
+                items,
+                lambda a: F.transform(
+                    items, lambda b: F.struct(a.alias("a"), b.alias("b"))
+                ),
+            )
+        ),
+        lambda s: s["a"] != s["b"],
+    )
+    pairs = (
+        docs.select(F.explode(pair_structs).alias("p"))
+        .select(F.col("p")["a"].alias("a"), F.col("p")["b"].alias("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("n_both"))
+    )
+    supp = (
+        docs.select(F.explode(items).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("s"))
+    )
+    # count(*) runs on the RAW scan (parquet row-count statistics — no
+    # repartition exchange, no data read)
+    n = raw.agg(F.count("*").alias("n_docs"))
+    rules = (
+        pairs.crossJoin(F.broadcast(n))
+        .filter(F.col("n_both") >= F.lit(ASSOC_MIN_SUPPORT) * F.col("n_docs"))
+        .join(
+            F.broadcast(supp.select(F.col("tok").alias("a"), F.col("s").alias("n_ante"))),
+            "a",
+        )
+        .join(
+            F.broadcast(supp.select(F.col("tok").alias("b"), F.col("s").alias("n_cons"))),
+            "b",
+        )
+        .withColumn(
+            "lift",
+            (F.col("n_both") * F.col("n_docs")).cast("double")
+            / (F.col("n_ante") * F.col("n_cons")).cast("double"),
+        )
+        .withColumn(
+            "conf", F.col("n_both").cast("double") / F.col("n_ante").cast("double")
+        )
+    )
+    top = rules.orderBy(F.col("lift").desc(), "a", "b").limit(ASSOC_TOP_K)
+    w_r = W.orderBy(F.col("lift").desc(), "a", "b")
+    return top.select(
+        F.row_number().over(w_r).alias("rank"),
+        F.col("a").alias("antecedent"),
+        F.col("b").alias("consequent"),
+        "n_both",
+        "n_ante",
+        "n_cons",
+        F.round(F.col("conf"), 6).alias("confidence"),
+        F.round(F.col("lift"), 6).alias("lift"),
+    )
+
+
 ORACLE: dict[str, str] = {
     # Replays the hashed-bigram bucketing, both smoothed marginals, and the
     # sorted per-doc fold (list ORDER BY bucket == Spark's sort_array on a
@@ -928,6 +1081,73 @@ ORACLE: dict[str, str] = {
                round(avg(coalesce(lm.logp, {LM_UNSEEN_LOGP})), 4) > {LM_KEEP_LOGP} AS keep
         FROM bg LEFT JOIN lm ON bg.t1 = lm.t1 AND bg.t2 = lm.t2
         GROUP BY bg.doc_id
+    """,
+    # Replays the KN interpolation with the identical operation order:
+    # exact integer counts from the pair-type table, double division in
+    # the same association, argmax on the raw (unrounded) probability
+    # with the same (p DESC, t2) tie-break.
+    "q_kn_bigram": f"""
+        WITH toks AS (
+            SELECT string_split(text, ' ') AS w FROM documents
+        ), bg AS (
+            SELECT w[i] AS t1, w[i+1] AS t2
+            FROM toks, UNNEST(generate_series(1, len(w) - 1)) AS t(i)
+            WHERE len(w) >= 2
+        ), pair AS (
+            SELECT t1, t2, count(*) AS c12 FROM bg GROUP BY 1, 2
+        ), types AS (
+            SELECT count(*) AS bt FROM pair
+        ), scored AS (
+            SELECT t1, t2, c12,
+                   sum(c12) OVER (PARTITION BY t1) AS c1,
+                   count(*) OVER (PARTITION BY t1) AS fwd,
+                   count(*) OVER (PARTITION BY t2) AS bwd
+            FROM pair
+        ), kn AS (
+            SELECT t1, t2, c12, c1,
+                   greatest(c12 - {KN_DISCOUNT}, 0.0) / c1
+                   + {KN_DISCOUNT} * fwd / c1 * (bwd / bt) AS p
+            FROM scored, types
+            WHERE c1 >= {BIGRAM_MIN_COUNT}
+        )
+        SELECT t1, t2 AS next_tok, c12 AS n_bigram, round(p, 6) AS p_kn
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY t1 ORDER BY p DESC, t2) AS rn
+            FROM kn
+        ) WHERE rn = 1
+    """,
+    # Pair supports come from a doc_id-keyed self-join of the distinct-item
+    # stream (the declarative twin of Spark's map-side array pair fan-out);
+    # lift/confidence divide the identical integer counts cast to double.
+    "q_assoc_rules": f"""
+        WITH items AS (
+            SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+            FROM documents
+        ), n AS (
+            SELECT count(*) AS n_docs FROM documents
+        ), supp AS (
+            SELECT tok, count(*) AS s FROM items GROUP BY tok
+        ), pairs AS (
+            SELECT x.tok AS a, y.tok AS b, count(*) AS n_both
+            FROM items x JOIN items y
+              ON x.doc_id = y.doc_id AND x.tok <> y.tok
+            GROUP BY 1, 2
+        ), rules AS (
+            SELECT a, b, n_both, sa.s AS n_ante, sb.s AS n_cons,
+                   CAST(n_both * n_docs AS DOUBLE)
+                       / CAST(sa.s * sb.s AS DOUBLE) AS lift,
+                   CAST(n_both AS DOUBLE) / CAST(sa.s AS DOUBLE) AS conf
+            FROM pairs
+            CROSS JOIN n
+            JOIN supp sa ON pairs.a = sa.tok
+            JOIN supp sb ON pairs.b = sb.tok
+            WHERE n_both >= {ASSOC_MIN_SUPPORT} * n_docs
+        )
+        SELECT CAST(row_number() OVER (ORDER BY lift DESC, a, b) AS INT) AS rank,
+               a AS antecedent, b AS consequent, n_both, n_ante, n_cons,
+               round(conf, 6) AS confidence, round(lift, 6) AS lift
+        FROM rules ORDER BY lift DESC, a, b LIMIT {ASSOC_TOP_K}
     """,
     "q_bigram_lm": """
         WITH toks AS (

@@ -90,6 +90,82 @@ def q_similarity_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TRIPLET_MARGIN = 0.2  # required cosine separation pos vs neg (FaceNet alpha)
+
+
+def q_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-triplet mining for contrastive training (Schroff et al.,
+    FaceNet, CVPR 2015 — public literature): for each anchor vector, the
+    HARDEST positive (same label, lowest cosine) and HARDEST negative
+    (different label, highest cosine), the margin between them, and
+    whether the triplet violates the alpha = 0.2 separation — the batch
+    that a metric-learning loop feeds its loss.
+
+    Scale: the anchor set is broadcast (mining runs per training batch —
+    a few thousand anchors at most), so the corpus side is ONE map-side
+    pass computing cosines against every anchor; the per-anchor argmin /
+    argmax are window row_numbers over the scored stream partitioned by
+    anchor, and the final positive-negative stitch joins two
+    |anchors|-row frames. The corpus is never shuffled, never joined to
+    itself. Cosines are rounded to 6 before ranking so both engines rank
+    the same values; ties break on cand_id."""
+    emb = _with_norm(load_table(spark, sf_dir, "embeddings"))
+    anchors = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("anchor_label"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    scored = (
+        emb.select(F.col("vec_id").alias("cand_id"), "label", "v", "nrm")
+        .join(F.broadcast(anchors), F.col("cand_id") != F.col("anchor_id"))
+        .select(
+            "anchor_id",
+            "anchor_label",
+            "cand_id",
+            "label",
+            F.round(
+                dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm")), 6
+            ).alias("cosine"),
+        )
+    )
+    w_pos = W.partitionBy("anchor_id").orderBy(F.col("cosine").asc(), "cand_id")
+    w_neg = W.partitionBy("anchor_id").orderBy(F.col("cosine").desc(), "cand_id")
+    pos = (
+        scored.filter(F.col("label") == F.col("anchor_label"))
+        .withColumn("rk", F.row_number().over(w_pos))
+        .filter(F.col("rk") == 1)
+        .select(
+            "anchor_id",
+            "anchor_label",
+            F.col("cand_id").alias("pos_id"),
+            F.col("cosine").alias("pos_cos"),
+        )
+    )
+    neg = (
+        scored.filter(F.col("label") != F.col("anchor_label"))
+        .withColumn("rk", F.row_number().over(w_neg))
+        .filter(F.col("rk") == 1)
+        .select(
+            "anchor_id",
+            F.col("cand_id").alias("neg_id"),
+            F.col("cosine").alias("neg_cos"),
+        )
+    )
+    return pos.join(F.broadcast(neg), "anchor_id").select(
+        "anchor_id",
+        "anchor_label",
+        "pos_id",
+        "pos_cos",
+        "neg_id",
+        "neg_cos",
+        F.round(F.col("pos_cos") - F.col("neg_cos"), 6).alias("margin"),
+        (F.round(F.col("pos_cos") - F.col("neg_cos"), 6) < TRIPLET_MARGIN).alias(
+            "violates"
+        ),
+    )
+
+
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Within-label cosine near-dup pairs via corpus-sized banded sign-LSH.
 
@@ -1311,6 +1387,40 @@ ORACLE: dict[str, str] = {
                 PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS INT) AS rk
             FROM scored
         ) WHERE rk <= 10
+    """,
+    # Same scored stream as q_similarity_search plus the label split; the
+    # argmin/argmax replay Spark's round-then-rank with cand_id tie-break.
+    "q_triplet_mining": f"""
+        WITH e AS (
+            SELECT vec_id, label, embedding::DOUBLE[] AS v,
+                   sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                       AS nrm
+            FROM embeddings
+        ), scored AS (
+            SELECT a.vec_id AS anchor_id, a.label AS anchor_label,
+                   c.vec_id AS cand_id, c.label,
+                   round(list_dot_product(a.v, c.v) / (a.nrm * c.nrm), 6) AS cosine
+            FROM e a JOIN e c ON c.vec_id <> a.vec_id
+            WHERE a.vec_id < {N_QUERIES}
+        ), pos AS (
+            SELECT anchor_id, anchor_label, cand_id AS pos_id, cosine AS pos_cos
+            FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY anchor_id ORDER BY cosine ASC, cand_id) AS rk
+                FROM scored WHERE label = anchor_label
+            ) WHERE rk = 1
+        ), neg AS (
+            SELECT anchor_id, cand_id AS neg_id, cosine AS neg_cos
+            FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY anchor_id ORDER BY cosine DESC, cand_id) AS rk
+                FROM scored WHERE label <> anchor_label
+            ) WHERE rk = 1
+        )
+        SELECT pos.anchor_id, anchor_label, pos_id, pos_cos, neg_id, neg_cos,
+               round(pos_cos - neg_cos, 6) AS margin,
+               round(pos_cos - neg_cos, 6) < {TRIPLET_MARGIN} AS violates
+        FROM pos JOIN neg ON pos.anchor_id = neg.anchor_id
     """,
     # Replays the banded sign-LSH sub-bucketing value-for-value (same md5
     # hyperplane family as q_ann_ivf), INCLUDING the corpus-sized quantizer

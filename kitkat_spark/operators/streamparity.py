@@ -474,6 +474,78 @@ def q_stream_topk_wm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ANOMALY_Z = 2.0  # traffic-spike threshold in sample-stddev units
+
+
+def q_stream_anomaly_wm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming traffic-anomaly detection: a watermarked 1-hour tumbling
+    count per event_type in append mode, then each sealed window z-scored
+    against ITS TYPE's own sealed-window distribution at read time —
+    windows more than 2 sample-stddevs above the mean flag as spikes (the
+    alerting shape: error-rate bursts, bot surges).
+
+    Streaming state stays one count per live (window, type) — the z-score
+    needs the full per-type distribution, which no single watermark epoch
+    has, so it belongs at read time over the sealed sink (the same
+    post-state composition as q_stream_topk_wm's rank-at-read). The
+    read-time moments come from EXACT integer sums (count, sum n, sum
+    n^2) via one window over the sink table, so mean/stddev are the same
+    IEEE doubles in both engines; var clamps at 0 against negative float
+    residue and constant series (sd = 0) yield z = NULL, anomaly false."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "ts")
+    path, n_rows = _replay_info(spark, sf_dir, "anomaly", lambda: ev)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .parquet(path)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+    )
+    name = f"stream_anomaly_wm_{_sink_suffix(path)}"
+    with _state_partitions(spark, n_rows):
+        q = (
+            stream.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    from pyspark.sql import Window as W
+
+    w_t = W.partitionBy("event_type")
+    st = (
+        spark.table(name)
+        .withColumn("cnt", F.count("*").over(w_t))
+        .withColumn("s", F.sum("n_events").over(w_t))
+        .withColumn(
+            "ss", F.sum(F.col("n_events") * F.col("n_events")).over(w_t)
+        )
+    )
+    m = F.col("s").cast("double") / F.col("cnt").cast("double")
+    var = F.greatest(
+        (
+            F.col("ss").cast("double")
+            - F.col("s").cast("double") * F.col("s").cast("double")
+            / F.col("cnt").cast("double")
+        )
+        / (F.col("cnt") - 1).cast("double"),
+        F.lit(0.0),
+    )
+    z = F.when(
+        (F.col("cnt") > 1) & (F.sqrt(var) > 0),
+        (F.col("n_events").cast("double") - m) / F.sqrt(var),
+    )
+    return st.select(
+        "window_start",
+        "event_type",
+        "n_events",
+        F.round(z, 4).alias("z"),
+        F.coalesce(z > ANOMALY_Z, F.lit(False)).alias("is_anomaly"),
+    )
+
+
 def q_stream_hll_wm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming distinct-count — hourly distinct users estimated by a
     watermarked windowed HyperLogLog (the canonical unbounded-cardinality
@@ -900,6 +972,41 @@ ORACLE: dict[str, str] = {
                 ORDER BY n_events DESC, event_type) AS INT) AS rk
             FROM hourly
         ) WHERE rk <= {STREAM_TOPK}
+    """,
+    # Sealed set = the HAVING boundary; the z-score replays the exact
+    # integer moments (count / sum / sum-of-squares) and the identical
+    # double arithmetic, clamped var, and sd = 0 -> NULL z.
+    "q_stream_anomaly_wm": f"""
+        WITH hourly AS (
+            SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+                   event_type, count(*) AS n_events
+            FROM events GROUP BY 1, 2
+            HAVING CAST(date_trunc('hour', ts) AS TIMESTAMP) + INTERVAL 1 HOUR
+                   <= (SELECT max(ts) - INTERVAL 10 MINUTE FROM events)
+        ), st AS (
+            SELECT *, count(*) OVER w AS cnt,
+                   sum(n_events) OVER w AS s,
+                   sum(n_events * n_events) OVER w AS ss
+            FROM hourly
+            WINDOW w AS (PARTITION BY event_type)
+        ), scored AS (
+            SELECT window_start, event_type, n_events,
+                   CASE WHEN cnt > 1 AND sqrt(greatest(
+                            (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE)
+                                 * CAST(s AS DOUBLE) / CAST(cnt AS DOUBLE))
+                            / CAST(cnt - 1 AS DOUBLE), 0.0)) > 0
+                        THEN (CAST(n_events AS DOUBLE)
+                                  - CAST(s AS DOUBLE) / CAST(cnt AS DOUBLE))
+                             / sqrt(greatest(
+                                 (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE)
+                                      * CAST(s AS DOUBLE) / CAST(cnt AS DOUBLE))
+                                 / CAST(cnt - 1 AS DOUBLE), 0.0))
+                   END AS z
+            FROM st
+        )
+        SELECT window_start, event_type, n_events, round(z, 4) AS z,
+               coalesce(z > {ANOMALY_Z}, false) AS is_anomaly
+        FROM scored
     """,
     "q_stream_gap_fill": """
         WITH hourly AS (

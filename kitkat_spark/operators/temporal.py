@@ -86,6 +86,51 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over user event sequences: for
+    every (prev_type -> next_type) step between CONSECUTIVE events of the
+    same user within the session gap, the count and the row-normalized
+    transition probability — the behavioral model behind next-event
+    prediction and funnel-drop analysis.
+
+    A transition is a lag-1 pair whose inter-event gap is within
+    SESSION_GAP_MINUTES — exactly q_sessionize's island criterion, but the
+    session id itself is never materialized (the lag test alone decides
+    membership, saving the running-sum pass). ONE shuffle: the
+    partitionBy(user) sort that produces the lag; the transition
+    aggregation's key domain is |event_type|^2 (25 here, bounded in any
+    deployment), with map-side combine, and the probability normalization
+    is a window over that tiny table. p divides exact counts cast to
+    double in the same order in both engines; output is the full matrix,
+    deterministic without any tie-break."""
+    events = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.col("ts"), F.col("event_id"))
+    gap = F.col("ts").cast("double") - F.lag(F.col("ts").cast("double"), 1).over(w)
+    steps = events.select(
+        "user_id",
+        "event_type",
+        F.lag("event_type", 1).over(w).alias("prev_type"),
+        gap.alias("gap_s"),
+    ).filter(
+        F.col("prev_type").isNotNull()
+        & (F.col("gap_s") <= SESSION_GAP_MINUTES * 60)
+    )
+    trans = steps.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count("*").alias("n_trans")
+    )
+    w_prev = W.partitionBy("prev_type")
+    return trans.select(
+        "prev_type",
+        "next_type",
+        "n_trans",
+        F.round(
+            F.col("n_trans").cast("double")
+            / F.sum("n_trans").over(w_prev).cast("double"),
+            6,
+        ).alias("p"),
+    )
+
+
 def q_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact content dedup: group-by-content keeping min key. Streaming twin:
     dropDuplicatesWithinWatermark (state-store backed)."""
@@ -416,6 +461,26 @@ ORACLE: dict[str, str] = {
         SELECT min(doc_id) AS keep_id, count(*) AS n_copies
         FROM documents
         GROUP BY text
+    """,
+    # Same lag-1 / gap criterion as q_sessionize's island test; the sum()
+    # window over BIGINT counts is exact, the division double both sides.
+    "q_markov_transitions": """
+        WITH steps AS (
+            SELECT event_type AS next_type,
+                   lag(event_type) OVER w AS prev_type,
+                   epoch(ts) - epoch(lag(ts) OVER w) AS gap_s
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), trans AS (
+            SELECT prev_type, next_type, count(*) AS n_trans
+            FROM steps
+            WHERE prev_type IS NOT NULL AND gap_s <= 1800
+            GROUP BY 1, 2
+        )
+        SELECT prev_type, next_type, n_trans,
+               round(CAST(n_trans AS DOUBLE) / CAST(
+                   sum(n_trans) OVER (PARTITION BY prev_type) AS DOUBLE), 6) AS p
+        FROM trans
     """,
     "q_gap_fill": """
         WITH hourly AS (
