@@ -12,10 +12,19 @@ image dimensions and pixel values are deterministic functions of doc_id
 width/height/pixel sums arithmetically — a wrong unfilter or a padding leak
 changes ``px_sum`` and fails the hash gate.
 
-Audio/video decode remains STUBBED (no ffmpeg/librosa in this container)
-behind ``_decode_stub``, a clearly-marked deterministic fake; unsupported
-formats raise NotImplementedError. Swap the stub for real codecs in a
-deployment — batching, schema, and partitioning are unchanged.
+AUDIO IS REAL as of round 9 (session 4): audio docs carry genuine WAV
+(RIFF PCM 16-bit) payloads built executor-side, and decode runs the real
+chunk-walking parser (functions/audiocodec.py). Frame count and the exact
+int16 sample sum are deterministic functions of doc_id (see
+``_wav_frames``; sample i = (doc_id*31 + i*17) % 4001 - 2000), so the
+DuckDB oracle replays duration and sample_sum in closed form — a
+byte-order, header-offset, or chunk-padding bug changes the sum and fails
+the hash gate.
+
+Video decode remains STUBBED (no ffmpeg in this container) behind
+``_decode_stub``, a clearly-marked deterministic fake; unsupported formats
+raise NotImplementedError. Swap the stub for a real codec in a deployment
+— batching, schema, and partitioning are unchanged.
 
 Scale: decode/feature-extract is a narrow map (no shuffle). Batch size is
 bounded by ``spark.sql.execution.arrow.maxRecordsPerBatch`` so a partition of
@@ -80,15 +89,24 @@ def _img_pixels(doc_id: int, channels: int):
     )
 
 
+def _wav_frames(doc_id: int) -> int:
+    """Deterministic fixture frame count (oracle-replayable)."""
+    return 200 + doc_id % 101
+
+
+WAV_RATE = 8000
+
+
 def _decode_stub(content: bytes, media_type: str) -> dict:
     """Feature extraction: REAL decode for PNG/BMP payloads (magic
-    dispatch into functions/imagecodec.py), deterministic STUB for the
-    media types without a codec in this container (audio/video/text).
+    dispatch into functions/imagecodec.py) and for WAV audio (RIFF chunk
+    walk into functions/audiocodec.py); deterministic STUB for the media
+    types without a codec in this container (video/text).
 
     Raises NotImplementedError for media types a real deployment would need a
     codec for but we cannot fake coherently.
     """
-    from kitkat_spark.functions import imagecodec
+    from kitkat_spark.functions import audiocodec, imagecodec
 
     if content[:8] == imagecodec.PNG_SIG or content[:2] == imagecodec.BMP_SIG:
         w, h, c, px = imagecodec.decode_image(content)
@@ -100,6 +118,17 @@ def _decode_stub(content: bytes, media_type: str) -> dict:
             "px_sum": sum(px),
             "duration_s": None,
             "checksum": None,
+        }
+    if content[:4] == audiocodec.RIFF_SIG and content[8:12] == audiocodec.WAVE_SIG:
+        rate, channels, n_frames, data = audiocodec.wav_decode(content)
+        return {
+            "magic": content[:4].hex(),
+            "width": None,
+            "height": None,
+            "n_px": None,
+            "px_sum": None,
+            "duration_s": round(n_frames / rate, 6),
+            "checksum": audiocodec.sample_sum(data),
         }
     if media_type not in {"image", "audio", "video", "text"}:
         raise NotImplementedError(f"no codec for media_type={media_type!r}")
@@ -255,6 +284,25 @@ def _png_for_doc(doc_id: pd.Series) -> pd.Series:
 
 
 @F.pandas_udf(T.BinaryType())
+def _wav_for_doc(doc_id: pd.Series) -> pd.Series:
+    """Deterministic WAV payload per audio doc: mono 16-bit PCM at
+    WAV_RATE, _wav_frames(doc_id) frames, sample i = (doc_id*31 + i*17)
+    % 4001 - 2000 — closed-form for the oracle, in int16 range by
+    construction. Runs Arrow-batched on executors."""
+    import numpy as np
+
+    from kitkat_spark.functions.audiocodec import wav_encode
+
+    out = []
+    for d in doc_id:
+        d = int(d)
+        i = np.arange(_wav_frames(d), dtype=np.int64)
+        s = ((d * 31 + i * 17) % 4001 - 2000).astype("<i2")
+        out.append(wav_encode(s.tobytes(), WAV_RATE, 1))
+    return pd.Series(out)
+
+
+@F.pandas_udf(T.BinaryType())
 def _image_for_doc(doc_id: pd.Series) -> pd.Series:
     """Mixed-format payload per doc for q_image_decode: PNG greyscale
     (doc_id % 3 == 0), PNG truecolour (== 1), 24-bit BMP (== 2)."""
@@ -275,26 +323,26 @@ def _image_for_doc(doc_id: pd.Series) -> pd.Series:
 
 
 def synthesize_media(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic media fixture: image docs carry REAL PNG payloads
-    (built executor-side from doc_id), the rest the documents' utf-8
-    bytes as fake audio/video/text payloads.
+    """Deterministic media fixture: image docs carry REAL PNG payloads and
+    audio docs REAL WAV payloads (both built executor-side from doc_id),
+    the rest the documents' utf-8 bytes as fake video/text payloads.
 
-    The two content kinds are built on SEPARATE filtered branches and
+    The content kinds are built on SEPARATE filtered branches and
     unioned: a pandas UDF inside when()/otherwise() is hoisted into an
     ArrowEvalPython node and evaluated for EVERY row, so the single-branch
     form paid the PNG encode 4x over (measured ~0.6 s at sf0.1 across the
     three media queries)."""
     docs = load_table(spark, sf_dir, "documents")
 
-    def shape(df: DataFrame, content: F.Column) -> DataFrame:
+    def shape(df: DataFrame, content: F.Column, mtype: str) -> DataFrame:
+        # media_type is a LITERAL per branch so a consumer's
+        # filter(media_type == 'image') constant-folds the other branches
+        # to empty relations — the codec-encode UDFs of excluded types
+        # never run (with a computed media_type the audio branch paid the
+        # WAV encode for rows q_media_resize immediately discarded)
         return df.select(
             F.col("doc_id").alias("media_id"),
-            F.element_at(
-                F.array(
-                    F.lit("image"), F.lit("audio"), F.lit("video"), F.lit("text")
-                ),
-                (F.pmod(F.col("doc_id"), F.lit(4)) + 1).cast("int"),
-            ).alias("media_type"),
+            F.lit(mtype).alias("media_type"),
             content.alias("content"),
             F.struct(
                 F.lit("application/octet-stream").alias("mime"),
@@ -302,21 +350,39 @@ def synthesize_media(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("meta"),
         )
 
-    is_image = F.pmod(F.col("doc_id"), F.lit(4)) == 0
-    images = shape(docs.filter(is_image), _png_for_doc(F.col("doc_id")))
-    others = shape(docs.filter(~is_image), F.col("text").cast("binary"))
-    return images.unionByName(others)
+    mod4 = F.pmod(F.col("doc_id"), F.lit(4))
+    text_bytes = F.col("text").cast("binary")
+    return (
+        shape(docs.filter(mod4 == 0), _png_for_doc(F.col("doc_id")), "image")
+        .unionByName(shape(docs.filter(mod4 == 1), _wav_for_doc(F.col("doc_id")), "audio"))
+        .unionByName(shape(docs.filter(mod4 == 2), text_bytes, "video"))
+        .unionByName(shape(docs.filter(mod4 == 3), text_bytes, "text"))
+    )
 
 
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature extraction over synthesized media. Image rows exercise the
-    REAL PNG decoder: magic, width, height, n_px, and px_sum come from
-    parsing actual PNG bytes (CRC-checked, inflated, unfiltered) and the
-    oracle replays them arithmetically from doc_id — a decoder bug cannot
-    hash-green. Audio/video/text rows keep the documented stub features."""
+    REAL PNG decoder (magic, width, height, n_px, px_sum from parsing
+    actual PNG bytes — CRC-checked, inflated, unfiltered) and audio rows
+    the REAL WAV parser (duration from the fmt/data chunk walk,
+    sample_sum the exact int16 sum of the decoded PCM stream); the oracle
+    replays every value arithmetically from doc_id, so a decoder bug in
+    either codec cannot hash-green. Video/text rows keep the documented
+    stub features (sample_sum exposed for audio only — the stub checksum
+    is not a decode witness)."""
     feats = extract_features(synthesize_media(spark, sf_dir))
     return feats.select(
-        "media_id", "media_type", "magic", "width", "height", "n_px", "px_sum"
+        "media_id",
+        "media_type",
+        "magic",
+        "width",
+        "height",
+        "n_px",
+        "px_sum",
+        "duration_s",
+        F.when(F.col("media_type") == "audio", F.col("checksum")).alias(
+            "sample_sum"
+        ),
     )
 
 
@@ -522,14 +588,26 @@ ORACLE: dict[str, str] = {
                  octet_length(text::BLOB) // 256)) AS BIGINT) - 1)) AS t(k)
         WHERE doc_id % 4 = 2
     """,
+    # Audio rows replay the REAL WAV decode in closed form: duration =
+    # frames/rate and sample_sum = sum of the generated int16 stream —
+    # the sum a header-offset / byte-order / chunk-padding bug cannot hit.
     "q_multimodal_decode": """
         WITH """ + _PXSUM_GRID.format(
         gray="d.doc_id % 8 = 0", only="d.doc_id % 4 = 0 AND"
     ) + """
+        , wav AS (
+            SELECT d.doc_id,
+                   sum((d.doc_id * 31 + i * 17) % 4001 - 2000) AS s
+            FROM documents d,
+                 UNNEST(generate_series(0, 200 + d.doc_id % 101 - 1)) AS t(i)
+            WHERE d.doc_id % 4 = 1
+            GROUP BY d.doc_id
+        )
         SELECT d.doc_id AS media_id,
                CASE d.doc_id % 4 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
                                  WHEN 2 THEN 'video' ELSE 'text' END AS media_type,
                CASE WHEN d.doc_id % 4 = 0 THEN '89504e47'
+                    WHEN d.doc_id % 4 = 1 THEN '52494646'
                     ELSE lower(hex(encode(substring(d.text, 1, 4)))) END AS magic,
                CAST(CASE WHEN d.doc_id % 4 = 0 THEN 4 + d.doc_id % 13
                          WHEN d.doc_id % 4 = 2
@@ -542,8 +620,16 @@ ORACLE: dict[str, str] = {
                CAST(CASE WHEN d.doc_id % 4 = 0
                     THEN (4 + d.doc_id % 13) * (4 + d.doc_id % 11)
                     END AS BIGINT) AS n_px,
-               CAST(px.s AS BIGINT) AS px_sum
-        FROM documents d LEFT JOIN px ON px.doc_id = d.doc_id
+               CAST(px.s AS BIGINT) AS px_sum,
+               CASE WHEN d.doc_id % 4 = 1
+                        THEN round((200 + d.doc_id % 101) / 8000.0, 6)
+                    WHEN d.doc_id % 4 = 2
+                        THEN round(octet_length(d.text::BLOB) / 1000.0, 3)
+               END AS duration_s,
+               CAST(wav.s AS BIGINT) AS sample_sum
+        FROM documents d
+        LEFT JOIN px ON px.doc_id = d.doc_id
+        LEFT JOIN wav ON wav.doc_id = d.doc_id
     """,
     "q_image_decode": """
         WITH """ + _PXSUM_GRID.format(gray="d.doc_id % 3 = 0", only="") + """
