@@ -21,10 +21,19 @@ DuckDB oracle replays duration and sample_sum in closed form — a
 byte-order, header-offset, or chunk-padding bug changes the sum and fails
 the hash gate.
 
-Video decode remains STUBBED (no ffmpeg in this container) behind
-``_decode_stub``, a clearly-marked deterministic fake; unsupported formats
-raise NotImplementedError. Swap the stub for a real codec in a deployment
-— batching, schema, and partitioning are unchanged.
+VIDEO IS REAL as of round 9 (session 4): video docs carry genuine Y4M
+(YUV4MPEG2, C420) streams built executor-side, and both decode and the
+frame-sampling 1->N fan-out run the real parser
+(functions/videocodec.py). Frame count, dimensions, and per-frame luma
+sums are deterministic functions of doc_id (see ``_y4m_dims``/
+``_y4m_nframes``; luma(f, x, y) = (3x + 5y + 7f + doc_id) % 256), so the
+DuckDB oracle replays duration, pixel counts, and the exact luma sums in
+closed form — a plane-offset or header-length bug fails the hash gate.
+
+Payloads without a codec still route through the clearly-marked
+deterministic stub; unsupported formats raise NotImplementedError. Swap
+in ffmpeg at the same seams in a deployment — batching, schema, and
+partitioning are unchanged.
 
 Scale: decode/feature-extract is a narrow map (no shuffle). Batch size is
 bounded by ``spark.sql.execution.arrow.maxRecordsPerBatch`` so a partition of
@@ -95,6 +104,16 @@ def _wav_frames(doc_id: int) -> int:
 
 
 WAV_RATE = 8000
+Y4M_FPS = 25
+
+
+def _y4m_dims(doc_id: int) -> tuple[int, int]:
+    """Deterministic EVEN fixture dimensions (C420 requires them)."""
+    return 2 * (4 + doc_id % 5), 2 * (3 + doc_id % 4)
+
+
+def _y4m_nframes(doc_id: int) -> int:
+    return 3 + doc_id % 6
 
 
 def _decode_stub(content: bytes, media_type: str) -> dict:
@@ -106,7 +125,7 @@ def _decode_stub(content: bytes, media_type: str) -> dict:
     Raises NotImplementedError for media types a real deployment would need a
     codec for but we cannot fake coherently.
     """
-    from kitkat_spark.functions import audiocodec, imagecodec
+    from kitkat_spark.functions import audiocodec, imagecodec, videocodec
 
     if content[:8] == imagecodec.PNG_SIG or content[:2] == imagecodec.BMP_SIG:
         w, h, c, px = imagecodec.decode_image(content)
@@ -129,6 +148,17 @@ def _decode_stub(content: bytes, media_type: str) -> dict:
             "px_sum": None,
             "duration_s": round(n_frames / rate, 6),
             "checksum": audiocodec.sample_sum(data),
+        }
+    if content[: len(videocodec.Y4M_SIG)] == videocodec.Y4M_SIG:
+        w, h, fps, frames = videocodec.y4m_decode(content)
+        return {
+            "magic": content[:4].hex(),
+            "width": w,
+            "height": h,
+            "n_px": w * h,
+            "px_sum": sum(videocodec.luma_sum(f, w, h) for f in frames),
+            "duration_s": round(len(frames) / fps, 6) if fps else None,
+            "checksum": None,
         }
     if media_type not in {"image", "audio", "video", "text"}:
         raise NotImplementedError(f"no codec for media_type={media_type!r}")
@@ -179,7 +209,10 @@ def extract_features(media: DataFrame) -> DataFrame:
 
 
 RESIZE_SCHEMA = "media_id long, width int, height int, px_sum long, content binary"
-FRAME_SCHEMA = "media_id long, frame_idx int, frame bytes".replace("bytes", "binary")
+FRAME_SCHEMA = (
+    "media_id long, frame_idx int, frame binary, "
+    "width int, height int, luma_sum long"
+)
 
 
 def _nn_resize(content: bytes, width: int, height: int) -> tuple[int, bytes]:
@@ -244,25 +277,56 @@ def resize_images(media: DataFrame, width: int = 224, height: int = 224) -> Data
     return media.mapInPandas(run, schema=RESIZE_SCHEMA)
 
 
-def sample_frames(media: DataFrame, every_n_bytes: int = 256, max_frames: int = 8) -> DataFrame:
-    """Frame-sampling stage (videos only): one output row per sampled frame —
-    the mapInPandas 1->N fan-out shape. Stub frames are fixed-size byte
-    windows; a real deployment decodes with ffmpeg at the same seam."""
+def sample_frames(
+    media: DataFrame,
+    every_n_bytes: int = 256,
+    max_frames: int = 8,
+    frame_stride: int = 2,
+) -> DataFrame:
+    """Frame-sampling stage (videos only): one output row per sampled frame
+    — the mapInPandas 1->N fan-out shape. Y4M payloads are REALLY decoded
+    (functions/videocodec.py) and every ``frame_stride``-th frame emitted
+    with its exact luma-plane sum; payloads without a codec fall back to
+    the byte-window stub (NULL dims/luma) so the stage stays total. Swap
+    in ffmpeg at the same seam — batching, schema, fan-out unchanged."""
+    from kitkat_spark.functions.videocodec import Y4M_SIG, luma_sum, y4m_decode
 
     media = media.filter(F.col("media_type") == "video")  # see resize_images
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             vids = pdf[pdf["media_type"] == "video"]
-            ids, idxs, frames = [], [], []
+            ids, idxs, frames, ws, hs, lsums = [], [], [], [], [], []
             for mid, c in zip(vids["media_id"], vids["content"]):
                 c = c or b""
+                if c[: len(Y4M_SIG)] == Y4M_SIG:
+                    w, h, _fps, fs = y4m_decode(c)
+                    for fi in list(range(0, len(fs), frame_stride))[:max_frames]:
+                        ids.append(mid)
+                        idxs.append(fi)
+                        frames.append(bytes(fs[fi]))
+                        ws.append(w)
+                        hs.append(h)
+                        lsums.append(luma_sum(fs[fi], w, h))
+                    continue
                 for k in range(min(max_frames, max(1, len(c) // every_n_bytes))):
                     ids.append(mid)
                     idxs.append(k)
                     frames.append(bytes(c[k * every_n_bytes : (k + 1) * every_n_bytes]))
+                    ws.append(None)
+                    hs.append(None)
+                    lsums.append(None)
             if ids:
-                yield pd.DataFrame({"media_id": ids, "frame_idx": idxs, "frame": frames})
+                yield pd.DataFrame(
+                    {
+                        "media_id": ids,
+                        "frame_idx": idxs,
+                        "frame": frames,
+                        "width": pd.array(ws, dtype="Int32"),
+                        "height": pd.array(hs, dtype="Int32"),
+                        "luma_sum": pd.array(lsums, dtype="Int64"),
+                    }
+                )
 
     return media.mapInPandas(run, schema=FRAME_SCHEMA)
 
@@ -299,6 +363,34 @@ def _wav_for_doc(doc_id: pd.Series) -> pd.Series:
         i = np.arange(_wav_frames(d), dtype=np.int64)
         s = ((d * 31 + i * 17) % 4001 - 2000).astype("<i2")
         out.append(wav_encode(s.tobytes(), WAV_RATE, 1))
+    return pd.Series(out)
+
+
+@F.pandas_udf(T.BinaryType())
+def _y4m_for_doc(doc_id: pd.Series) -> pd.Series:
+    """Deterministic Y4M payload per video doc: C420 at Y4M_FPS,
+    _y4m_nframes(doc_id) frames of _y4m_dims(doc_id); luma(f, x, y) =
+    (3x + 5y + 7f + doc_id) % 256, chroma planes constant (doc_id + f)
+    and (doc_id + 2f) mod 256 — closed-form for the oracle. Runs
+    Arrow-batched on executors."""
+    import numpy as np
+
+    from kitkat_spark.functions.videocodec import y4m_encode
+
+    out = []
+    for d in doc_id:
+        d = int(d)
+        w, h = _y4m_dims(d)
+        frames = []
+        for f in range(_y4m_nframes(d)):
+            luma = (
+                (3 * np.arange(w)[None, :] + 5 * np.arange(h)[:, None] + 7 * f + d)
+                % 256
+            ).astype(np.uint8)
+            u = np.full((h // 2, w // 2), (d + f) % 256, np.uint8)
+            v = np.full((h // 2, w // 2), (d + 2 * f) % 256, np.uint8)
+            frames.append(luma.tobytes() + u.tobytes() + v.tobytes())
+        out.append(y4m_encode(frames, w, h, Y4M_FPS))
     return pd.Series(out)
 
 
@@ -351,12 +443,13 @@ def synthesize_media(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     mod4 = F.pmod(F.col("doc_id"), F.lit(4))
-    text_bytes = F.col("text").cast("binary")
     return (
         shape(docs.filter(mod4 == 0), _png_for_doc(F.col("doc_id")), "image")
         .unionByName(shape(docs.filter(mod4 == 1), _wav_for_doc(F.col("doc_id")), "audio"))
-        .unionByName(shape(docs.filter(mod4 == 2), text_bytes, "video"))
-        .unionByName(shape(docs.filter(mod4 == 3), text_bytes, "text"))
+        .unionByName(shape(docs.filter(mod4 == 2), _y4m_for_doc(F.col("doc_id")), "video"))
+        .unionByName(
+            shape(docs.filter(mod4 == 3), F.col("text").cast("binary"), "text")
+        )
     )
 
 
@@ -401,9 +494,19 @@ def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frame-sampling 1->N fan-out: per-frame sizes are oracle-checkable."""
+    """REAL frame-sampling 1->N fan-out: every 2nd frame of each Y4M
+    stream, with the C420 frame size, dimensions, and the exact per-frame
+    luma-plane sum — all replayed in closed form by the oracle (a
+    plane-offset or stride bug cannot hash-green)."""
     out = sample_frames(synthesize_media(spark, sf_dir))
-    return out.select("media_id", "frame_idx", F.octet_length("frame").alias("n_frame"))
+    return out.select(
+        "media_id",
+        "frame_idx",
+        F.octet_length("frame").alias("n_frame"),
+        "width",
+        "height",
+        "luma_sum",
+    )
 
 
 def q_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -579,14 +682,31 @@ ORACLE: dict[str, str] = {
                     AS BIGINT) AS px_sum
         FROM nn GROUP BY doc_id, gray
     """,
+    # Replays the Y4M sampling stride and the per-frame luma arithmetic:
+    # frames 0, 2, ... of 3 + d%6, each w*h*3/2 bytes, luma(f, x, y) =
+    # (3x + 5y + 7f + d) % 256 summed exactly.
     "q_frame_sample": """
-        SELECT doc_id AS media_id,
-               CAST(k AS INT) AS frame_idx,
-               CAST(least(octet_length(text::BLOB) - k * 256, 256) AS INT) AS n_frame
-        FROM documents,
-             UNNEST(generate_series(0, CAST(least(8, greatest(1,
-                 octet_length(text::BLOB) // 256)) AS BIGINT) - 1)) AS t(k)
-        WHERE doc_id % 4 = 2
+        WITH v AS (
+            SELECT doc_id, 2 * (4 + doc_id % 5) AS w, 2 * (3 + doc_id % 4) AS h,
+                   3 + doc_id % 6 AS nf
+            FROM documents WHERE doc_id % 4 = 2
+        ), fr AS (
+            SELECT doc_id, w, h, CAST(f AS INT) AS frame_idx
+            FROM v, UNNEST(generate_series(0, nf - 1, 2)) AS t(f)
+        ), ls AS (
+            SELECT fr.doc_id, fr.frame_idx,
+                   sum((3 * x + 5 * y + 7 * fr.frame_idx + fr.doc_id) % 256) AS s
+            FROM fr,
+                 UNNEST(generate_series(0, fr.w - 1)) AS tx(x),
+                 UNNEST(generate_series(0, fr.h - 1)) AS ty(y)
+            GROUP BY 1, 2
+        )
+        SELECT fr.doc_id AS media_id, fr.frame_idx,
+               CAST((fr.w * fr.h * 3) // 2 AS INT) AS n_frame,
+               CAST(fr.w AS INT) AS width, CAST(fr.h AS INT) AS height,
+               CAST(ls.s AS BIGINT) AS luma_sum
+        FROM fr JOIN ls
+          ON fr.doc_id = ls.doc_id AND fr.frame_idx = ls.frame_idx
     """,
     # Audio rows replay the REAL WAV decode in closed form: duration =
     # frames/rate and sample_sum = sum of the generated int16 stream —
@@ -602,34 +722,47 @@ ORACLE: dict[str, str] = {
                  UNNEST(generate_series(0, 200 + d.doc_id % 101 - 1)) AS t(i)
             WHERE d.doc_id % 4 = 1
             GROUP BY d.doc_id
+        ), vid AS (
+            SELECT d.doc_id,
+                   sum((3 * x + 5 * y + 7 * f + d.doc_id) % 256) AS s
+            FROM documents d,
+                 UNNEST(generate_series(0, 3 + d.doc_id % 6 - 1)) AS tf(f),
+                 UNNEST(generate_series(0, 2 * (4 + d.doc_id % 5) - 1)) AS tx(x),
+                 UNNEST(generate_series(0, 2 * (3 + d.doc_id % 4) - 1)) AS ty(y)
+            WHERE d.doc_id % 4 = 2
+            GROUP BY d.doc_id
         )
         SELECT d.doc_id AS media_id,
                CASE d.doc_id % 4 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
                                  WHEN 2 THEN 'video' ELSE 'text' END AS media_type,
-               CASE WHEN d.doc_id % 4 = 0 THEN '89504e47'
-                    WHEN d.doc_id % 4 = 1 THEN '52494646'
+               CASE d.doc_id % 4 WHEN 0 THEN '89504e47'
+                                 WHEN 1 THEN '52494646'
+                                 WHEN 2 THEN '59555634'
                     ELSE lower(hex(encode(substring(d.text, 1, 4)))) END AS magic,
                CAST(CASE WHEN d.doc_id % 4 = 0 THEN 4 + d.doc_id % 13
-                         WHEN d.doc_id % 4 = 2
-                             THEN octet_length(d.text::BLOB) % 640 + 1
+                         WHEN d.doc_id % 4 = 2 THEN 2 * (4 + d.doc_id % 5)
                     END AS INT) AS width,
                CAST(CASE WHEN d.doc_id % 4 = 0 THEN 4 + d.doc_id % 11
-                         WHEN d.doc_id % 4 = 2
-                             THEN octet_length(d.text::BLOB) % 480 + 1
+                         WHEN d.doc_id % 4 = 2 THEN 2 * (3 + d.doc_id % 4)
                     END AS INT) AS height,
                CAST(CASE WHEN d.doc_id % 4 = 0
-                    THEN (4 + d.doc_id % 13) * (4 + d.doc_id % 11)
+                         THEN (4 + d.doc_id % 13) * (4 + d.doc_id % 11)
+                         WHEN d.doc_id % 4 = 2
+                         THEN 4 * (4 + d.doc_id % 5) * (3 + d.doc_id % 4)
                     END AS BIGINT) AS n_px,
-               CAST(px.s AS BIGINT) AS px_sum,
+               CAST(CASE WHEN d.doc_id % 4 = 0 THEN px.s
+                         WHEN d.doc_id % 4 = 2 THEN vid.s
+                    END AS BIGINT) AS px_sum,
                CASE WHEN d.doc_id % 4 = 1
                         THEN round((200 + d.doc_id % 101) / 8000.0, 6)
                     WHEN d.doc_id % 4 = 2
-                        THEN round(octet_length(d.text::BLOB) / 1000.0, 3)
+                        THEN round((3 + d.doc_id % 6) / 25.0, 6)
                END AS duration_s,
                CAST(wav.s AS BIGINT) AS sample_sum
         FROM documents d
         LEFT JOIN px ON px.doc_id = d.doc_id
         LEFT JOIN wav ON wav.doc_id = d.doc_id
+        LEFT JOIN vid ON vid.doc_id = d.doc_id
     """,
     "q_image_decode": """
         WITH """ + _PXSUM_GRID.format(gray="d.doc_id % 3 = 0", only="") + """
