@@ -105,7 +105,7 @@ for _m in _MODULES:
 # for refreshing this round's CHANGED-but-recently-green queries — see the
 # re-verify-next-round note at the bottom.
 _VERIFY_FIRST = [
-    # -- (a) new this round (36 from the early waves + 7 late-wave) --
+    # -- (a) new this round (29 early-wave + 7 late-wave = 36) --
     "q_pq_search",           # NEW: PQ asymmetric-distance top-k search
     "q_kn_bigram",           # NEW: interpolated Kneser-Ney bigram LM
     "q_assoc_rules",         # NEW: association rules (support/conf/lift)
