@@ -154,6 +154,12 @@ def test_batch_dedup_family_sublinear_at_10x(spark, stress_dir):
         # micro-batch harness over 10x windows; state = one count per
         # live (window, type); z-score at read time (measured 1.8x)
         "q_stream_anomaly_wm": 5.0,
+        # real-codec media family: Arrow-batched shuffle-free maps, wall
+        # tracks the per-doc encode+decode Python (measured 1.3x/1.0x/1.0x
+        # at 10x with all three modalities decoding for real)
+        "q_multimodal_decode": 4.0,
+        "q_media_resize": 4.0,
+        "q_frame_sample": 4.0,
     }
     failures = []
     for name, max_ratio in bounds.items():
