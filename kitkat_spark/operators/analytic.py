@@ -416,6 +416,14 @@ def q_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     rz = MAD_K * (F.col("value") - F.col("med")) / F.col("mad")
+    # Round the score via an EXPLICIT product-then-integer-round in both
+    # engines: Spark's round() rounds the exact decimal expansion of the
+    # double while DuckDB multiplies by 10^d first, and a score landing an
+    # ulp under a .00005 boundary (sf0.1: 3.85224999...97, whose double
+    # product is exactly 38522.5) made the two disagree in the last digit.
+    # round(x * 10^4) / 10^4 evaluates the same double product on both
+    # sides, and integer half-away-from-zero agrees engine-to-engine.
+    rz4 = F.round(rz * F.lit(10000.0), 0) / F.lit(10000.0)
     return (
         ev.join(F.broadcast(mad), "event_type")
         .filter((F.col("mad") > 0) & (F.abs(rz) > MAD_THRESHOLD))
@@ -423,7 +431,7 @@ def q_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_id",
             "event_type",
             F.round("value", 2).alias("value"),
-            F.round(rz, 4).alias("mad_z"),
+            rz4.alias("mad_z"),
         )
     )
 
@@ -486,7 +494,7 @@ ORACLE: dict[str, str] = {
         )
         SELECT event_id, e.event_type,
                round(value, 2) AS value,
-               round({MAD_K} * (value - med) / mad, 4) AS mad_z
+               round({MAD_K} * (value - med) / mad * 10000.0) / 10000.0 AS mad_z
         FROM events e JOIN mad ON e.event_type = mad.event_type
         WHERE mad > 0
           AND abs({MAD_K} * (value - med) / mad) > {MAD_THRESHOLD}
