@@ -56,3 +56,48 @@ def test_day_filter_prunes_partitions(spark, tmp_path):
     # and the answer matches the unpartitioned path
     want = ev.filter(F.col("day") == "2024-01-05").count()
     assert df.count() == want > 0
+
+
+def test_dynamic_partition_pruning_via_dim_join(spark):
+    """DYNAMIC partition pruning — the runtime half of the scan lever: when
+    the pruning predicate only exists on the OTHER side of a join (a
+    filtered dimension), Spark must inject a dynamicpruning subquery into
+    the partitioned fact scan so only the joined days' directories are
+    read. This is the star-schema shape at 100 TB: the fact's partition
+    filter is discovered AT RUNTIME from the dim, not written in the query.
+    Join answers must match the raw (unpartitioned) path exactly."""
+    from kitkat_spark.operators.layout import partitioned_events
+
+    assert (
+        spark.conf.get("spark.sql.optimizer.dynamicPartitionPruning.enabled")
+        == "true"
+    )
+    fact = partitioned_events(spark, SF)
+    # a genuinely-computed dim with a SELECTIVE FILTER — DPP's planner
+    # heuristic (PartitionPruning.hasSelectivePredicate) only injects the
+    # pruning subquery when the dim side carries a filter; a LIMIT or a
+    # bare aggregate does not qualify
+    dim = (
+        load_table(spark, SF, "events")
+        .select(F.to_date("ts").alias("day"))
+        .distinct()
+        .filter(F.dayofmonth("day") <= 5)
+    )
+    joined = fact.join(dim, "day").groupBy("day").agg(
+        F.count("*").alias("n")
+    )
+    plan = explain_str(joined)
+    assert "dynamicpruning" in plan.lower(), (
+        f"no dynamicpruning subquery in the fact scan: {plan[:800]}"
+    )
+
+    raw = (
+        load_table(spark, SF, "events")
+        .withColumn("day", F.to_date("ts"))
+        .join(dim, "day")
+        .groupBy("day")
+        .agg(F.count("*").alias("n"))
+    )
+    got = {(r.day, r.n) for r in joined.collect()}
+    want = {(r.day, r.n) for r in raw.collect()}
+    assert got == want and len(got) > 0
