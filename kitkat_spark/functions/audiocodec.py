@@ -75,6 +75,10 @@ def wav_decode(content: bytes) -> tuple[int, int, int, memoryview]:
         if body_start + size > n:
             raise ValueError(f"truncated {cid!r} chunk")
         if cid == b"fmt ":
+            if fmt is not None:
+                # RIFF/WAVE allows exactly one fmt chunk; last-wins
+                # reinterpretation of a duplicated chunk hides corruption
+                raise ValueError("duplicate fmt chunk")
             if size < 16:
                 raise ValueError("fmt chunk too small")
             tag, channels, rate, _br, _ba, bits = struct.unpack_from(
@@ -86,6 +90,8 @@ def wav_decode(content: bytes) -> tuple[int, int, int, memoryview]:
                 raise NotImplementedError(f"no codec for {bits}-bit WAV")
             fmt = (rate, channels)
         elif cid == b"data":
+            if data is not None:
+                raise ValueError("duplicate data chunk")
             data = memoryview(content)[body_start : body_start + size]
         pos = body_start + size + (size & 1)  # chunks pad to even offsets
     if fmt is None or data is None:

@@ -55,6 +55,11 @@ def y4m_decode(content: bytes) -> tuple[int, int, int, list[memoryview]]:
             colorspace = t
     if width is None or height is None:
         raise ValueError("missing W/H in stream header")
+    if width <= 0 or height <= 0 or width % 2 or height % 2:
+        # C420 subsamples chroma 2x2, so dims must be positive and even —
+        # mirror y4m_encode's contract; without this check fsize floors and
+        # a corrupt header mis-frames the stream silently.
+        raise ValueError(f"invalid C420 dimensions W{width} H{height}")
     if not colorspace.startswith("C420"):
         raise NotImplementedError(f"no codec for colorspace {colorspace}")
     fsize = width * height * 3 // 2

@@ -105,6 +105,13 @@ def _wav_frames(doc_id: int) -> int:
 
 WAV_RATE = 8000
 Y4M_FPS = 25
+# sample_frames defaults, mirrored into the q_frame_sample oracle: sampled
+# frame indexes are 0, FRAME_STRIDE, ... and capped at FRAME_MAX frames, so
+# frame_idx < FRAME_STRIDE * FRAME_MAX always. The fixture's _y4m_nframes
+# (<= 8) keeps the cap inactive at fixture scale, but the oracle states it
+# explicitly so raising the fixture frame count cannot silently break parity.
+FRAME_STRIDE = 2
+FRAME_MAX = 8
 
 
 def _y4m_dims(doc_id: int) -> tuple[int, int]:
@@ -280,8 +287,8 @@ def resize_images(media: DataFrame, width: int = 224, height: int = 224) -> Data
 def sample_frames(
     media: DataFrame,
     every_n_bytes: int = 256,
-    max_frames: int = 8,
-    frame_stride: int = 2,
+    max_frames: int = FRAME_MAX,
+    frame_stride: int = FRAME_STRIDE,
 ) -> DataFrame:
     """Frame-sampling stage (videos only): one output row per sampled frame
     — the mapInPandas 1->N fan-out shape. Y4M payloads are REALLY decoded
@@ -684,15 +691,17 @@ ORACLE: dict[str, str] = {
     """,
     # Replays the Y4M sampling stride and the per-frame luma arithmetic:
     # frames 0, 2, ... of 3 + d%6, each w*h*3/2 bytes, luma(f, x, y) =
-    # (3x + 5y + 7f + d) % 256 summed exactly.
-    "q_frame_sample": """
+    # (3x + 5y + 7f + d) % 256 summed exactly. The frame_idx cap mirrors
+    # sample_frames' max_frames so the coupling is explicit.
+    "q_frame_sample": f"""
         WITH v AS (
             SELECT doc_id, 2 * (4 + doc_id % 5) AS w, 2 * (3 + doc_id % 4) AS h,
                    3 + doc_id % 6 AS nf
             FROM documents WHERE doc_id % 4 = 2
         ), fr AS (
             SELECT doc_id, w, h, CAST(f AS INT) AS frame_idx
-            FROM v, UNNEST(generate_series(0, nf - 1, 2)) AS t(f)
+            FROM v, UNNEST(generate_series(0, nf - 1, {FRAME_STRIDE})) AS t(f)
+            WHERE f < {FRAME_STRIDE * FRAME_MAX}
         ), ls AS (
             SELECT fr.doc_id, fr.frame_idx,
                    sum((3 * x + 5 * y + 7 * fr.frame_idx + fr.doc_id) % 256) AS s

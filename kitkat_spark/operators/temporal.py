@@ -435,11 +435,11 @@ ORACLE: dict[str, str] = {
         FROM events, (SELECT unnest(generate_series(0, 3)) AS k)
         GROUP BY 1, 2
     """,
-    "q_sessionize": """
+    "q_sessionize": f"""
         WITH flagged AS (
             SELECT user_id, ts, event_id, value,
                    CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) IS NULL
-                         OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                         OR epoch(ts) - epoch(lag(ts) OVER w) > {SESSION_GAP_MINUTES * 60}
                         THEN 1 ELSE 0 END AS is_new
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -464,7 +464,7 @@ ORACLE: dict[str, str] = {
     """,
     # Same lag-1 / gap criterion as q_sessionize's island test; the sum()
     # window over BIGINT counts is exact, the division double both sides.
-    "q_markov_transitions": """
+    "q_markov_transitions": f"""
         WITH steps AS (
             SELECT event_type AS next_type,
                    lag(event_type) OVER w AS prev_type,
@@ -474,7 +474,7 @@ ORACLE: dict[str, str] = {
         ), trans AS (
             SELECT prev_type, next_type, count(*) AS n_trans
             FROM steps
-            WHERE prev_type IS NOT NULL AND gap_s <= 1800
+            WHERE prev_type IS NOT NULL AND gap_s <= {SESSION_GAP_MINUTES * 60}
             GROUP BY 1, 2
         )
         SELECT prev_type, next_type, n_trans,

@@ -56,14 +56,48 @@ def test_kn_probability_mass_sums_to_one(spark):
 
 def test_kn_argmax_matches_query_output(spark):
     """The operator's per-history argmax equals the argmax of the
-    independently recomputed KN table (and the smoothing is live: the
-    output probability is never exactly the raw MLE c12/c1 unless the
-    discount redistribution happens to cancel)."""
+    independently recomputed KN table (pandas, from raw bigram counts —
+    the brute-force cross-check the shared-arithmetic oracle can't make),
+    with the operator's tie-break (p desc, then t2 asc) replayed."""
+    from kitkat_spark.functions.text import tokens
+    from kitkat_spark.operators.pipelines import BIGRAM_MIN_COUNT, KN_DISCOUNT
     from kitkat_spark.queries import QUERIES
+    from kitkat_spark.sources import load_table
 
     out = {r.t1: (r.next_tok, r.p_kn) for r in QUERIES["q_kn_bigram"](spark, SF).collect()}
     assert out, "no frequent histories at sf0.001"
+
+    docs = load_table(spark, SF, "documents")
+    toks = tokens(F.col("text"))
+    bg = docs.select(
+        F.explode(F.when(F.size(toks) >= 2, F.arrays_zip(
+            F.slice(toks, 1, F.size(toks) - 1), F.slice(toks, 2, F.size(toks) - 1)
+        )).otherwise(F.array())).alias("b")
+    ).select(F.col("b")["0"].alias("t1"), F.col("b")["1"].alias("t2"))
+    pair = bg.groupBy("t1", "t2").agg(F.count("*").alias("c12")).toPandas()
+    bt = len(pair)
+    c1 = pair.groupby("t1")["c12"].sum().to_dict()
+    fwd = pair.groupby("t1")["c12"].size().to_dict()
+    bwd = pair.groupby("t2")["c12"].size().to_dict()
+
+    expected = {}
+    for r in pair.itertuples():
+        if c1[r.t1] < BIGRAM_MIN_COUNT:
+            continue
+        p = (
+            max(r.c12 - KN_DISCOUNT, 0.0) / c1[r.t1]
+            + KN_DISCOUNT * fwd[r.t1] / c1[r.t1] * (bwd[r.t2] / bt)
+        )
+        # operator tie-break: highest p, then lexicographically smallest t2
+        best = expected.get(r.t1)
+        if best is None or (-p, r.t2) < (-best[1], best[0]):
+            expected[r.t1] = (r.t2, p)
+
+    assert set(out) == set(expected)
     for t1, (nxt, p) in out.items():
+        exp_tok, exp_p = expected[t1]
+        assert nxt == exp_tok, (t1, nxt, exp_tok)
+        assert math.isclose(p, round(exp_p, 6), abs_tol=1e-9), (t1, p, exp_p)
         assert 0.0 < p < 1.0
 
 
