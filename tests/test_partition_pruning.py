@@ -101,3 +101,24 @@ def test_dynamic_partition_pruning_via_dim_join(spark):
     got = {(r.day, r.n) for r in joined.collect()}
     want = {(r.day, r.n) for r in raw.collect()}
     assert got == want and len(got) > 0
+
+
+def test_day_column_is_date_without_type_inference(spark):
+    """The ADVICE r8 hardening, pinned end-to-end: a host session with
+    partition-column type inference DISABLED reads the day partition
+    column back as STRING — partitioned_events' explicit cast must still
+    deliver DateType (red with the cast removed, green with it)."""
+    from pyspark.sql.types import DateType
+
+    from kitkat_spark.operators.layout import partitioned_events
+
+    key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try:
+        df = partitioned_events(spark, SF)
+        assert isinstance(df.schema["day"].dataType, DateType), df.schema
+        # and the values are real dates, not a stringly cast artifact
+        assert df.select("day").distinct().count() > 1
+    finally:
+        spark.conf.set(key, prev)
