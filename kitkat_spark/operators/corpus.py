@@ -1067,7 +1067,73 @@ def q_train_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CARD_SHORT_CHARS = 100  # "short document" threshold for the card's frac
+
+
+def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dataset card — the corpus-health summary a dataset release ships
+    (Gebru et al., "Datasheets for Datasets", CACM 2021 — public
+    literature): ONE table holding the (source x lang) composition matrix
+    plus all its marginals and the grand total, each row with document
+    count, char volume, mean/min/max length, short-doc fraction, and share
+    of corpus.
+
+    CUBE(source, lang) computes all four grouping levels in a single
+    pass — Catalyst expands the grouping sets map-side and the one shuffle
+    carries partial aggregates for every level at once (vs 4 separate
+    scans); the key domain is |sources| x |langs| + marginals, tiny at any
+    corpus size. The grand total for pct_docs comes from the same pass's
+    () row semantics replayed as a 1-row broadcast (no second scan of the
+    corpus — the broadcast subtree re-aggregates only because the fixture
+    is unpersisted; a production card materializes the cube once). Level
+    labels use '<all>' coalescing, safe because the fixture columns are
+    non-null (grouping_id would disambiguate otherwise)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", "lang", "n_chars"
+    )
+    cube = docs.cube("source", "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        F.round(
+            F.sum((F.col("n_chars") < CARD_SHORT_CHARS).cast("long"))
+            / F.count("*"),
+            4,
+        ).alias("short_frac"),
+    )
+    total = docs.agg(F.count("*").alias("n_total"))
+    return cube.crossJoin(F.broadcast(total)).select(
+        F.coalesce(F.col("source"), F.lit("<all>")).alias("source"),
+        F.coalesce(F.col("lang"), F.lit("<all>")).alias("lang"),
+        "n_docs",
+        "total_chars",
+        "avg_chars",
+        "min_chars",
+        "max_chars",
+        "short_frac",
+        F.round(F.col("n_docs") / F.col("n_total"), 6).alias("pct_docs"),
+    )
+
+
 ORACLE: dict[str, str] = {
+    "q_dataset_card": f"""
+        WITH t AS (SELECT count(*) AS n_total FROM documents)
+        SELECT coalesce(source, '<all>') AS source,
+               coalesce(lang, '<all>') AS lang,
+               count(*) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars,
+               round(avg(n_chars), 2) AS avg_chars,
+               min(n_chars) AS min_chars,
+               max(n_chars) AS max_chars,
+               round(CAST(sum(CASE WHEN n_chars < {CARD_SHORT_CHARS}
+                                   THEN 1 ELSE 0 END) AS BIGINT)
+                     / count(*), 4) AS short_frac,
+               round(count(*) / t.n_total, 6) AS pct_docs
+        FROM documents, t
+        GROUP BY CUBE (source, lang), t.n_total
+    """,
     # Replays the content-defined chunking value-for-value: same md5_long
     # gate (('0x' || md5-prefix)::BIGINT), same boundary rule, same chunk
     # fingerprints; duckdb list indexing is 1-based like element_at.

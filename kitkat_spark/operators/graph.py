@@ -351,7 +351,157 @@ def q_triangle_count(spark, sf_dir):
     return triangle_count(edges)
 
 
+LP_ITERS = 3
+LP_SEED_MOD = 10  # customers with custkey % 10 == 0 are labeled seeds
+
+
+def label_propagation_fixed(
+    sym: DataFrame, seeds: DataFrame, iters: int = LP_ITERS
+) -> DataFrame:
+    """Fixed-iteration synchronous label propagation from a clamped seed
+    set (Zhu & Ghahramani, CMU-CALD-02-107, 2002 — public literature):
+    each round, every node takes the majority label of its LABELED
+    neighbors (ties: highest count, then lexicographically smallest
+    label); seed labels never change. Deterministic by construction —
+    exact integer votes, total tie-break — so the DuckDB oracle unrolls
+    the same rounds as CTEs (the q_pagerank pattern).
+
+    Plan per round: ONE join (edges ⋈ labels, keyed on the node id) + ONE
+    partial-aggregated vote groupBy + a WindowGroupLimit argmax — the
+    same message-passing shuffle shape as PageRank. `sym` is expected
+    checkpointed by the caller so iterations share one materialized edge
+    list. Hub nodes concentrate one vote key; the count combines
+    map-side."""
+    labels = seeds
+    for _ in range(iters):
+        votes = (
+            sym.join(labels, "u")
+            .groupBy(F.col("v").alias("node"), "label")
+            .agg(F.count("*").alias("c"))
+        )
+        from pyspark.sql import Window as W
+
+        w = W.partitionBy("node").orderBy(F.col("c").desc(), "label")
+        winners = (
+            votes.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(F.col("node").alias("u"), "label")
+        )
+        labels = seeds.unionByName(
+            winners.join(seeds.select("u"), "u", "left_anti")
+        )
+    return labels
+
+
+def q_label_prop(spark, sf_dir):
+    """Semi-supervised label propagation over the customer–supplier trade
+    graph: 10% of customers are seeded with their REGION (the labeled
+    slice every real corpus has), and 3 synchronous rounds spread region
+    labels across suppliers and the remaining customers — the
+    transductive labeling move behind weak-supervision data curation
+    (label a corpus from a small labeled subset via the similarity
+    graph). Node ids interleave (cust*2, supp*2+1), q_pagerank's layout.
+    The oracle unrolls the identical three rounds."""
+    from kitkat_spark.sources import load_table
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("u"),
+            (F.col("l_suppkey") * 2 + 1).alias("v"),
+        )
+        .distinct()
+    )
+    # u is always even and v odd, so the reversed branch can't collide
+    # with the forward one: unionAll of a distinct edge list stays distinct
+    sym = edges.union(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint(eager=True)
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_regionkey"
+    )
+    region = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    seeds = (
+        customer.filter(F.col("c_custkey") % LP_SEED_MOD == 0)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select((F.col("c_custkey") * 2).alias("u"), F.col("r_name").alias("label"))
+    )
+    labels = label_propagation_fixed(sym, seeds, LP_ITERS)
+    return labels.select(
+        F.col("u").alias("node"),
+        F.when(F.col("u") % 2 == 0, F.lit("customer"))
+        .otherwise(F.lit("supplier"))
+        .alias("kind"),
+        "label",
+        (F.col("u") % (2 * LP_SEED_MOD) == 0).alias("is_seed"),
+    )
+
+
 ORACLE = {
+    "q_label_prop": f"""
+        WITH e AS (
+            SELECT DISTINCT o_custkey * 2 AS u, l_suppkey * 2 + 1 AS v
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        ),
+        sym AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+        seeds AS (
+            SELECT c_custkey * 2 AS u, r_name AS label
+            FROM customer
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE c_custkey % {LP_SEED_MOD} = 0
+        ),
+        v1 AS (
+            SELECT sym.v AS node, l.label, count(*) AS c
+            FROM sym JOIN seeds l ON sym.u = l.u GROUP BY 1, 2
+        ),
+        a1 AS (
+            SELECT node AS u, label FROM v1
+            QUALIFY row_number() OVER (PARTITION BY node ORDER BY c DESC, label) = 1
+        ),
+        l1 AS (
+            SELECT * FROM seeds
+            UNION ALL
+            SELECT u, label FROM a1 WHERE u NOT IN (SELECT u FROM seeds)
+        ),
+        v2 AS (
+            SELECT sym.v AS node, l.label, count(*) AS c
+            FROM sym JOIN l1 l ON sym.u = l.u GROUP BY 1, 2
+        ),
+        a2 AS (
+            SELECT node AS u, label FROM v2
+            QUALIFY row_number() OVER (PARTITION BY node ORDER BY c DESC, label) = 1
+        ),
+        l2 AS (
+            SELECT * FROM seeds
+            UNION ALL
+            SELECT u, label FROM a2 WHERE u NOT IN (SELECT u FROM seeds)
+        ),
+        v3 AS (
+            SELECT sym.v AS node, l.label, count(*) AS c
+            FROM sym JOIN l2 l ON sym.u = l.u GROUP BY 1, 2
+        ),
+        a3 AS (
+            SELECT node AS u, label FROM v3
+            QUALIFY row_number() OVER (PARTITION BY node ORDER BY c DESC, label) = 1
+        ),
+        l3 AS (
+            SELECT * FROM seeds
+            UNION ALL
+            SELECT u, label FROM a3 WHERE u NOT IN (SELECT u FROM seeds)
+        )
+        SELECT u AS node,
+               CASE WHEN u % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind,
+               label,
+               u % {2 * LP_SEED_MOD} = 0 AS is_seed
+        FROM l3
+    """,
     "q_triangle_count": """
         WITH e AS (
             SELECT a.l_partkey AS u, b.l_partkey AS v

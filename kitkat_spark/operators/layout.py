@@ -177,7 +177,98 @@ def q_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CURRICULUM_BIN_MILLIS = 100  # difficulty-histogram bin width (milli-chars)
+CURRICULUM_DOCS_PER_SHARD = 64  # rank-run length per curriculum shard file
+CURRICULUM_RANGE_PARTITIONS = 8  # output range partitions (fixture setting)
+
+
+def q_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum ordering (Bengio et al., ICML 2009 — public literature):
+    the training manifest sorted easiest -> hardest GLOBALLY, with a shard
+    assignment that preserves the order across shard files — the layout a
+    curriculum-schedule training job reads shard 0, 1, 2 ... from.
+
+    Difficulty is mean token length in milli-chars (integer-exact:
+    ``length(text) * 1000 div n_tokens`` — longer words, harder text); any
+    scorer slots in here. The GLOBAL rank is computed scalably — never a
+    single-partition window — by histogram-offset composition:
+
+      1. bin = difficulty div BIN_WIDTH (content-derived, deterministic);
+      2. per-bin counts -> cumulative offsets (a window over the BIN table,
+         bounded by the difficulty domain: mean word length caps at ~20
+         chars, so <= ~200 bins at ANY corpus size);
+      3. rank = offset(bin) + row_number within bin — ONE corpus shuffle
+         (the per-bin window), with each bin's partition ~corpus/n_bins.
+         A production run trains BIN_WIDTH from the difficulty histogram
+         (one cheap agg) exactly like SemDeDup trains its cell count, so
+         per-bin rows stay bounded as the corpus grows.
+
+    The output is then laid out for the WRITER with
+    ``repartitionByRange(curriculum_rank)`` + sortWithinPartitions — the
+    one partitioner built for total order: range boundaries co-locate
+    contiguous rank runs, so ``partitionBy(shard)`` writes each curriculum
+    file as one sorted run (RangePartitioning is plan-pinned by
+    tests/test_plan_quality.py). shard = (rank-1) div DOCS_PER_SHARD is
+    derived from the rank, not from partition ids, so the result is
+    layout-invariant and oracle-replayable."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        F.expr(
+            "cast(length(text) as bigint) * 1000 div size(split(text, ' ', -1))"
+        ).alias("difficulty_milli"),
+    )
+    binned = d.withColumn(
+        "bin", F.expr(f"difficulty_milli div {CURRICULUM_BIN_MILLIS}")
+    )
+    # bin table: <= ~200 rows at any scale; the unpartitioned window is a
+    # deliberate tiny-table cumulative sum, not a corpus sort
+    w_bins = W.orderBy("bin").rowsBetween(W.unboundedPreceding, -1)
+    offsets = (
+        binned.groupBy("bin")
+        .agg(F.count("*").alias("n"))
+        .select("bin", F.coalesce(F.sum("n").over(w_bins), F.lit(0)).alias("off"))
+    )
+    w_in = W.partitionBy("bin").orderBy("difficulty_milli", "doc_id")
+    ranked = binned.join(F.broadcast(offsets), "bin").select(
+        (F.col("off") + F.row_number().over(w_in)).cast("long").alias(
+            "curriculum_rank"
+        ),
+        "doc_id",
+        "difficulty_milli",
+    )
+    out = ranked.withColumn(
+        "shard",
+        F.expr(
+            f"cast((curriculum_rank - 1) div {CURRICULUM_DOCS_PER_SHARD} as int)"
+        ),
+    )
+    return out.repartitionByRange(
+        CURRICULUM_RANGE_PARTITIONS, "curriculum_rank"
+    ).sortWithinPartitions("curriculum_rank")
+
+
 ORACLE: dict[str, str] = {
+    "q_curriculum": f"""
+        WITH d AS (
+            SELECT doc_id,
+                   CAST(length(text) AS BIGINT) * 1000
+                       // len(string_split(text, ' ')) AS difficulty_milli
+            FROM documents
+        ),
+        r AS (
+            SELECT doc_id, difficulty_milli,
+                   CAST(row_number() OVER (ORDER BY difficulty_milli, doc_id)
+                        AS BIGINT) AS curriculum_rank
+            FROM d
+        )
+        SELECT curriculum_rank, doc_id, difficulty_milli,
+               CAST((curriculum_rank - 1) // {CURRICULUM_DOCS_PER_SHARD}
+                    AS INT) AS shard
+        FROM r
+    """,
     "q_partition_prune": """
         SELECT CAST(ts AS DATE) AS day, event_type,
                count(*) AS n_events,

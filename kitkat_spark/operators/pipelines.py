@@ -827,6 +827,96 @@ def q_kn_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TRIGRAM_MIN_COUNT = 20  # report histories (t1,t2) seen at least this often
+
+
+def q_kn_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney TRIGRAM table with bigram backoff (Chen &
+    Goodman, 1998 — the full recursive formulation q_kn_bigram's top level
+    comes from): for every frequent history (t1, t2), the most likely
+    continuation under
+
+      P(t3|t1,t2) = max(c123 - D, 0)/c12 + D * N1+(t1 t2 •)/c12 * P_bi(t3|t2)
+      P_bi(t3|t2) = max(N1+(• t2 t3) - D, 0)/N1+(• t2 •)
+                  + D * N1+(t2 •)/N1+(• t2 •) * (N1+(• t3)/B2)
+
+    — the lower order built from CONTINUATION counts (distinct t1
+    contexts), not raw counts: the KN insight that "Francisco" is frequent
+    but follows only "San".
+
+    Scale: ONE corpus shuffle (trigram explode -> (t1,t2,t3) partial-count
+    agg). Everything downstream runs on the TRIGRAM-TYPE table (bounded by
+    Heap's law at any corpus size): the continuation table N1+(• t2 t3) is
+    a groupBy over it, its cont2/fwd2/bwd3 come from two windows over the
+    vocab^2-bounded (t2,t3) table, c12/fwd12 from one (t1,t2) window, B2
+    from a 1-row broadcast. Exact integer counts; the float arithmetic is
+    written in the identical order in both engines."""
+    par = spark.sparkContext.defaultParallelism
+    docs = load_table(spark, sf_dir, "documents").repartition(par)
+    toks = tokens(F.col("text"))
+    tg = docs.select(
+        F.explode(
+            F.when(F.size(toks) >= 3, _zipped_ngrams(toks, 3)).otherwise(F.array())
+        ).alias("g")
+    ).select(
+        F.col("g")["0"].alias("t1"),
+        F.col("g")["1"].alias("t2"),
+        F.col("g")["2"].alias("t3"),
+    )
+    # trigram-type table feeds BOTH the continuation groupBy and the scored
+    # windows — checkpoint so the corpus pass runs once (q_kn_bigram's move)
+    tri = (
+        tg.groupBy("t1", "t2", "t3")
+        .agg(F.count("*").alias("c123"))
+        .localCheckpoint(eager=True)
+    )
+    b23 = tri.groupBy("t2", "t3").agg(F.count("*").alias("cont23"))
+    w2 = W.partitionBy("t2")
+    w3 = W.partitionBy("t3")
+    b23s = b23.select(
+        "t2",
+        "t3",
+        "cont23",
+        F.sum("cont23").over(w2).alias("cont2"),
+        F.count("*").over(w2).alias("fwd2"),
+        F.count("*").over(w3).alias("bwd3"),
+    )
+    b2 = b23.agg(F.count("*").alias("b2"))
+    w12 = W.partitionBy("t1", "t2")
+    scored = (
+        tri.withColumn("c12", F.sum("c123").over(w12))
+        .withColumn("fwd12", F.count("*").over(w12))
+        .join(b23s, ["t2", "t3"])
+        .crossJoin(F.broadcast(b2))
+    )
+    p_bi = (
+        F.greatest(F.col("cont23") - F.lit(KN_DISCOUNT), F.lit(0.0))
+        / F.col("cont2")
+        + F.lit(KN_DISCOUNT)
+        * F.col("fwd2")
+        / F.col("cont2")
+        * (F.col("bwd3") / F.col("b2"))
+    )
+    p_tri = (
+        F.greatest(F.col("c123") - F.lit(KN_DISCOUNT), F.lit(0.0)) / F.col("c12")
+        + F.lit(KN_DISCOUNT) * F.col("fwd12") / F.col("c12") * p_bi
+    )
+    w_rank = W.partitionBy("t1", "t2").orderBy(F.col("p").desc(), "t3")
+    return (
+        scored.filter(F.col("c12") >= TRIGRAM_MIN_COUNT)
+        .withColumn("p", p_tri)
+        .withColumn("rn", F.row_number().over(w_rank))
+        .filter(F.col("rn") == 1)
+        .select(
+            "t1",
+            "t2",
+            F.col("t3").alias("next_tok"),
+            F.col("c123").alias("n_trigram"),
+            F.round(F.col("p"), 6).alias("p_kn"),
+        )
+    )
+
+
 ASSOC_MIN_SUPPORT = 0.05  # rules must cover >= 5% of the corpus
 ASSOC_TOP_K = 20
 
@@ -1114,6 +1204,51 @@ ORACLE: dict[str, str] = {
         FROM (
             SELECT *, row_number() OVER (
                 PARTITION BY t1 ORDER BY p DESC, t2) AS rn
+            FROM kn
+        ) WHERE rn = 1
+    """,
+    # The same trigram + continuation tables, windows and float order as
+    # the Spark side — a shared-arithmetic twin; the model-level property
+    # (per-history probability mass closes to 1) lives in
+    # tests/test_analytics_ops.py where the oracle can't reach.
+    "q_kn_trigram": f"""
+        WITH toks AS (
+            SELECT string_split(text, ' ') AS w FROM documents
+        ), tg AS (
+            SELECT w[i] AS t1, w[i+1] AS t2, w[i+2] AS t3
+            FROM toks, UNNEST(generate_series(1, len(w) - 2)) AS t(i)
+            WHERE len(w) >= 3
+        ), tri AS (
+            SELECT t1, t2, t3, count(*) AS c123 FROM tg GROUP BY 1, 2, 3
+        ), b23 AS (
+            SELECT t2, t3, count(*) AS cont23 FROM tri GROUP BY 1, 2
+        ), b23s AS (
+            SELECT t2, t3, cont23,
+                   sum(cont23) OVER (PARTITION BY t2) AS cont2,
+                   count(*) OVER (PARTITION BY t2) AS fwd2,
+                   count(*) OVER (PARTITION BY t3) AS bwd3
+            FROM b23
+        ), b2 AS (
+            SELECT count(*) AS b2 FROM b23
+        ), scored AS (
+            SELECT t1, t2, t3, c123,
+                   sum(c123) OVER (PARTITION BY t1, t2) AS c12,
+                   count(*) OVER (PARTITION BY t1, t2) AS fwd12
+            FROM tri
+        ), kn AS (
+            SELECT s.t1, s.t2, s.t3, s.c123,
+                   greatest(s.c123 - {KN_DISCOUNT}, 0.0) / s.c12
+                   + {KN_DISCOUNT} * s.fwd12 / s.c12 *
+                     (greatest(b.cont23 - {KN_DISCOUNT}, 0.0) / b.cont2
+                      + {KN_DISCOUNT} * b.fwd2 / b.cont2 * (b.bwd3 / b2.b2)) AS p
+            FROM scored s
+            JOIN b23s b ON s.t2 = b.t2 AND s.t3 = b.t3, b2
+            WHERE s.c12 >= {TRIGRAM_MIN_COUNT}
+        )
+        SELECT t1, t2, t3 AS next_tok, c123 AS n_trigram, round(p, 6) AS p_kn
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY t1, t2 ORDER BY p DESC, t3) AS rn
             FROM kn
         ) WHERE rn = 1
     """,

@@ -160,7 +160,53 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RS_K = 20
+RS_SEED = "rs1"
+
+
+def q_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group reservoir sampling: a uniform without-replacement sample of
+    RS_K documents from EVERY source — the per-stratum "inspect a fixed-size
+    sample of each slice" move (Vitter's Algorithm R semantics; Vitter, ACM
+    TOMS 1985 — public literature). Sequential reservoirs don't distribute;
+    the order-statistics formulation does: give every row a uniform priority
+    and keep the k smallest per group — exactly a uniform k-reservoir, and
+    embarrassingly parallel.
+
+    Determinism (vs df.sample / rand()): the priority is md5-derived from
+    the doc_id ([[functions/text.py]] md5_long — layout-, rerun-, and
+    engine-invariant), so the sample is reproducible and oracle-checkable.
+
+    Scale: the rank-filter plans as WindowGroupLimit (Spark 3.5+): each map
+    task keeps only its local top-k PER GROUP before the exchange, so the
+    shuffle carries ~k rows per (task, group) instead of the corpus — the
+    distributed reservoir merge, pinned by tests/test_plan_quality.py."""
+    from kitkat_spark.functions.text import md5_long
+
+    docs = load_table(spark, sf_dir, "documents")
+    u = md5_long(F.concat(F.lit(RS_SEED + "|"), F.col("doc_id").cast("string")))
+    w = W.partitionBy("source").orderBy(F.col("u").asc(), "doc_id")
+    return (
+        docs.select("doc_id", "source", "n_chars", u.alias("u"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= RS_K)
+        .select("source", F.col("rk").cast("int").alias("rk"), "doc_id", "n_chars")
+    )
+
+
 ORACLE: dict[str, str] = {
+    "q_reservoir_sample": f"""
+        WITH keyed AS (
+            SELECT doc_id, source, n_chars,
+                   ('0x' || substr(md5('{RS_SEED}|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS u
+            FROM documents
+        )
+        SELECT source,
+               CAST(row_number() OVER (PARTITION BY source ORDER BY u, doc_id) AS INT) AS rk,
+               doc_id, n_chars
+        FROM keyed
+        QUALIFY rk <= {RS_K}
+    """,
     "q_weighted_sample": f"""
         WITH keyed AS (
             SELECT doc_id, source, n_chars,

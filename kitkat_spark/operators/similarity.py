@@ -560,14 +560,117 @@ SEMDEDUP_MAX_CELLS = 4096
 
 
 def _semdedup_cells(n: int) -> int:
-    """k = clamp(ceil(n / SEMDEDUP_CELL_TARGET), 2, MAX) — MUST mirror the
+    """k = max(2, ceil(n / SEMDEDUP_CELL_TARGET)) — MUST mirror the
     oracle's params CTE. Sizing k with the corpus keeps the within-cell
     pair volume ~n * target/2, i.e. LINEAR in the corpus: the fixed-k
     version measured 23.8x wall at 10x data (cells grow linearly, in-cell
-    pairs quadratically — the q_embedding_near_dup disease)."""
+    pairs quadratically — the q_embedding_near_dup disease). k is NOT
+    capped: past SEMDEDUP_MAX_CELLS the assignment switches to the
+    two-level quantizer (_semdedup_assign) instead of shrinking cells."""
     import math
 
-    return max(2, min(SEMDEDUP_MAX_CELLS, math.ceil(n / SEMDEDUP_CELL_TARGET)))
+    return max(2, math.ceil(n / SEMDEDUP_CELL_TARGET))
+
+
+def _argmax_cell(
+    vecs: DataFrame,
+    cents: DataFrame,
+    id_col: str,
+    out_col: str,
+) -> DataFrame:
+    """Nearest-centroid assignment by rounded cosine with centroid-id
+    tie-break — the shared argmax of both quantizer levels. ``cents``
+    must carry (centroid_id, cv, cn) and be small enough for the caller's
+    join strategy (the caller decides broadcast vs shuffle)."""
+    scored = vecs.crossJoin(cents).select(
+        *vecs.columns,
+        F.col("centroid_id"),
+        F.round(
+            dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cn")), 6
+        ).alias("c_cos"),
+    )
+    w = W.partitionBy(id_col).orderBy(F.col("c_cos").desc(), "centroid_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(*vecs.columns, F.col("centroid_id").alias(out_col))
+    )
+
+
+def _semdedup_assign(
+    emb: DataFrame, k: int, max_broadcast: int = SEMDEDUP_MAX_CELLS
+) -> DataFrame:
+    """(vec_id, v, nrm) -> (vec_id, v, nrm, cell): nearest of the k
+    deterministic centroids (vec_id < k).
+
+    k <= max_broadcast: the flat broadcast argmax (one map-side pass, no
+    shuffle) — unchanged from round 9, so hashes at current SFs hold.
+
+    k > max_broadcast: the two-level (coarse-then-fine) quantizer — the
+    standard IVF answer to "the codebook no longer broadcasts" (Jégou et
+    al., TPAMI 2011 use the same decomposition for the coarse stage):
+    kc = ceil(sqrt(k)) coarse centroids ALWAYS broadcast (sqrt(k) grows
+    past a broadcast ceiling only past k ~ max_broadcast^2 ~ 16M cells ~
+    4G vectors — add a third level there); every FINE centroid and every
+    vector first take a broadcast coarse argmax, then each vector scores
+    only the ~sqrt(k) fine centroids of ITS coarse cell via ONE
+    shuffle join keyed on the coarse cell. Assignment stays
+    broadcast-bounded at any n; the fine cell is the argmax within the
+    coarse cell (the usual hierarchical-quantizer approximation — cell
+    population stays ~SEMDEDUP_CELL_TARGET, which is what the pair-join
+    linearity needs). tests/test_scale_techniques.py forces this path
+    with a tiny max_broadcast and brute-force checks the assignment."""
+    import math
+
+    # narrow to the assignment columns first: emb may carry extra table
+    # columns (embedding, label, ...) that must not leak into the output
+    # schema through _argmax_cell's *vecs.columns passthrough
+    emb = emb.select("vec_id", "v", "nrm")
+    cents = emb.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("cn"),
+    )
+    if k <= max_broadcast:
+        return _argmax_cell(emb, F.broadcast(cents), "vec_id", "cell")
+    kc = math.ceil(math.sqrt(k))
+    coarse = emb.filter(F.col("vec_id") < kc).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("cn"),
+    )
+    # fine centroids -> coarse cells (k rows through a broadcast argmax)
+    cents_vec = cents.select(
+        F.col("centroid_id").alias("vec_id"),
+        F.col("cv").alias("v"),
+        F.col("cn").alias("nrm"),
+    )
+    fine_by_coarse = _argmax_cell(
+        cents_vec, F.broadcast(coarse), "vec_id", "coarse"
+    ).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("cn"),
+        "coarse",
+    )
+    # vectors -> coarse cells (broadcast argmax), then fine argmax among
+    # the coarse cell's ~sqrt(k) fine centroids (shuffle join on coarse)
+    vec_coarse = _argmax_cell(emb, F.broadcast(coarse), "vec_id", "coarse")
+    scored = vec_coarse.join(fine_by_coarse, "coarse").select(
+        "vec_id",
+        "v",
+        "nrm",
+        "centroid_id",
+        F.round(
+            dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cn")), 6
+        ).alias("c_cos"),
+    )
+    w = W.partitionBy("vec_id").orderBy(F.col("c_cos").desc(), "centroid_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "v", "nrm", F.col("centroid_id").alias("cell"))
+    )
 
 
 def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -584,39 +687,21 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     paper fixes k per deployment; scaling it with n keeps the expected
     cell at SEMDEDUP_CELL_TARGET rows and the pair join linear, measured
     1.4x wall at 10x data vs 23.8x with fixed k); cell assignment is
-    exactly q_ann_kmeans_ivf's broadcast-centroid argmax; the within-cell
-    pair join shuffles on the cell id; components come from the
-    large-star/small-star module (graph.py, O(log^2 n) rounds). Past
-    SEMDEDUP_MAX_CELLS the flat broadcast assign would need the standard
-    two-level (coarse-then-fine) quantizer — noted, not needed below ~1M
-    vectors per executor-screenful."""
+    _semdedup_assign — the flat broadcast-centroid argmax up to
+    SEMDEDUP_MAX_CELLS (every test SF), the two-level coarse-then-fine
+    quantizer past it, so assignment stays broadcast-bounded at ANY n;
+    the within-cell pair join shuffles on the cell id; components come
+    from the large-star/small-star module (graph.py, O(log^2 n) rounds).
+    The oracle replays the flat regime (k <= MAX always holds at driver
+    SFs — the two-level path is covered by the brute-force unit test in
+    tests/test_scale_techniques.py, outside SQL's reach)."""
     from kitkat_spark.operators.graph import connected_components_star
 
     emb = _with_norm(
         load_table(spark, sf_dir, "embeddings").filter(F.size("embedding") > 0)
     )
     k = _semdedup_cells(emb.count())
-    cents = emb.filter(F.col("vec_id") < k).select(
-        F.col("vec_id").alias("centroid_id"),
-        F.col("v").alias("cv"),
-        F.col("nrm").alias("cn"),
-    )
-    scored = emb.crossJoin(F.broadcast(cents)).select(
-        "vec_id",
-        "v",
-        "nrm",
-        "centroid_id",
-        F.round(dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cn")), 6).alias(
-            "c_cos"
-        ),
-    )
-    w = W.partitionBy("vec_id").orderBy(F.col("c_cos").desc(), "centroid_id")
-    indexed = (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") == 1)
-        .select("vec_id", "v", "nrm", F.col("centroid_id").alias("cell"))
-        .persist()
-    )
+    indexed = _semdedup_assign(emb, k).persist()
     a = indexed.select(
         F.col("vec_id").alias("ua"), F.col("v").alias("va"),
         F.col("nrm").alias("na"), "cell",
@@ -1029,8 +1114,12 @@ ORACLE: dict[str, str] = {
                        AS nrm
             FROM embeddings WHERE len(embedding) > 0
         ), params AS (
-            SELECT greatest(2, least({SEMDEDUP_MAX_CELLS},
-                   CAST(ceil(count(*) * 1.0 / {SEMDEDUP_CELL_TARGET}) AS INT)))
+            -- mirrors _semdedup_cells (uncapped); the flat argmax below is
+            -- the k <= SEMDEDUP_MAX_CELLS regime, which holds at every
+            -- driver SF — past it the Spark side switches to the two-level
+            -- quantizer and this oracle would no longer apply
+            SELECT greatest(2,
+                   CAST(ceil(count(*) * 1.0 / {SEMDEDUP_CELL_TARGET}) AS INT))
                        AS k
             FROM e
         ), cents AS (

@@ -660,6 +660,122 @@ def q_stream_hll_wm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SCMS_W = 512  # counters per hash row (streaming grid kept small on purpose:
+# collisions actually occur at fixture scale, so the overestimate property
+# is exercised, not just asserted)
+SCMS_D = 3  # hash rows
+SCMS_TOP_K = 5  # exact heavy hitters probed per sealed window
+
+
+def _scms_cells(key):
+    """The D (seed, bucket) CMS cells for a key — md5-derived so DuckDB
+    rebuilds the identical grid (sketches.py's _bucket, windowed form)."""
+    from kitkat_spark.functions.text import md5_long
+
+    return F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(s).alias("seed"),
+                    F.pmod(
+                        md5_long(F.concat(F.lit(f"scms{s}|"), key.cast("string"))),
+                        F.lit(SCMS_W),
+                    ).alias("bucket"),
+                )
+                for s in range(SCMS_D)
+            ]
+        )
+    )
+
+
+def q_stream_cms_wm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming heavy hitters — per-hour top-user frequency estimated by a
+    watermarked windowed COUNT-MIN grid (q_stream_hll_wm's layout, counting
+    instead of distinct-counting: "who are the hot keys this hour" with
+    state that never grows with the key domain). The stream keeps at most
+    D x W counters per live window — each event fans out map-side to its D
+    (seed, bucket) cells and the windowed agg partial-combines — emitted
+    once per sealed window in append mode.
+
+    Why not exact streaming counts per user: that state is O(distinct
+    users) per window, unbounded on a web stream; the CMS grid is a fixed
+    96 KiB at ANY cardinality and merges across shards by addition. The
+    exact side here (batch top-SCMS_TOP_K per sealed window) exists to
+    VERIFY the sketch cross-engine: the DuckDB oracle rebuilds the grid
+    register-for-register from the same md5 buckets and the driver
+    hash-compares the estimates. n_cms >= n_true always (collisions only
+    add); the sealed-window boundary is the q_stream_hll_wm one
+    (window_end <= max(ts) - delay), enforced by joining probes to the
+    grid the stream actually emitted."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    path, n_rows = _replay_info(spark, sf_dir, "cms", lambda: ev)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .parquet(path)
+        .withWatermark("ts", "10 minutes")
+        .select("ts", _scms_cells(F.col("user_id")).alias("c"))
+        .groupBy(
+            F.window("ts", "1 hour").alias("w"),
+            F.col("c.seed").alias("seed"),
+            F.col("c.bucket").alias("bucket"),
+        )
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("window_start"), "seed", "bucket", "n")
+    )
+    name = f"stream_cms_wm_{_sink_suffix(path)}"
+    with _state_partitions(spark, n_rows):
+        q = (
+            stream.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    grid = spark.table(name)
+    from pyspark.sql import Window as W
+
+    exact = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_true"))
+        .select(F.col("w.start").alias("window_start"), "user_id", "n_true")
+    )
+    w_top = W.partitionBy("window_start").orderBy(
+        F.col("n_true").desc(), "user_id"
+    )
+    top = (
+        exact.withColumn("rk", F.row_number().over(w_top))
+        .filter(F.col("rk") <= SCMS_TOP_K)
+    )
+    probes = top.select(
+        "window_start",
+        "user_id",
+        "n_true",
+        "rk",
+        _scms_cells(F.col("user_id")).alias("c"),
+    ).select(
+        "window_start",
+        "user_id",
+        "n_true",
+        "rk",
+        F.col("c.seed").alias("seed"),
+        F.col("c.bucket").alias("bucket"),
+    )
+    est = (
+        grid.join(F.broadcast(probes), ["window_start", "seed", "bucket"])
+        .groupBy("window_start", "user_id", "n_true", "rk")
+        .agg(F.min("n").alias("n_cms"))
+    )
+    return est.select(
+        "window_start",
+        F.col("rk").cast("int").alias("rk"),
+        "user_id",
+        "n_true",
+        "n_cms",
+    ).orderBy("window_start", "rk")
+
+
 def q_stream_late_drop_wm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The watermark's LATE-DATA DROP, actually exercised: every other
     streaming query here replays in one batch, where the watermark starts
@@ -894,6 +1010,51 @@ from kitkat_spark.operators.sketches import (  # noqa: E402
 )
 
 ORACLE: dict[str, str] = {
+    # The same sealed-window boundary and md5 grid as the stream: every
+    # (seed, bucket) register rebuilt exactly, probes joined back for the
+    # min-over-rows estimate.
+    "q_stream_cms_wm": f"""
+        WITH sealed AS (
+            SELECT user_id,
+                   CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start
+            FROM events
+            WHERE CAST(date_trunc('hour', ts) AS TIMESTAMP) + INTERVAL 1 HOUR
+                  <= (SELECT max(ts) - INTERVAL 10 MINUTE FROM events)
+        ),
+        seeds AS (SELECT unnest(generate_series(0, {SCMS_D - 1})) AS seed),
+        grid AS (
+            SELECT window_start, seed,
+                   ('0x' || substr(md5('scms' || seed || '|'
+                        || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+                       % {SCMS_W} AS bucket,
+                   count(*) AS n
+            FROM sealed, seeds
+            GROUP BY 1, 2, 3
+        ),
+        exact AS (
+            SELECT window_start, user_id, count(*) AS n_true
+            FROM sealed GROUP BY 1, 2
+        ),
+        top AS (
+            SELECT window_start, user_id, n_true,
+                   CAST(row_number() OVER (
+                       PARTITION BY window_start
+                       ORDER BY n_true DESC, user_id) AS INT) AS rk
+            FROM exact QUALIFY rk <= {SCMS_TOP_K}
+        ),
+        probes AS (
+            SELECT t.window_start, t.user_id, t.n_true, t.rk, s.seed,
+                   ('0x' || substr(md5('scms' || s.seed || '|'
+                        || CAST(t.user_id AS VARCHAR)), 1, 15))::BIGINT
+                       % {SCMS_W} AS bucket
+            FROM top t, seeds s
+        )
+        SELECT p.window_start, p.rk, p.user_id, p.n_true,
+               min(g.n) AS n_cms
+        FROM probes p
+        JOIN grid g USING (window_start, seed, bucket)
+        GROUP BY 1, 2, 3, 4
+    """,
     "q_stream_hll_wm": f"""
         WITH sealed AS (
             SELECT user_id,

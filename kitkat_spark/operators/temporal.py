@@ -370,7 +370,100 @@ def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SP_N = 3  # path prefix length (first N event types per session)
+SP_K = 15  # top paths reported
+
+
+def q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K session paths — sequence mining next to q_markov_transitions'
+    per-step matrix: the most common FIRST-SP_N event-type sequences across
+    sessions ("what do users do first?"), the funnel-discovery query behind
+    onboarding and UX analysis.
+
+    Sessions are q_sessionize's gap islands (same two windows sharing one
+    (user, ts) shuffle). The per-session path is built ARRAY-NATIVE:
+    collect the session's (ts, event_id, type) structs, array_sort (total
+    order — collect_list alone is layout-dependent), slice SP_N, join with
+    '>'. The session groupBy adds NO exchange: hash-partitioning on
+    user_id already clusters (user_id, session_id). Session arrays are
+    human-session-sized; a production run would cap collect size the way
+    LSH_MAX_BUCKET caps buckets. Path counting runs on the
+    |event_type|^SP_N-bounded path table; top-K is a TakeOrderedAndProject
+    (per-partition heap), never a global sort."""
+    events = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.col("ts"), F.col("event_id"))
+    gap = F.col("ts").cast("double") - F.lag(F.col("ts").cast("double"), 1).over(w)
+    flagged = events.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(gap.isNull() | (gap > SESSION_GAP_MINUTES * 60), 1)
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    sess = flagged.withColumn(
+        "session_id",
+        F.sum("is_new").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    )
+    paths = sess.groupBy("user_id", "session_id").agg(
+        F.concat_ws(
+            ">",
+            F.transform(
+                F.slice(
+                    F.array_sort(
+                        F.collect_list(F.struct("ts", "event_id", "event_type"))
+                    ),
+                    1,
+                    SP_N,
+                ),
+                lambda s: s["event_type"],
+            ),
+        ).alias("path")
+    )
+    counts = paths.groupBy("path").agg(F.count("*").alias("n_sessions"))
+    top = counts.orderBy(F.col("n_sessions").desc(), "path").limit(SP_K)
+    w_rank = W.orderBy(F.col("n_sessions").desc(), "path")
+    return top.select(
+        F.row_number().over(w_rank).cast("int").alias("rk"), "path", "n_sessions"
+    )
+
+
 ORACLE: dict[str, str] = {
+    "q_session_paths": f"""
+        WITH flagged AS (
+            SELECT user_id, ts, event_id, event_type,
+                   CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) IS NULL
+                         OR epoch(ts) - epoch(lag(ts) OVER w) > {SESSION_GAP_MINUTES * 60}
+                        THEN 1 ELSE 0 END AS is_new
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), sessions AS (
+            SELECT *, sum(is_new) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+            FROM flagged
+        ), ranked AS (
+            SELECT user_id, session_id, event_type, ts, event_id,
+                   row_number() OVER (
+                       PARTITION BY user_id, session_id ORDER BY ts, event_id
+                   ) AS rn
+            FROM sessions
+        ), paths AS (
+            SELECT user_id, session_id,
+                   string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+            FROM ranked WHERE rn <= {SP_N}
+            GROUP BY 1, 2
+        ), counts AS (
+            SELECT path, count(*) AS n_sessions FROM paths GROUP BY 1
+        ), top AS (
+            SELECT * FROM counts ORDER BY n_sessions DESC, path LIMIT {SP_K}
+        )
+        SELECT CAST(row_number() OVER (ORDER BY n_sessions DESC, path) AS INT)
+                   AS rk,
+               path, n_sessions
+        FROM top
+    """,
     "q_active_intervals": """
         WITH iv AS (
             SELECT o.o_orderkey,

@@ -54,6 +54,55 @@ def test_kn_probability_mass_sums_to_one(spark):
         assert math.isclose(mass, 1.0, rel_tol=1e-9), (t1, mass)
 
 
+def test_kn_trigram_mass_sums_to_one(spark):
+    """The recursive trigram KN is a PROPER conditional distribution: for
+    a sample of frequent histories (t1, t2), summing P(t3|t1,t2) over the
+    FULL continuation vocabulary (observed trigram continuations + the
+    backoff prior over every t3 with a continuation history) must close to
+    1 — recomputed here from raw counts, independent of the operator."""
+    from kitkat_spark.functions.text import _zipped_ngrams, tokens
+    from kitkat_spark.operators.pipelines import KN_DISCOUNT, TRIGRAM_MIN_COUNT
+    from kitkat_spark.sources import load_table
+
+    D = KN_DISCOUNT
+    docs = load_table(spark, SF, "documents")
+    toks = tokens(F.col("text"))
+    tg = docs.select(
+        F.explode(
+            F.when(F.size(toks) >= 3, _zipped_ngrams(toks, 3)).otherwise(F.array())
+        ).alias("g")
+    ).select(
+        F.col("g")["0"].alias("t1"),
+        F.col("g")["1"].alias("t2"),
+        F.col("g")["2"].alias("t3"),
+    )
+    tri = tg.groupBy("t1", "t2", "t3").agg(F.count("*").alias("c123")).toPandas()
+    b23 = tri.groupby(["t2", "t3"]).size().rename("cont23").reset_index()
+    b2 = len(b23)
+    cont2 = b23.groupby("t2")["cont23"].sum().to_dict()
+    fwd2 = b23.groupby("t2")["cont23"].size().to_dict()
+    bwd3 = b23.groupby("t3")["cont23"].size().to_dict()
+    cont23 = {(r.t2, r.t3): r.cont23 for r in b23.itertuples()}
+
+    def p_bi(t2, t3):
+        return (
+            max(cont23.get((t2, t3), 0) - D, 0.0) / cont2[t2]
+            + D * fwd2[t2] / cont2[t2] * (bwd3[t3] / b2)
+        )
+
+    hist = tri.groupby(["t1", "t2"])["c123"].agg(["sum", "size"])
+    frequent = hist[hist["sum"] >= TRIGRAM_MIN_COUNT]
+    assert len(frequent) > 0, "no frequent histories at sf0.001"
+    for (t1, t2), row in frequent.head(25).iterrows():
+        c12, _ = row["sum"], row["size"]
+        obs = tri[(tri["t1"] == t1) & (tri["t2"] == t2)]
+        mass = sum(max(r.c123 - D, 0.0) / c12 for r in obs.itertuples())
+        # the backoff term extends over EVERY t3 in the continuation vocab
+        fwd12 = len(obs)
+        mass += sum(D * fwd12 / c12 * p_bi(t2, t3) for t3 in bwd3)
+        assert math.isclose(mass, 1.0, rel_tol=1e-9), (t1, t2, mass)
+
+
 def test_kn_argmax_matches_query_output(spark):
     """The operator's per-history argmax equals the argmax of the
     independently recomputed KN table (pandas, from raw bigram counts —

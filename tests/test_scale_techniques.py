@@ -159,3 +159,45 @@ def test_adaptive_salted_join_auto_threshold_no_extra_pass(spark):
     assert 1 <= len(jobs) <= 6, jobs
     plan = got._jdf.queryExecution().optimizedPlan().toString()
     assert "Aggregate" not in plan, plan
+
+
+def test_semdedup_two_level_assign_brute_force(spark):
+    """Force the two-level quantizer (tiny max_broadcast) and brute-force
+    verify the hierarchical assignment: every vector's coarse cell is the
+    global coarse argmax, and its fine cell is the argmax among the fine
+    centroids OF ITS COARSE CELL (rounded cosine, centroid-id tie-break) —
+    the contract the SQL oracle can't reach because it only replays the
+    flat regime."""
+    import math
+
+    from kitkat_spark.operators.similarity import _semdedup_assign, _with_norm
+
+    emb = _with_norm(
+        load_table(spark, SF, "embeddings").filter(F.size("embedding") > 0)
+    )
+    k = 16
+    got = {
+        r.vec_id: r.cell
+        for r in _semdedup_assign(emb, k, max_broadcast=4).collect()
+    }
+
+    rows = emb.select("vec_id", "v", "nrm").collect()
+    vecs = {r.vec_id: (r.v, r.nrm) for r in rows}
+    kc = math.ceil(math.sqrt(k))
+
+    def cos(a, b):
+        va, na = vecs[a]
+        vb, nb = vecs[b]
+        return round(sum(x * y for x, y in zip(va, vb)) / (na * nb), 6)
+
+    def argmax(vid, cands):
+        return max(cands, key=lambda c: (cos(vid, c), -c))
+
+    coarse_of = {vid: argmax(vid, range(kc)) for vid in vecs}
+    fine_by_coarse = {}
+    for c in range(k):
+        fine_by_coarse.setdefault(coarse_of[c], []).append(c)
+    assert len(got) == len(vecs)
+    for vid, cell in got.items():
+        cands = fine_by_coarse[coarse_of[vid]]
+        assert cell == argmax(vid, cands), (vid, cell)
