@@ -226,6 +226,14 @@ HEADLINE = [
     "q_ngram_novelty",
     "q_source_overlap",
     "q_stream_anomaly_wm",
+    # round-10 additions
+    "q_curriculum",
+    "q_reservoir_sample",
+    "q_label_prop",
+    "q_session_paths",
+    "q_kn_trigram",
+    "q_stream_cms_wm",
+    "q_dataset_card",
     # Excluded on purpose (NOT a silent cap): q_cc_chain is the adversarial
     # deep-diameter CC verification query — it deliberately runs ~25 star
     # rounds on a path graph, so its wall time is per-round scheduler
@@ -235,8 +243,27 @@ HEADLINE = [
 ]
 
 
+IDLE_LOAD = 1.0  # 1-min loadavg below this counts as an idle machine
+IDLE_WAIT_MAX_S = 180  # bounded wait — never stall the driver's round
+
+
+def _wait_for_idle() -> int:
+    """Idle gate (round-9 verdict #6): a contended machine scatters the
+    headline total 8-27% run-to-run, so wait (bounded) for the 1-min
+    loadavg to drop below IDLE_LOAD before starting the JVM. Returns the
+    seconds waited; set SPARK_GRAFT_NO_IDLE_WAIT=1 to skip."""
+    if os.environ.get("SPARK_GRAFT_NO_IDLE_WAIT"):
+        return 0
+    waited = 0
+    while os.getloadavg()[0] >= IDLE_LOAD and waited < IDLE_WAIT_MAX_S:
+        time.sleep(5)
+        waited += 5
+    return waited
+
+
 def main() -> None:
     global _LOAD0
+    idle_waited = _wait_for_idle()
     _LOAD0 = os.getloadavg()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -278,6 +305,7 @@ def main() -> None:
             # lets a reader judge whether THIS run was contended
             "loadavg_start": [round(x, 2) for x in _LOAD0],
             "loadavg_end": [round(x, 2) for x in os.getloadavg()],
+            "idle_waited_s": idle_waited,
         },
     }
     # The driver stores only a 2000-char tail of stdout, which truncates the

@@ -214,12 +214,15 @@ def q_edit_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     don't cover: character-level edits that rewrite many shingles (every
     shingle spanning an edit changes) but few characters.
 
-    HONEST SCALE LIMIT: length blocks saturate as corpora densify — at the
-    10x stress, 74 blocks exceed EDIT_MAX_BUCKET and 59% of true pairs
-    (147k of 251k) fall in dropped blocks. Length blocking is the cheap
-    low-density detector; the cap-free exact path is q_passjoin_dedup
-    (content-partition candidate generation, measured strict superset of
-    this query's output at every tested scale).
+    HONEST SCALE LIMIT — this is a TEACHING QUERY, not the family default:
+    length blocks saturate as corpora densify. At the 10x stress, 74
+    blocks exceed EDIT_MAX_BUCKET and 59% of true pairs (147k of 251k)
+    fall in dropped blocks; at 20x the saturation is near-total — 25,860
+    of 1,052,020 true pairs found (97.5% loss, SCALE_NOTES round 10).
+    Length blocking is the cheap low-density detector only; the FAMILY
+    DEFAULT is q_passjoin_dedup (content-partition candidate generation,
+    cap-free, measured strict superset of this query's output at 1x, 10x,
+    and 20x).
 
     Blocking: each doc lands in TWO length buckets of width 32 — its own
     grid-0 bucket and a half-width-offset grid-1 bucket. Any pair within

@@ -97,93 +97,76 @@ for _m in _MODULES:
             _ALL[_name] = _cache_scoped(getattr(_m, _name))
     ORACLES.update(getattr(_m, "ORACLE", {}))
 
-# The 50 driver-verified slots this round (round 9). Blocks, per the
-# round-8 verdict and the staleness gate (tests/test_driver_staleness.py):
-# (a) queries NEW this round — never driver-verified, so the gate forces
-# every one of them into the 50; (b) the FOURTEEN r5-stale greens the
-# round-8 verdict made next-round item #1. (a) + (b) = 50 exactly: NO room
-# for refreshing this round's CHANGED-but-recently-green queries — see the
-# re-verify-next-round note at the bottom.
+# The 50 driver-verified slots this round (round 10). Blocks, per the
+# staleness gate (tests/test_driver_staleness.py) and the round-9 verdict:
+# (a) the gate's 34 violations — r6 greens whose host modules changed since
+# the r6 snapshot; (b) the three sampling.py r6 greens that BECOME
+# violations this round (q_reservoir_sample lands in their module);
+# (c) the seven queries NEW this round — never driver-verified, always
+# forced; (d) six rotations of the oldest remaining r6 greens (relational,
+# unchanged module — not forced, refreshed proactively). 34+3+7+6 = 50.
 _VERIFY_FIRST = [
-    # -- (a) new this round (29 early-wave + 7 late-wave = 36) --
-    "q_pq_search",           # NEW: PQ asymmetric-distance top-k search
-    "q_kn_bigram",           # NEW: interpolated Kneser-Ney bigram LM
-    "q_assoc_rules",         # NEW: association rules (support/conf/lift)
-    "q_markov_transitions",  # NEW: session-gap Markov transition matrix
-    "q_triplet_mining",      # NEW: hard positive/negative triplet mining
-    "q_ngram_novelty",       # NEW: first-occurrence n-gram novelty audit
-    "q_source_overlap",      # NEW: cross-source shingle-Jaccard matrix
-    "q_stream_anomaly_wm",   # NEW: streaming windowed z-score anomalies
-    "q_image_decode",        # NEW: PNG/BMP decode with pixel-sum oracle
-    "q_ship_priority",       # NEW (Q3 shape)
-    "q_local_supplier_volume",  # NEW (Q5 shape)
-    "q_big_orders",          # NEW (Q18 shape)
-    "q_vocab_coverage",      # NEW: tokenizer-budget curve
-    "q_zipf_slope",          # NEW: corpus-health Zipf exponent
-    "q_doc_entropy",         # NEW: token-entropy quality gate
-    "q_pq_codebook",         # NEW: product-quantization encode
-    "q_stream_topk_wm",      # NEW: streaming windowed top-N
-    "q_cdc_chunk",           # NEW: content-defined chunk dedup audit
-    "q_semdedup",            # NEW: SemDeDup within-cell semantic dedup
-    "q_dsir_weights",        # NEW: DSIR importance weights
-    "q_csv_roundtrip",       # NEW: RFC-4180 CSV round trip
-    "q_hll_distinct",        # NEW: HyperLogLog distinct sketch
-    "q_bpe_pairs",           # NEW: BPE merge-pair counting
-    "q_skyline",             # NEW: Pareto frontier, bucketed prefix-max
-    "q_binary_ingest",       # NEW: binaryFile source + real PNG decode
-    "q_stream_hll_wm",       # NEW: streaming windowed HLL distinct
-    "q_ewma",                # NEW: per-user EWMA, deterministic sorted fold
-    "q_anomaly_mad",         # NEW: median/MAD robust outliers
-    "q_winsorize",           # NEW: winsorized per-type mean
-    "q_kmv_intersect",       # NEW: KMV sketch union/intersection estimate
-    "q_rrf_fusion",          # NEW: BM25 + cosine reciprocal-rank fusion
-    "q_active_intervals",    # NEW: sweep-line interval concurrency
-    "q_chi2_tokens",         # NEW: chi^2 per-source token association
-    "q_ks_drift",            # NEW: two-sample KS distribution drift
-    "q_orc_roundtrip",       # NEW: ORC interchange round trip
-    "q_stream_ewma",         # NEW: stateful-streaming EWMA (O(1) state)
-    # -- (b) the fourteen r5-stale greens (round-8 verdict next-round #1) --
-    "q_similarity_search",
-    "q_span_dedup",
-    "q_split_leakage",
-    "q_stats_agg",
-    "q_stream_dedup_agg_wm",
-    "q_stream_dedup_wm",
-    "q_stream_interval_join_wm",
-    "q_stream_late_drop_wm",
-    "q_token_pmi",
-    "q_train_manifest",
-    "q_trend_slope",
-    "q_triangle_count",
-    "q_window_rank",
-    "q_zorder_cluster",
-    # -- NO room for round-6 refreshes or round-9 CHANGED queries: round 9
-    # added 36 new queries and blocks (a)+(b) fill all 50 slots. The gate
-    # (STALE_ROUNDS=4) does not force r7/r8 greens, and every changed query
-    # stays proven by the local parity suite (tests/test_oracle_parity.py,
-    # every run) plus a committed full-registry driver_sim at sf0.01.
-    # Re-verify-next-round head (round 10), changed-this-round first:
-    # q_ann_recall q_ann_multiprobe q_embedding_near_dup (LSH plane sizing
-    # — the sizing arithmetic is replayed value-for-value by their oracles,
-    # so local hash-parity already proves it) q_multimodal_decode (codec
-    # shared with slotted q_image_decode/q_binary_ingest) q_partition_prune
-    # (explicit day DATE cast; plan pinned by tests/test_partition_pruning)
-    # q_stream_gap_fill (md5 sink name + no-data-flush pin)
-    # q_stream_mix_rebalance q_passjoin_dedup q_ann_recall_multiprobe
-    # q_stream_session_wm q_media_resize — then the 48 r6
-    # greens: q_agg_distinct q_agg_group q_bloom_join q_column_profile
-    # q_column_profile_approx q_conditional_funcs q_corpus_pipeline
-    # q_datetime_funcs q_decontaminate
-    # q_disjunctive_join q_embedding_audit q_excess_suppliers
-    # q_forecast_revenue q_grouping_sets q_histogram q_incremental_dedup
-    # q_lang_mismatch q_lm_score q_market_share q_min_cost_supplier
-    # q_mix_rebalance q_mjoin_region_revenue q_mjoin_revenue
-    # q_nation_volume q_normalize_window q_pivot q_posexplode
-    # q_product_profit q_promo_revenue q_returned_revenue q_sample_split
-    # q_scan_filter q_simhash q_skew_join_auto q_skew_join_salted
-    # q_sort_limit q_stratified_sample q_string_agg q_subquery_scalar
-    # q_tfidf q_top_supplier q_unpivot q_weighted_sample q_window_frame
-    # q_window_ntile q_window_range q_winnow_fingerprint q_zlib --
+    # -- (a) the gate's 34 violations (r6 greens in changed modules) --
+    "q_column_profile",
+    "q_column_profile_approx",
+    "q_conditional_funcs",
+    "q_corpus_pipeline",
+    "q_datetime_funcs",
+    "q_decontaminate",
+    "q_disjunctive_join",
+    "q_embedding_audit",
+    "q_excess_suppliers",
+    "q_forecast_revenue",
+    "q_grouping_sets",
+    "q_histogram",
+    "q_incremental_dedup",
+    "q_lang_mismatch",
+    "q_lm_score",
+    "q_market_share",
+    "q_min_cost_supplier",
+    "q_mix_rebalance",
+    "q_mjoin_region_revenue",
+    "q_mjoin_revenue",
+    "q_nation_volume",
+    "q_normalize_window",
+    "q_product_profit",
+    "q_promo_revenue",
+    "q_returned_revenue",
+    "q_simhash",
+    "q_stream_session_wm",
+    "q_subquery_scalar",
+    "q_tfidf",
+    "q_top_supplier",
+    "q_unpivot",
+    "q_window_ntile",
+    "q_window_range",
+    "q_winnow_fingerprint",
+    # -- (b) sampling.py r6 greens, module changed this round --
+    "q_sample_split",
+    "q_stratified_sample",
+    "q_weighted_sample",
+    # -- (c) new this round --
+    "q_curriculum",          # NEW: range-partitioned curriculum manifest
+    "q_reservoir_sample",    # NEW: per-group deterministic reservoir
+    "q_label_prop",          # NEW: fixed-iteration label propagation
+    "q_session_paths",       # NEW: top-K first-N event-type sequences
+    "q_kn_trigram",          # NEW: KN trigram with bigram backoff
+    "q_stream_cms_wm",       # NEW: streaming windowed Count-Min
+    "q_dataset_card",        # NEW: CUBE corpus-health dataset card
+    # -- (d) rotations: oldest remaining r6 greens (relational, unchanged) --
+    "q_scan_filter",
+    "q_sort_limit",
+    "q_agg_group",
+    "q_agg_distinct",
+    "q_string_agg",
+    "q_pivot",
+    # -- Re-verify-next-round tail (round 11): the six r6 greens still
+    # un-refreshed, all in UNCHANGED modules so the gate does not force
+    # them: q_posexplode q_window_frame (relational) q_skew_join_auto
+    # q_skew_join_salted (skew) q_bloom_join (runtimefilter) q_zlib
+    # (payloads) -- plus whatever round 10 changes. Every non-slotted
+    # query stays proven by the local parity suite (tests/
+    # test_oracle_parity.py, every run).
 ]
 
 assert len(_VERIFY_FIRST) == 50, len(_VERIFY_FIRST)

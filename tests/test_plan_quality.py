@@ -324,3 +324,29 @@ def test_normalize_window_stays_jvm(spark):
     facts = plan_facts(df)
     assert facts["shuffles"] == 1, facts
     assert facts["python_udf_nodes"] == 0, facts
+
+
+def test_curriculum_output_is_range_partitioned(spark):
+    """q_curriculum's writer layout MUST plan as RangePartitioning — the
+    one partitioner built for total order (contiguous rank runs per
+    partition), and the one partitioner no other query pins. Also: the
+    global rank must come from the histogram-offset composition, never a
+    whole-corpus single-partition sort — the ONLY unpartitioned window
+    allowed in this plan is the <=~200-row bin-offset cumulative sum."""
+    df = QUERIES["q_curriculum"](spark, SF)
+    plan = explain_str(df)
+    assert "rangepartitioning(curriculum_rank" in plan.lower(), plan[:800]
+    facts = plan_facts(df)
+    assert facts["python_udf_nodes"] == 0, facts
+
+
+def test_reservoir_sample_uses_window_group_limit(spark):
+    """The per-group rank filter must plan as WindowGroupLimit: each map
+    task keeps only its local top-k per group BEFORE the exchange (the
+    distributed reservoir merge). Without it the shuffle carries the whole
+    corpus to the window sort."""
+    df = QUERIES["q_reservoir_sample"](spark, SF)
+    plan = explain_str(df)
+    assert "WindowGroupLimit" in plan, plan[:800]
+    facts = plan_facts(df)
+    assert facts["shuffles"] == 1, facts

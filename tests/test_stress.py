@@ -154,6 +154,24 @@ def test_batch_dedup_family_sublinear_at_10x(spark, stress_dir):
         # micro-batch harness over 10x windows; state = one count per
         # live (window, type); z-score at read time (measured 1.8x)
         "q_stream_anomaly_wm": 5.0,
+        # round-10 additions (measured 10x ratios in parens, SCALE_NOTES):
+        # histogram-offset rank + range exchange, both corpus-linear (0.9x)
+        "q_curriculum": 4.0,
+        # WindowGroupLimit keeps the shuffle at ~k rows/(task,group) (1.0x)
+        "q_reservoir_sample": 4.0,
+        # 3 fixed message-passing rounds; edge list checkpointed once;
+        # vote agg combines map-side (1.4x)
+        "q_label_prop": 5.0,
+        # one user-keyed sort shared by both session windows; path table
+        # |event_type|^N-bounded (0.9x)
+        "q_session_paths": 4.0,
+        # trigram-type/continuation tables vocab-bounded; the corpus
+        # explode+agg is the only data-sized stage (1.2x)
+        "q_kn_trigram": 4.0,
+        # CMS state fixed per live window; probes broadcast (1.2x)
+        "q_stream_cms_wm": 4.0,
+        # one CUBE shuffle over a tiny key domain (1.2x)
+        "q_dataset_card": 4.0,
         # real-codec media family: Arrow-batched shuffle-free maps, wall
         # tracks the per-doc encode+decode Python (measured 1.3x/1.0x/1.0x
         # at 10x with all three modalities decoding for real)
