@@ -366,12 +366,15 @@ def label_propagation_fixed(
     exact integer votes, total tie-break — so the DuckDB oracle unrolls
     the same rounds as CTEs (the q_pagerank pattern).
 
-    Plan per round: ONE join (edges ⋈ labels, keyed on the node id) + ONE
-    partial-aggregated vote groupBy + a WindowGroupLimit argmax — the
-    same message-passing shuffle shape as PageRank. `sym` is expected
-    checkpointed by the caller so iterations share one materialized edge
-    list. Hub nodes concentrate one vote key; the count combines
-    map-side."""
+    Plan per round: ONE join (edges ⋈ labels, keyed on the node id) + TWO
+    partial-aggregated groupBys — votes on (node, label), then the argmax
+    as ``min(struct(-c, label))`` per node (struct comparison is
+    lexicographic, so min(-c) is the highest count and ties fall to the
+    smallest label — identical to a rank-1 window but map-side combinable
+    and sort-free). The same message-passing shuffle shape as PageRank.
+    `sym` is expected checkpointed by the caller so iterations share one
+    materialized edge list. Hub nodes concentrate one vote key; both
+    aggs combine map-side."""
     labels = seeds
     for _ in range(iters):
         votes = (
@@ -379,13 +382,14 @@ def label_propagation_fixed(
             .groupBy(F.col("v").alias("node"), "label")
             .agg(F.count("*").alias("c"))
         )
-        from pyspark.sql import Window as W
-
-        w = W.partitionBy("node").orderBy(F.col("c").desc(), "label")
         winners = (
-            votes.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select(F.col("node").alias("u"), "label")
+            votes.groupBy("node")
+            .agg(
+                F.min(
+                    F.struct((-F.col("c")).alias("nc"), F.col("label"))
+                ).alias("best")
+            )
+            .select(F.col("node").alias("u"), F.col("best.label").alias("label"))
         )
         labels = seeds.unionByName(
             winners.join(seeds.select("u"), "u", "left_anti")
@@ -426,6 +430,12 @@ def q_label_prop(spark, sf_dir):
         "n_nationkey", "n_regionkey"
     )
     region = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    # seeds feed seven consumers (initial labels + a union and an anti
+    # join per round). Deliberately NOT checkpointed: the re-embedded
+    # subtree is three dimension scans with pushed IsNotNull filters that
+    # AQE turns into broadcast joins everywhere; a checkpointed seeds
+    # relation loses those stats and the anti joins fall to sort-merge
+    # (measured 3.0 -> 5.3 s at sf0.1 — worse, reverted)
     seeds = (
         customer.filter(F.col("c_custkey") % LP_SEED_MOD == 0)
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
