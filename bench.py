@@ -243,19 +243,26 @@ HEADLINE = [
 ]
 
 
-IDLE_LOAD = 1.0  # 1-min loadavg below this counts as an idle machine
+IDLE_LOAD_1M = 1.0  # 1-min loadavg below this counts as an idle machine
+IDLE_LOAD_5M = 2.5  # ...AND the 5-min average must have decayed too
 IDLE_WAIT_MAX_S = 180  # bounded wait — never stall the driver's round
 
 
 def _wait_for_idle() -> int:
     """Idle gate (round-9 verdict #6): a contended machine scatters the
-    headline total 8-27% run-to-run, so wait (bounded) for the 1-min
-    loadavg to drop below IDLE_LOAD before starting the JVM. Returns the
-    seconds waited; set SPARK_GRAFT_NO_IDLE_WAIT=1 to skip."""
+    headline total 8-27% run-to-run, so wait (bounded) for the loadavg to
+    drop before starting the JVM. Both horizons are gated: the round-10
+    protocol runs showed a 1-min < 1 start with a 5-min of 5 (load still
+    DECAYING from a prior run) reading +11% vs settled runs that agreed
+    within 3.8%. Returns the seconds waited; set
+    SPARK_GRAFT_NO_IDLE_WAIT=1 to skip."""
     if os.environ.get("SPARK_GRAFT_NO_IDLE_WAIT"):
         return 0
     waited = 0
-    while os.getloadavg()[0] >= IDLE_LOAD and waited < IDLE_WAIT_MAX_S:
+    while waited < IDLE_WAIT_MAX_S:
+        l1, l5, _ = os.getloadavg()
+        if l1 < IDLE_LOAD_1M and l5 < IDLE_LOAD_5M:
+            break
         time.sleep(5)
         waited += 5
     return waited
