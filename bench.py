@@ -234,6 +234,9 @@ HEADLINE = [
     "q_kn_trigram",
     "q_stream_cms_wm",
     "q_dataset_card",
+    "q_kanon_audit",
+    "q_dp_counts",
+    "q_weighted_reservoir",
     # Excluded on purpose (NOT a silent cap): q_cc_chain is the adversarial
     # deep-diameter CC verification query — it deliberately runs ~25 star
     # rounds on a path graph, so its wall time is per-round scheduler

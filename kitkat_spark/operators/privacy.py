@@ -1,0 +1,179 @@
+"""Privacy-release operators (SURVEY.md §2.B extension surface): the audit
+and noise steps a corpus passes through before leaving the trust boundary —
+k-anonymity class sizing over quasi-identifiers and differentially-private
+counts. The reference (a Kinesis CLI; /root/reference/consumer/consumer.go)
+releases nothing and has no privacy surface; these are new design from
+public literature (Sweeney, IJUFKS 2002; Dwork et al., TCC 2006).
+
+Determinism discipline: like the sampling module, anything "random" is
+md5-derived from stable keys (functions/text.py md5_long), so releases are
+reproducible across reruns/layouts/engines and the DuckDB oracle replays
+them value-for-value — which is exactly what a release audit trail needs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from kitkat_spark.functions.text import md5_long
+from kitkat_spark.sources import load_table
+
+K_ANON = 5  # classes smaller than this are re-identification risks
+KANON_LEN_BAND = 100  # n_chars quantization for the quasi-identifier
+
+
+def q_kanon_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit (Sweeney, IJUFKS 2002 — public literature): group
+    the corpus by its quasi-identifier tuple (lang, source, length band)
+    and report every equivalence class with its size and an at-risk flag
+    (size < K_ANON) — the table a privacy review reads before a metadata
+    release, since any class of size 1 pins a document to its row.
+
+    Scale: ONE map-side-combinable shuffle whose key domain is the
+    quasi-identifier product (|langs| x |sources| x length bands — bounded
+    by the schema, not the corpus); the length band is the standard
+    generalization step (quantization IS the k-anonymity lever: widen the
+    band until min class size clears k). Suppression/generalization
+    decisions stay with the caller; this operator is the measurement."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(
+            "lang",
+            "source",
+            F.expr(f"n_chars div {KANON_LEN_BAND}").alias("len_band"),
+        )
+        .agg(F.count("*").alias("class_size"))
+        .select(
+            "lang",
+            "source",
+            "len_band",
+            "class_size",
+            (F.col("class_size") < K_ANON).alias("at_risk"),
+        )
+    )
+
+
+DP_EPS = 1.0  # epsilon for the per-source count release (sensitivity 1)
+DP_SEED = "dp1"
+
+
+def q_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private per-source document counts via the Laplace
+    mechanism (Dwork, McSherry, Nissim & Smith, TCC 2006 — public
+    literature): each count is released as count + Lap(1/eps), the
+    calibrated noise for a sensitivity-1 counting query.
+
+    The noise is DETERMINISTIC-by-seed: u = md5_long(seed|source)/2^60 is
+    a uniform in (0,1) derived from the release seed (the q_weighted_sample
+    trick), and the Laplace draw is its inverse CDF
+    -b * sign(u - 1/2) * ln(1 - 2|u - 1/2|). A real release rotates the
+    seed per publication; pinning it makes the release REPLAYABLE — the
+    audit property — and lets the oracle rebuild the exact noise. The ln
+    result is rounded to 6 dp before the sum so the one transcendental
+    stays off cross-engine ulp boundaries (the q_weighted_sample /
+    q_bm25 lesson).
+
+    Scale: one combinable count shuffle (key domain = |sources|); the
+    noise projection is a codegen'd scalar on the tiny result."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(F.count("*").alias("true_count"))
+    u = (
+        F.greatest(
+            md5_long(F.concat(F.lit(DP_SEED + "|"), F.col("source"))), F.lit(1)
+        ).cast("double")
+        / F.lit(float(1 << 60))
+    )
+    v = u - F.lit(0.5)
+    b = 1.0 / DP_EPS
+    noise = F.round(
+        F.lit(-b) * F.signum(v) * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(v)), 6
+    )
+    return counts.select(
+        "source",
+        "true_count",
+        noise.alias("noise"),
+        F.round(F.col("true_count") + noise, 6).alias("dp_count"),
+    )
+
+
+WR_K = 10
+WR_SEED = "wr1"
+
+
+def q_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-GROUP weighted reservoir sampling without replacement
+    (Efraimidis & Spirakis, IPL 2006 A-Res — public literature): within
+    every source, the WR_K documents with the largest priorities
+    u^(1/w) form a weighted sample without replacement; ordering by the
+    monotone-equivalent key ln(u)/w (descending) avoids the pow. The
+    per-stratum version of q_weighted_sample's global draw — the corpus
+    mix that up-weights long documents inside each source independently.
+
+    Determinism as everywhere in the sampling family: u is md5-derived
+    from the doc_id, so the draw is layout/rerun/engine-invariant. The
+    rank filter plans as WindowGroupLimit (map-side top-k per group
+    before the exchange — the distributed reservoir merge, same plan pin
+    as q_reservoir_sample); the key rounds to 12 dp to stay off ln ulp
+    boundaries."""
+    docs = load_table(spark, sf_dir, "documents")
+    u = (
+        F.greatest(
+            md5_long(F.concat(F.lit(WR_SEED + "|"), F.col("doc_id").cast("string"))),
+            F.lit(1),
+        ).cast("double")
+        / F.lit(float(1 << 60))
+    )
+    key = F.round(F.log(u) / F.col("n_chars"), 12)
+    w = W.partitionBy("source").orderBy(F.col("k").desc(), "doc_id")
+    return (
+        docs.select("doc_id", "source", "n_chars", key.alias("k"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= WR_K)
+        .select("source", F.col("rk").cast("int").alias("rk"), "doc_id", "n_chars")
+    )
+
+
+ORACLE: dict[str, str] = {
+    "q_kanon_audit": f"""
+        SELECT lang, source,
+               CAST(n_chars // {KANON_LEN_BAND} AS BIGINT) AS len_band,
+               count(*) AS class_size,
+               count(*) < {K_ANON} AS at_risk
+        FROM documents
+        GROUP BY 1, 2, 3
+    """,
+    # Identical md5-uniform, identical inverse-CDF arithmetic; ln rounded
+    # to 6 dp on both sides before the sum.
+    "q_dp_counts": f"""
+        WITH c AS (
+            SELECT source, count(*) AS true_count FROM documents GROUP BY 1
+        ), n AS (
+            SELECT source, true_count,
+                   greatest(('0x' || substr(md5('{DP_SEED}|' || source), 1, 15))::BIGINT, 1)
+                       / 1152921504606846976.0 - 0.5 AS v
+            FROM c
+        )
+        SELECT source, true_count,
+               round(-{1.0 / DP_EPS} * sign(v) * ln(1.0 - 2.0 * abs(v)), 6)
+                   AS noise,
+               round(true_count
+                     + round(-{1.0 / DP_EPS} * sign(v) * ln(1.0 - 2.0 * abs(v)), 6),
+                     6) AS dp_count
+        FROM n
+    """,
+    "q_weighted_reservoir": f"""
+        WITH keyed AS (
+            SELECT doc_id, source, n_chars,
+                   round(ln(greatest(('0x' || substr(md5('{WR_SEED}|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT, 1)
+                      / 1152921504606846976.0) / n_chars, 12) AS k
+            FROM documents
+        )
+        SELECT source,
+               CAST(row_number() OVER (
+                   PARTITION BY source ORDER BY k DESC, doc_id) AS INT) AS rk,
+               doc_id, n_chars
+        FROM keyed
+        QUALIFY rk <= {WR_K}
+    """,
+}

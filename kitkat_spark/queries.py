@@ -33,6 +33,7 @@ from kitkat_spark.operators import (
     multimodal,
     payloads,
     pipelines,
+    privacy,
     profiling,
     relational,
     runtimefilter,
@@ -52,6 +53,7 @@ _MODULES = (
     graph,
     interchange,
     layout,
+    privacy,
     profiling,
     runtimefilter,
     sampling,
@@ -102,9 +104,9 @@ for _m in _MODULES:
 # (a) the gate's 34 violations — r6 greens whose host modules changed since
 # the r6 snapshot; (b) the three sampling.py r6 greens that BECOME
 # violations this round (q_reservoir_sample lands in their module);
-# (c) the seven queries NEW this round — never driver-verified, always
-# forced; (d) six rotations of the oldest remaining r6 greens (relational,
-# unchanged module — not forced, refreshed proactively). 34+3+7+6 = 50.
+# (c) the ten queries NEW this round — never driver-verified, always
+# forced; (d) three rotations of the oldest remaining r6 greens (relational,
+# unchanged module — not forced, refreshed proactively). 34+3+10+3 = 50.
 _VERIFY_FIRST = [
     # -- (a) the gate's 34 violations (r6 greens in changed modules) --
     "q_column_profile",
@@ -153,20 +155,20 @@ _VERIFY_FIRST = [
     "q_kn_trigram",          # NEW: KN trigram with bigram backoff
     "q_stream_cms_wm",       # NEW: streaming windowed Count-Min
     "q_dataset_card",        # NEW: CUBE corpus-health dataset card
+    "q_kanon_audit",         # NEW: k-anonymity class audit (privacy.py)
+    "q_dp_counts",           # NEW: deterministic-seed DP Laplace counts
+    "q_weighted_reservoir",  # NEW: per-group A-Res weighted reservoir
     # -- (d) rotations: oldest remaining r6 greens (relational, unchanged) --
     "q_scan_filter",
     "q_sort_limit",
     "q_agg_group",
-    "q_agg_distinct",
-    "q_string_agg",
-    "q_pivot",
-    # -- Re-verify-next-round tail (round 11): the six r6 greens still
+    # -- Re-verify-next-round tail (round 11): the nine r6 greens still
     # un-refreshed, all in UNCHANGED modules so the gate does not force
-    # them: q_posexplode q_window_frame (relational) q_skew_join_auto
-    # q_skew_join_salted (skew) q_bloom_join (runtimefilter) q_zlib
-    # (payloads) -- plus whatever round 10 changes. Every non-slotted
-    # query stays proven by the local parity suite (tests/
-    # test_oracle_parity.py, every run).
+    # them: q_agg_distinct q_string_agg q_pivot q_posexplode
+    # q_window_frame (relational) q_skew_join_auto q_skew_join_salted
+    # (skew) q_bloom_join (runtimefilter) q_zlib (payloads) -- plus
+    # whatever round 10 changes. Every non-slotted query stays proven by
+    # the local parity suite (tests/test_oracle_parity.py, every run).
 ]
 
 assert len(_VERIFY_FIRST) == 50, len(_VERIFY_FIRST)

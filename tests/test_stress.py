@@ -172,6 +172,11 @@ def test_batch_dedup_family_sublinear_at_10x(spark, stress_dir):
         "q_stream_cms_wm": 4.0,
         # one CUBE shuffle over a tiny key domain (1.2x)
         "q_dataset_card": 4.0,
+        # privacy trio: one combinable shuffle each, qid/source-bounded
+        # key domains (0.9x / 0.8x / 1.0x)
+        "q_kanon_audit": 4.0,
+        "q_dp_counts": 4.0,
+        "q_weighted_reservoir": 4.0,
         # real-codec media family: Arrow-batched shuffle-free maps, wall
         # tracks the per-doc encode+decode Python (measured 1.3x/1.0x/1.0x
         # at 10x with all three modalities decoding for real)
