@@ -1051,6 +1051,68 @@ def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Shared oracle CTE replaying _ann_planes: the plane count derives from the
 # corpus count, so the SQL twin re-trains the identical index.
+GRAM_SCALE = 1_000_000  # embedding values quantized to integer micro-units
+
+
+def q_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The distributed Gram matrix G = X^T X over the embedding corpus —
+    the one-pass building block of PCA / whitening / linear probing at
+    scale: G is D x D (4096 cells at D = 64) REGARDLESS of corpus size,
+    every row contributes its outer product, and contributions sum — so
+    the whole computation is one map-side fan-out plus ONE combinable
+    shuffle whose key domain is the upper triangle (D(D+1)/2 = 2080
+    cells). Driver-side eigendecomposition of the 64x64 result is
+    config-sized; the distributed part IS this query.
+
+    Exactness discipline (floats sum order-dependently — the decimal-sum
+    rule): values quantize to integer micro-units FIRST via the product
+    form cast(round(x * 1e6) as bigint) — the same IEEE product on both
+    engines, integer half-away-from-zero agrees (the q_anomaly_mad ulp
+    lesson) — then cell sums run as exact integers (decimal(38,0)
+    accumulator: |q| <= ~2^20, products <= 2^40, corpus rows push past
+    int64 at ~2^23 rows — the graph.py overflow lesson) and ONE exact
+    division converts back at the end.
+
+    The pair fan-out is ARRAY-NATIVE (nested transform over the
+    quantized vector — q_assoc_rules' move): D(D+1)/2 structs per row,
+    no self-join, no shuffle until the cell aggregation."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.size("embedding") > 0)
+    quant = emb.select(
+        F.expr(
+            f"transform(embedding, x -> cast(round(x * {GRAM_SCALE}) as bigint))"
+        ).alias("q")
+    )
+    cells = quant.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(q, (xi, i) -> "
+                "transform(slice(q, i + 1, size(q) - i), (xj, jo) -> "
+                "struct(i AS i, i + jo AS j, xi * xj AS p))))"
+            )
+        ).alias("c")
+    )
+    return (
+        cells.groupBy(F.col("c.i").alias("i"), F.col("c.j").alias("j"))
+        .agg(F.sum(F.col("c.p").cast("decimal(38,0)")).alias("s"))
+        .select(
+            F.col("i").cast("int").alias("i"),
+            F.col("j").cast("int").alias("j"),
+            # product-form rounding (the q_anomaly_mad ulp lesson): the
+            # scaled double is the same IEEE value on both engines and
+            # integer half-away agrees; Spark's round(x, 9) (exact decimal
+            # expansion) disagrees with DuckDB's at 0.5-ulp boundaries
+            (
+                F.round(
+                    F.col("s").cast("double")
+                    / F.lit(float(GRAM_SCALE) ** 2)
+                    * F.lit(1e9)
+                )
+                / F.lit(1e9)
+            ).alias("gram"),
+        )
+    )
+
+
 _PQ_DIM_PER = 64 // PQ_SUBSPACES
 
 _ANN_PARAMS_SQL = f"""params AS (
@@ -1063,6 +1125,28 @@ _ANN_PARAMS_SQL = f"""params AS (
 from kitkat_spark.operators.textops import BM25_SCORED_SQL  # noqa: E402
 
 ORACLE: dict[str, str] = {
+    # Identical micro-unit quantization (same IEEE product, integer
+    # half-away rounding both engines), exact integer cell sums (HUGEINT
+    # here, decimal(38,0) in Spark), one final division.
+    "q_gram_matrix": f"""
+        WITH e AS (
+            SELECT list_transform(embedding::DOUBLE[],
+                                  x -> CAST(round(x * {GRAM_SCALE}) AS BIGINT)) AS q
+            FROM embeddings WHERE len(embedding) > 0
+        ), cells AS (
+            SELECT CAST(t.i - 1 AS INT) AS i, q[t.i] AS x, q AS q
+            FROM e, UNNEST(generate_series(1, len(q))) AS t(i)
+        ), pairs AS (
+            SELECT c.i, CAST(c.i + s.jo - 1 AS INT) AS j,
+                   c.x * c.q[c.i + s.jo] AS p
+            FROM cells c,
+                 UNNEST(generate_series(1, len(c.q) - c.i)) AS s(jo)
+        )
+        SELECT i, j,
+               round(CAST(sum(p) AS DOUBLE) / {float(GRAM_SCALE) ** 2!r} * 1e9)
+                   / 1e9 AS gram
+        FROM pairs GROUP BY 1, 2
+    """,
     "q_rrf_fusion": f"""
         WITH {BM25_SCORED_SQL},
         lex AS (
