@@ -238,6 +238,7 @@ HEADLINE = [
     "q_dp_counts",
     "q_weighted_reservoir",
     "q_gram_matrix",
+    "q_ldiv_audit",
     # Excluded on purpose (NOT a silent cap): q_cc_chain is the adversarial
     # deep-diameter CC verification query — it deliberately runs ~25 star
     # rounds on a path graph, so its wall time is per-round scheduler

@@ -54,6 +54,51 @@ def q_kanon_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+L_DIV = 3  # classes need >= this many distinct sensitive values
+
+
+def q_ldiv_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit (Machanavajjhala et al., ICDE 2006 — public
+    literature): k-anonymity is not enough when everyone in a class
+    shares the SENSITIVE value (the homogeneity attack) — each
+    quasi-identifier class (source, length band) must also contain at
+    least l distinct values of the sensitive attribute (lang here), and
+    the audit reports both the distinct count and the entropy of the
+    within-class distribution (entropy l-diversity's measure).
+
+    Entropy is computed from EXACT integer counts in the counts-only form
+    H = log2(n) - sum(c*log2 c)/n over a SORTED per-class fold (the
+    q_doc_entropy determinism move — float accumulation order is pinned
+    on both engines), rounded 6 dp off ulp boundaries.
+
+    Scale: one (qid, lang) combinable shuffle (key domain = qid product x
+    |langs|, schema-bounded), then the class rollup runs on that tiny
+    relation with a sorted array fold."""
+    docs = load_table(spark, sf_dir, "documents")
+    cell = docs.groupBy(
+        "source",
+        F.expr(f"n_chars div {KANON_LEN_BAND}").alias("len_band"),
+        "lang",
+    ).agg(F.count("*").alias("c"))
+    cls = cell.groupBy("source", "len_band").agg(
+        F.sum("c").alias("class_size"),
+        F.count("*").alias("l_distinct"),
+        F.sort_array(F.collect_list("c")).alias("cs"),
+    )
+    h = F.expr(
+        "log2(class_size) - aggregate(cs, cast(0.0 as double), "
+        "(acc, c) -> acc + c * log2(c)) / class_size"
+    )
+    return cls.select(
+        "source",
+        "len_band",
+        F.col("class_size").cast("long").alias("class_size"),
+        F.col("l_distinct").cast("int").alias("l_distinct"),
+        F.round(h, 6).alias("lang_entropy"),
+        (F.col("l_distinct") >= L_DIV).alias("l_diverse"),
+    )
+
+
 DP_EPS = 1.0  # epsilon for the per-source count release (sensitivity 1)
 DP_SEED = "dp1"
 
@@ -142,6 +187,29 @@ ORACLE: dict[str, str] = {
                count(*) < {K_ANON} AS at_risk
         FROM documents
         GROUP BY 1, 2, 3
+    """,
+    # Same counts-only entropy over the same SORTED fold (list_reduce on
+    # an ORDER BY list — the q_doc_entropy determinism pattern).
+    "q_ldiv_audit": f"""
+        WITH cell AS (
+            SELECT source, n_chars // {KANON_LEN_BAND} AS len_band, lang,
+                   count(*) AS c
+            FROM documents GROUP BY 1, 2, 3
+        ), cls AS (
+            SELECT source, CAST(len_band AS BIGINT) AS len_band,
+                   CAST(sum(c) AS BIGINT) AS class_size,
+                   CAST(count(*) AS INT) AS l_distinct,
+                   list_sort(list(c)) AS cs
+            FROM cell GROUP BY 1, 2
+        )
+        SELECT source, len_band, class_size, l_distinct,
+               round(log2(class_size)
+                     - list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                           list_transform(cs, c -> c * log2(c))),
+                           (acc, x) -> acc + x) / class_size, 6)
+                   AS lang_entropy,
+               l_distinct >= {L_DIV} AS l_diverse
+        FROM cls
     """,
     # Identical md5-uniform, identical inverse-CDF arithmetic; ln rounded
     # to 6 dp on both sides before the sum.

@@ -104,9 +104,9 @@ for _m in _MODULES:
 # (a) the gate's 34 violations — r6 greens whose host modules changed since
 # the r6 snapshot; (b) the three sampling.py r6 greens that BECOME
 # violations this round (q_reservoir_sample lands in their module);
-# (c) the eleven queries NEW this round — never driver-verified, always
-# forced; (d) two rotations of the oldest remaining r6 greens (relational,
-# unchanged module — not forced, refreshed proactively). 34+3+11+2 = 50.
+# (c) the twelve queries NEW this round — never driver-verified, always
+# forced; (d) one rotation of the oldest remaining r6 green (relational,
+# unchanged module — not forced, refreshed proactively). 34+3+12+1 = 50.
 _VERIFY_FIRST = [
     # -- (a) the gate's 34 violations (r6 greens in changed modules) --
     "q_column_profile",
@@ -159,12 +159,12 @@ _VERIFY_FIRST = [
     "q_dp_counts",           # NEW: deterministic-seed DP Laplace counts
     "q_weighted_reservoir",  # NEW: per-group A-Res weighted reservoir
     "q_gram_matrix",         # NEW: exact distributed Gram matrix (X^T X)
-    # -- (d) rotations: oldest remaining r6 greens (relational, unchanged) --
+    "q_ldiv_audit",          # NEW: l-diversity / entropy class audit
+    # -- (d) rotation: oldest remaining r6 green (relational, unchanged) --
     "q_scan_filter",
-    "q_sort_limit",
-    # -- Re-verify-next-round tail (round 11): the ten r6 greens still
+    # -- Re-verify-next-round tail (round 11): the eleven r6 greens still
     # un-refreshed, all in UNCHANGED modules so the gate does not force
-    # them: q_agg_group q_agg_distinct q_string_agg q_pivot q_posexplode
+    # them: q_sort_limit q_agg_group q_agg_distinct q_string_agg q_pivot q_posexplode
     # q_window_frame (relational) q_skew_join_auto q_skew_join_salted
     # (skew) q_bloom_join (runtimefilter) q_zlib (payloads) -- plus
     # whatever round 10 changes. Every non-slotted query stays proven by

@@ -180,6 +180,8 @@ def test_batch_dedup_family_sublinear_at_10x(spark, stress_dir):
         # D(D+1)/2 fan-out per row (CPU-linear), 2080-key combinable
         # shuffle (measured 1.1x)
         "q_gram_matrix": 4.0,
+        # (qid, lang) combinable shuffle, schema-bounded domain (1.1x)
+        "q_ldiv_audit": 4.0,
         # real-codec media family: Arrow-batched shuffle-free maps, wall
         # tracks the per-doc encode+decode Python (measured 1.3x/1.0x/1.0x
         # at 10x with all three modalities decoding for real)
