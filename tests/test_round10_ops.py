@@ -177,3 +177,42 @@ def test_kn_trigram_more_specific_than_bigram_on_seen_histories(spark):
         (F.col("t1") == r0.t1) & (F.col("t2") == r0.t2) & (F.col("t3") == r0.next_tok)
     ).count()
     assert got == r0.n_trigram
+
+
+def test_gram_matrix_is_psd_and_cauchy_schwarz(spark):
+    """Real Gram-matrix laws the replay oracle can't state: G must be
+    symmetric positive semi-definite (it IS X^T X up to quantization) and
+    every cell must satisfy Cauchy-Schwarz |G_ij| <= sqrt(G_ii * G_jj).
+    The micro-unit quantization perturbs eigenvalues by at most ~n*D*1e-6,
+    hence the tolerance."""
+    import numpy as np
+
+    from kitkat_spark.queries import QUERIES
+
+    rows = QUERIES["q_gram_matrix"](spark, SF).collect()
+    d = 1 + max(r.j for r in rows)
+    G = np.zeros((d, d))
+    for r in rows:
+        G[r.i, r.j] = G[r.j, r.i] = r.gram
+    assert np.all(np.diag(G) >= 0)
+    for r in rows:
+        assert abs(r.gram) <= (G[r.i, r.i] * G[r.j, r.j]) ** 0.5 + 1e-6, r
+    evals = np.linalg.eigvalsh(G)
+    assert evals.min() >= -1e-3, evals.min()
+
+
+def test_ldiv_entropy_bounded_by_log_l(spark):
+    """Entropy l-diversity law: the within-class entropy can never exceed
+    log2(distinct sensitive values) (uniform is the maximum) and is 0 for
+    homogeneous classes — recomputed bounds, independent of the fold."""
+    import math
+
+    from kitkat_spark.queries import QUERIES
+
+    rows = QUERIES["q_ldiv_audit"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert -1e-9 <= r.lang_entropy <= math.log2(r.l_distinct) + 1e-6, r
+        if r.l_distinct == 1:
+            assert abs(r.lang_entropy) < 1e-9, r
+        assert r.l_distinct <= r.class_size
