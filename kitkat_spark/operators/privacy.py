@@ -99,25 +99,102 @@ def q_ldiv_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+T_CLOSE = 0.2  # max EMD between class and corpus sensitive distributions
+
+
+def q_tclose_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit (Li, Li & Venkatasubramanian, ICDE 2007 — public
+    literature), completing k-anon (q_kanon_audit) → l-diversity
+    (q_ldiv_audit) → t-closeness: l-diversity is not enough when a class's
+    sensitive distribution is merely SKEWED toward the corpus's rare
+    values (the skewness/similarity attacks) — each quasi-identifier
+    class's sensitive-value distribution must stay within Earth Mover's
+    Distance t of the CORPUS marginal. For a categorical sensitive
+    attribute with the equal-distance ground metric (lang here), EMD is
+    exactly total variation distance: 1/2 * sum_v |P_class(v) - P_corpus(v)|.
+
+    Exactness discipline (the decimal-sum rule): the distance is computed
+    as EXACT INTEGERS until one final division —
+    sum_v |c_v*N - g_v*n| / (2*n*N), where c_v = class count of value v,
+    g_v = corpus count, n = class size, N = corpus size. Values ABSENT
+    from the class contribute g_v*n each, folded in closed form as
+    (N - sum_{v in class} g_v) * n, so the per-class sum only touches the
+    class's own cells. Integer sums are order-independent (no sorted-fold
+    needed); products run as decimal(38,0) (c*N <= N^2 ~ 1e24 at 1e12
+    rows — past int64, inside decimal38: the graph.py overflow lesson);
+    the single division converts to double and rounds 6 dp.
+
+    Scale: the (qid, lang) cell relation is schema-bounded (qid product x
+    |langs|), the lang marginal broadcasts, N rides a broadcast 1-row
+    cross join, and the class rollup reuses the cell shuffle's keys — no
+    corpus-sized shuffle beyond the one combinable cell count."""
+    docs = load_table(spark, sf_dir, "documents")
+    cell = docs.groupBy(
+        "source",
+        F.expr(f"n_chars div {KANON_LEN_BAND}").alias("len_band"),
+        "lang",
+    ).agg(F.count("*").alias("c"))
+    marginal = docs.groupBy("lang").agg(F.count("*").alias("g"))
+    total = docs.agg(F.count("*").alias("n_corpus"))
+    w_cls = W.partitionBy("source", "len_band")
+    j = (
+        cell.join(F.broadcast(marginal), "lang")
+        .crossJoin(F.broadcast(total))
+        .withColumn("n_class", F.sum("c").over(w_cls))
+    )
+    dec = "decimal(38,0)"
+    term = F.abs(
+        F.col("c").cast(dec) * F.col("n_corpus") - F.col("g").cast(dec) * F.col("n_class")
+    )
+    cls = j.groupBy("source", "len_band").agg(
+        F.max("n_class").alias("class_size"),
+        F.max("n_corpus").alias("n_corpus"),
+        F.sum(term).alias("num_in"),
+        F.sum("g").alias("g_in"),
+    )
+    numer = F.col("num_in") + (
+        (F.col("n_corpus") - F.col("g_in")).cast(dec) * F.col("class_size")
+    )
+    denom = F.lit(2.0) * F.col("class_size") * F.col("n_corpus")
+    t = F.round(numer.cast("double") / denom, 6)
+    return cls.select(
+        "source",
+        F.col("len_band").cast("long").alias("len_band"),
+        F.col("class_size").cast("long").alias("class_size"),
+        t.alias("emd"),
+        (t <= T_CLOSE).alias("t_close"),
+    )
+
+
 DP_EPS = 1.0  # epsilon for the per-source count release (sensitivity 1)
 DP_SEED = "dp1"
 
 
 def q_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Differentially-private per-source document counts via the Laplace
-    mechanism (Dwork, McSherry, Nissim & Smith, TCC 2006 — public
-    literature): each count is released as count + Lap(1/eps), the
-    calibrated noise for a sensitivity-1 counting query.
+    """Laplace-mechanism count release ARITHMETIC (Dwork, McSherry, Nissim
+    & Smith, TCC 2006 — public literature): each count is released as
+    count + Lap(1/eps), the calibrated noise for a sensitivity-1 counting
+    query.
 
-    The noise is DETERMINISTIC-by-seed: u = md5_long(seed|source)/2^60 is
-    a uniform in (0,1) derived from the release seed (the q_weighted_sample
-    trick), and the Laplace draw is its inverse CDF
-    -b * sign(u - 1/2) * ln(1 - 2|u - 1/2|). A real release rotates the
-    seed per publication; pinning it makes the release REPLAYABLE — the
-    audit property — and lets the oracle rebuild the exact noise. The ln
-    result is rounded to 6 dp before the sum so the one transcendental
-    stays off cross-engine ulp boundaries (the q_weighted_sample /
-    q_bm25 lesson).
+    **NOT a real DP mechanism — a deterministic replay twin for parity
+    testing only.** The noise here is a deterministic function of the
+    PROTECTED DATA itself (u = md5_long(seed|source)), which provides no
+    epsilon-DP guarantee under ANY seed policy: data-keyed deterministic
+    noise is never DP (an adversary who knows the seed recomputes the
+    noise exactly). The output also carries true_count and noise next to
+    dp_count — release-shaped for the AUDIT trail, never for publication;
+    a real release (a) draws noise from a cryptographic RNG independent
+    of the data, and (b) publishes ONLY the dp_count column.
+
+    What the determinism buys: u = md5_long(seed|source)/2^60 is a
+    uniform in (0,1) (the q_weighted_sample trick), and the Laplace draw
+    is its inverse CDF -b * sign(u - 1/2) * ln(1 - 2|u - 1/2|) — so the
+    mechanism's ARITHMETIC (inverse-CDF transform, calibration b = 1/eps,
+    post-noise rounding) is replayable value-for-value by the DuckDB
+    oracle, which is exactly what a cross-engine parity test of the
+    release pipeline needs. The ln result is rounded to 6 dp before the
+    sum so the one transcendental stays off cross-engine ulp boundaries
+    (the q_weighted_sample / q_bm25 lesson).
 
     Scale: one combinable count shuffle (key domain = |sources|); the
     noise projection is a codegen'd scalar on the tiny result."""
@@ -209,6 +286,40 @@ ORACLE: dict[str, str] = {
                            (acc, x) -> acc + x) / class_size, 6)
                    AS lang_entropy,
                l_distinct >= {L_DIV} AS l_diverse
+        FROM cls
+    """,
+    # Same exact-integer TVD numerator (HUGEINT here, decimal(38,0) in
+    # Spark — both exact), same closed-form absent-value fold, one final
+    # double division rounded 6 dp.
+    "q_tclose_audit": f"""
+        WITH cell AS (
+            SELECT source, n_chars // {KANON_LEN_BAND} AS len_band, lang,
+                   count(*) AS c
+            FROM documents GROUP BY 1, 2, 3
+        ), marginal AS (
+            SELECT lang, count(*) AS g FROM documents GROUP BY 1
+        ), tot AS (SELECT count(*) AS n_corpus FROM documents),
+        j AS (
+            SELECT cell.source, cell.len_band, cell.c, marginal.g,
+                   tot.n_corpus,
+                   sum(cell.c) OVER (
+                       PARTITION BY cell.source, cell.len_band) AS n_class
+            FROM cell JOIN marginal USING (lang) CROSS JOIN tot
+        ), cls AS (
+            SELECT source, len_band,
+                   max(n_class) AS class_size,
+                   max(n_corpus) AS n_corpus,
+                   sum(abs(CAST(c AS HUGEINT) * n_corpus
+                           - CAST(g AS HUGEINT) * n_class)) AS num_in,
+                   sum(g) AS g_in
+            FROM j GROUP BY 1, 2
+        )
+        SELECT source, CAST(len_band AS BIGINT) AS len_band,
+               CAST(class_size AS BIGINT) AS class_size,
+               round((num_in + CAST(n_corpus - g_in AS HUGEINT) * class_size)::DOUBLE
+                     / (2.0 * class_size * n_corpus), 6) AS emd,
+               round((num_in + CAST(n_corpus - g_in AS HUGEINT) * class_size)::DOUBLE
+                     / (2.0 * class_size * n_corpus), 6) <= {T_CLOSE} AS t_close
         FROM cls
     """,
     # Identical md5-uniform, identical inverse-CDF arithmetic; ln rounded

@@ -645,13 +645,25 @@ def _semdedup_assign(
         F.col("cv").alias("v"),
         F.col("cn").alias("nrm"),
     )
+    # Pin each coarse centroid's FINE row to its own coarse cell: centroid
+    # c < kc is also a fine centroid, and its argmax can route AWAY from
+    # cell c when a 6-dp rounded-cosine tie (duplicate embeddings) breaks
+    # toward a lower-id near-duplicate — leaving cell c with ZERO fine
+    # centroids, so the inner join below silently dropped every vector
+    # whose coarse argmax still landed on c (round-10 advice). The pin
+    # guarantees every coarse cell owns >= 1 fine centroid (itself), which
+    # makes the inner join total; non-pinned fine centroids keep their
+    # argmax routing. Covered (with the duplicate-embedding tie forced) by
+    # tests/test_scale_techniques.py::test_semdedup_two_level_assign_*.
     fine_by_coarse = _argmax_cell(
         cents_vec, F.broadcast(coarse), "vec_id", "coarse"
     ).select(
         F.col("vec_id").alias("centroid_id"),
         F.col("v").alias("cv"),
         F.col("nrm").alias("cn"),
-        "coarse",
+        F.when(F.col("vec_id") < kc, F.col("vec_id"))
+        .otherwise(F.col("coarse"))
+        .alias("coarse"),
     )
     # vectors -> coarse cells (broadcast argmax), then fine argmax among
     # the coarse cell's ~sqrt(k) fine centroids (shuffle join on coarse)

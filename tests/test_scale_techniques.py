@@ -196,8 +196,80 @@ def test_semdedup_two_level_assign_brute_force(spark):
     coarse_of = {vid: argmax(vid, range(kc)) for vid in vecs}
     fine_by_coarse = {}
     for c in range(k):
-        fine_by_coarse.setdefault(coarse_of[c], []).append(c)
+        # coarse centroids pin their fine row to their OWN cell (the
+        # round-10 advice fix: guarantees no coarse cell is left empty)
+        fine_by_coarse.setdefault(c if c < kc else coarse_of[c], []).append(c)
     assert len(got) == len(vecs)
+    for vid, cell in got.items():
+        cands = fine_by_coarse[coarse_of[vid]]
+        assert cell == argmax(vid, cands), (vid, cell)
+
+
+def test_semdedup_two_level_assign_duplicate_tie(spark):
+    """The round-10 advice case, forced: duplicate embeddings make a
+    rounded-cosine TIE route coarse centroid c's fine row toward a
+    lower-id twin — pre-fix, cell c ended up with zero fine centroids and
+    the inner join DROPPED every vector still coarse-assigned to c. With
+    the pin, assignment is total and matches the brute-force model."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from kitkat_spark.operators.similarity import _semdedup_assign, _with_norm
+
+    # 8 vectors in 4 dims, k = 4 (fine centroids = vecs 0..3), kc = 2
+    # (coarse = vecs 0, 1). Vec 1 is a NEAR-duplicate of vec 0
+    # (cos = 1/sqrt(1 + 1e-6) > 0.9999995, which ROUNDS to 1.0 at 6 dp),
+    # so coarse centroid 1's own fine row ties at rounded cosine 1.0 with
+    # both coarse cells and the id tie-break routes it to cell 0. Fine
+    # centroids 2 and 3 have ZERO second component, so they strictly
+    # prefer coarse 0 too -> pre-fix, coarse cell 1 held no fine
+    # centroids at all. Vectors 4 and 5 carry a large second component,
+    # so their coarse argmax is cell 1 (cos with v1 beats cos with v0 by
+    # ~1e-3, far above rounding) — pre-fix they were silently dropped.
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [1.0, 0.001, 0.0, 0.0]),  # near-dup of 0 -> the rounded tie
+        (2, [0.9, 0.0, 0.1, 0.0]),
+        (3, [0.7, 0.0, 0.0, 0.3]),
+        (4, [0.0, 1.0, 0.0, 0.0]),  # coarse cell 1 -> dropped pre-fix
+        (5, [0.1, 0.9, 0.0, 0.0]),  # coarse cell 1 -> dropped pre-fix
+        (6, [0.95, 0.0, 0.05, 0.0]),
+        (7, [0.6, 0.0, 0.4, 0.0]),
+    ]
+    emb = _with_norm(
+        spark.createDataFrame(
+            [(i, [float(x) for x in v], 0) for i, v in rows],
+            "vec_id long, embedding array<float>, label int",
+        )
+    )
+    k = 4
+    kc = math.ceil(math.sqrt(k))
+    got = {
+        r.vec_id: r.cell
+        for r in _semdedup_assign(emb, k, max_broadcast=2).collect()
+    }
+    vecs = {r.vec_id: (r.v, r.nrm) for r in emb.select("vec_id", "v", "nrm").collect()}
+
+    def cos(a, b):
+        va, na = vecs[a]
+        vb, nb = vecs[b]
+        return round(sum(x * y for x, y in zip(va, vb)) / (na * nb), 6)
+
+    def argmax(vid, cands):
+        return max(cands, key=lambda c: (cos(vid, c), -c))
+
+    coarse_of = {vid: argmax(vid, range(kc)) for vid in vecs}
+    fine_by_coarse = {}
+    for c in range(k):
+        fine_by_coarse.setdefault(c if c < kc else coarse_of[c], []).append(c)
+    # the tie really happened: without the pin, centroid 1's argmax is 0
+    # (rounded-cosine tie at 1.0, id tie-break), abandoning coarse cell 1
+    assert argmax(1, range(kc)) == 0
+    # and some vectors still coarse-assign to the abandoned cell
+    assert {vid for vid, c in coarse_of.items() if c == 1} == {4, 5}
+    # assignment is TOTAL — the pre-fix bug dropped vectors 4 and 5 here
+    assert len(got) == len(vecs), sorted(set(vecs) - set(got))
     for vid, cell in got.items():
         cands = fine_by_coarse[coarse_of[vid]]
         assert cell == argmax(vid, cands), (vid, cell)
