@@ -1001,6 +1001,99 @@ def q_cdc_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+LCP_GRAM = 8  # exact-substring match width (tokens); >= this length = dup
+
+
+def q_lcp_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup audit (the suffix-array exact-substring dedup
+    of Lee et al., "Deduplicating Training Data Makes Language Models
+    Better", ACL 2022 — public literature), suffix-array-FREE: a token
+    position is duplicated iff the LCP_GRAM-token substring starting
+    there occurs anywhere else in the corpus (>= 2 occurrences of its
+    fingerprint — the sorted-fingerprint adjacent-overlap formulation:
+    sorting all gram fingerprints puts equal substrings adjacent, which
+    is exactly what a suffix array's LCP pass detects, re-expressed as
+    ONE shuffle on the fingerprint domain). Overlapping duplicated
+    positions then merge into MAXIMAL duplicated spans per document —
+    the spans the Lee et al. pipeline cuts out of training text. The
+    exact-substring complement to q_cdc_chunk (storage-chunk dedup) and
+    q_span_dedup (fixed-stride span audit, which misses any duplicate
+    not aligned to its stride).
+
+    Output per document (n_tokens >= LCP_GRAM): token count, maximal
+    duplicated-span count, duplicated-token total and fraction, longest
+    duplicated span — the decide-to-trim table.
+
+    Plan, 100 TB discipline: the stride-1 gram fan-out is a codegen'd
+    Generate of the corpus TOKEN STREAM (same cardinality as the exploded
+    bigram passes q_lm_score/q_bigram_lm already pay — linear, map-side,
+    no shuffle); duplicate marking is ONE count-over-fingerprint window
+    shuffle (a viral substring concentrates one fp key, but the window is
+    a COUNT, not a sort — no per-key ordering cost); span merging is
+    ARRAY-NATIVE per document (sorted dup positions fold through a
+    closed-form island accumulator: covered tokens grow by min(gap, K)),
+    so the per-doc rollup is one more combinable shuffle and there is NO
+    join back — n_tokens re-derives as n_grams + K - 1. The fold's island
+    arithmetic is integer-exact; the one division rounds at 4 dp."""
+    k = LCP_GRAM
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select("doc_id", tokens(F.col("text")).alias("w")).filter(
+        F.size("w") >= k
+    )
+    grams = d.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.size("w") - (k - 1))).alias("p"),
+        "w",
+    ).select(
+        "doc_id",
+        "p",
+        F.md5(F.concat_ws(" ", F.slice("w", F.col("p"), k))).alias("fp"),
+    )
+    marked = grams.select(
+        "doc_id",
+        "p",
+        (F.count("*").over(W.partitionBy("fp")) > 1).alias("dup"),
+    )
+    per_doc = marked.groupBy("doc_id").agg(
+        F.count("*").alias("n_grams"),
+        F.sort_array(
+            F.collect_list(F.when(F.col("dup"), F.col("p")))
+        ).alias("ps"),
+    )
+    # Closed-form island fold over the sorted duplicated positions: a new
+    # span starts when the gap to the previous position exceeds K (spans
+    # [p, p+K-1] no longer touch); otherwise the covered region extends
+    # by exactly the gap. prev starts at -2K (bigint — ANSI-safe) so the
+    # first position always opens a span.
+    fold = F.expr(
+        f"""aggregate(ps,
+            named_struct(
+                'prev', cast(-{2 * k} as bigint), 'cur', cast(0 as bigint),
+                'mx', cast(0 as bigint), 'tot', cast(0 as bigint),
+                'ns', cast(0 as int)),
+            (a, p) -> if(p - a.prev > {k},
+                named_struct(
+                    'prev', cast(p as bigint), 'cur', cast({k} as bigint),
+                    'mx', greatest(a.mx, cast({k} as bigint)),
+                    'tot', a.tot + {k}, 'ns', a.ns + 1),
+                named_struct(
+                    'prev', cast(p as bigint), 'cur', a.cur + (p - a.prev),
+                    'mx', greatest(a.mx, a.cur + (p - a.prev)),
+                    'tot', a.tot + (p - a.prev), 'ns', a.ns)))"""
+    )
+    n_tokens = (F.col("n_grams") + (k - 1)).cast("long")
+    return per_doc.select(
+        "doc_id", F.col("n_grams").alias("n_grams"), fold.alias("f")
+    ).select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        F.col("f.ns").alias("n_dup_spans"),
+        F.col("f.tot").alias("dup_tokens"),
+        F.round(F.col("f.tot") / n_tokens, 4).alias("dup_frac"),
+        F.col("f.mx").alias("max_span_len"),
+    )
+
+
 MANIFEST_SEED = "manifest1"
 
 
@@ -1118,6 +1211,53 @@ def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE: dict[str, str] = {
+    # Independent replay: DuckDB computes the SAME maximal spans via the
+    # classic gaps-and-islands window (lag + cumulative sum) instead of
+    # Spark's closed-form array fold — two derivations, one answer, which
+    # is the strongest form of the parity check.
+    "q_lcp_dedup": f"""
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        ), d AS (
+            SELECT doc_id, len(w) AS n_tokens, w FROM toks
+            WHERE len(w) >= {LCP_GRAM}
+        ), grams AS (
+            SELECT doc_id, n_tokens, i AS p,
+                   md5(array_to_string(
+                       list_slice(w, i, i + {LCP_GRAM} - 1), ' ')) AS fp
+            FROM d, UNNEST(generate_series(1, n_tokens - {LCP_GRAM} + 1)) AS t(i)
+        ), marked AS (
+            SELECT doc_id, p, count(*) OVER (PARTITION BY fp) > 1 AS dup
+            FROM grams
+        ), dups AS (
+            SELECT doc_id, p,
+                   CASE WHEN lag(p) OVER w IS NULL
+                             OR p - lag(p) OVER w > {LCP_GRAM}
+                        THEN 1 ELSE 0 END AS new_s
+            FROM marked WHERE dup
+            WINDOW w AS (PARTITION BY doc_id ORDER BY p)
+        ), isl AS (
+            SELECT doc_id, p,
+                   sum(new_s) OVER (PARTITION BY doc_id ORDER BY p
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+            FROM dups
+        ), spans AS (
+            SELECT doc_id, min(p) AS s, max(p) + {LCP_GRAM} - 1 AS e
+            FROM isl GROUP BY doc_id, sid
+        ), per_doc AS (
+            SELECT doc_id, CAST(count(*) AS INT) AS n_dup_spans,
+                   CAST(sum(e - s + 1) AS BIGINT) AS dup_tokens,
+                   CAST(max(e - s + 1) AS BIGINT) AS max_span_len
+            FROM spans GROUP BY doc_id
+        )
+        SELECT d.doc_id, CAST(d.n_tokens AS BIGINT) AS n_tokens,
+               coalesce(p.n_dup_spans, 0) AS n_dup_spans,
+               coalesce(p.dup_tokens, 0) AS dup_tokens,
+               round(coalesce(p.dup_tokens, 0) * 1.0 / d.n_tokens, 4)
+                   AS dup_frac,
+               coalesce(p.max_span_len, 0) AS max_span_len
+        FROM d LEFT JOIN per_doc p USING (doc_id)
+    """,
     "q_dataset_card": f"""
         WITH t AS (SELECT count(*) AS n_total FROM documents)
         SELECT coalesce(source, '<all>') AS source,

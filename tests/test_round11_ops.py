@@ -1,0 +1,208 @@
+"""Semantic-invariant tests for the round-11 operators (the
+test_round10_ops.py discipline): each new operator gets at least one
+property the oracle-parity hash can't state on its own — forced regimes
+the fixture never reaches, closed-form replays, and cross-operator
+consistency."""
+
+from __future__ import annotations
+
+import math
+from decimal import ROUND_HALF_UP, Decimal
+
+import pytest
+from pyspark.sql import functions as F
+
+from kitkat_spark.sources import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+# ---------------------------------------------------------------- gram
+
+
+def _quant(x: float, scale: int = 1_000_000) -> int:
+    """Spark's round(x * scale) for doubles: BigDecimal.valueOf (shortest
+    repr) + HALF_UP — replicated via Decimal(repr(.))."""
+    return int(
+        Decimal(repr(x * scale)).to_integral_value(rounding=ROUND_HALF_UP)
+    )
+
+
+def _gram_reference(vecs: list[list[float]]) -> dict[tuple[int, int], float]:
+    from kitkat_spark.operators.similarity import GRAM_SCALE
+
+    q = [[_quant(x, GRAM_SCALE) for x in v] for v in vecs]
+    d = len(q[0])
+    out = {}
+    for i in range(d):
+        for j in range(i, d):
+            s = sum(row[i] * row[j] for row in q)  # exact Python ints
+            # Spark's round(double) is HALF_UP on the shortest repr —
+            # Python's round() is banker's and diverges at exact halves
+            scaled = s / float(GRAM_SCALE) ** 2 * 1e9
+            out[(i, j)] = (
+                float(
+                    Decimal(repr(scaled)).to_integral_value(
+                        rounding=ROUND_HALF_UP
+                    )
+                )
+                / 1e9
+            )
+    return out
+
+
+def test_gram_blocked_matches_gram_matrix_at_fixture(spark):
+    """The two strategies (array fan-out vs partition BLAS) are the SAME
+    query: cell-for-cell equal values at the fixture's D = 64."""
+    from kitkat_spark.operators.similarity import q_gram_blocked, q_gram_matrix
+
+    a = {(r.i, r.j): r.gram for r in q_gram_matrix(spark, SF).collect()}
+    b = {(r.i, r.j): r.gram for r in q_gram_blocked(spark, SF).collect()}
+    assert a == b
+
+
+def test_gram_blocked_large_d(spark):
+    """The regime the variant exists for — D = 256, which the fan-out
+    form would pay 32 896 structs per row for — against an exact
+    Python-int reference."""
+    import numpy as np
+
+    from kitkat_spark.operators.similarity import gram_blocked_from
+
+    rng = np.random.default_rng(11)
+    d, n = 256, 40
+    vecs = [[float(x) for x in rng.normal(0, 1, d).astype(np.float32)] for _ in range(n)]
+    emb = spark.createDataFrame(
+        [(v,) for v in vecs], "embedding array<float>"
+    )
+    # array<float> loads cast element-wise to double inside transform();
+    # mirror the engine's float->double widening in the reference
+    got = {(r.i, r.j): r.gram for r in gram_blocked_from(emb).collect()}
+    want = _gram_reference(vecs)
+    assert len(got) == d * (d + 1) // 2
+    assert got == want
+
+
+def test_gram_blocked_forced_chunking(spark):
+    """Values near the quantized-magnitude ceiling force the int64-safe
+    chunk size down to a handful of rows, so the cross-chunk
+    arbitrary-precision accumulation actually runs — exactness must
+    survive it."""
+    import numpy as np
+
+    from kitkat_spark.operators.similarity import gram_blocked_from
+
+    rng = np.random.default_rng(7)
+    d, n = 8, 64
+    # |x| ~ 1500 -> q ~ 1.5e9 -> qmax^2 ~ 2.3e18 -> step = 2 rows/chunk
+    vecs = [
+        [float(x) for x in (rng.uniform(-1500, 1500, d)).astype(np.float64)]
+        for _ in range(n)
+    ]
+    emb = spark.createDataFrame([(v,) for v in vecs], "embedding array<double>")
+    got = {(r.i, r.j): r.gram for r in gram_blocked_from(emb.repartition(3)).collect()}
+    want = _gram_reference(vecs)
+    assert got == want
+
+
+# ------------------------------------------------------------- t-close
+
+
+def test_tclose_bounds_and_corpus_class(spark):
+    """EMD-as-TVD lives in [0, 1); a class that IS the corpus has
+    distance 0; and t-closeness is monotone against the l-diversity
+    audit's class sizing (same quasi-identifier grid -> same class
+    sizes)."""
+    from kitkat_spark.operators.privacy import q_ldiv_audit, q_tclose_audit
+
+    rows = q_tclose_audit(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.emd < 1.0, r
+        assert r.t_close == (r.emd <= 0.2), r
+    sizes_t = {(r.source, r.len_band): r.class_size for r in rows}
+    sizes_l = {
+        (r.source, r.len_band): r.class_size
+        for r in q_ldiv_audit(spark, SF).collect()
+    }
+    assert sizes_t == sizes_l
+
+
+def test_tclose_closed_form(spark):
+    """Closed-form replay on a synthetic corpus: 50 docs, one length
+    band; sources s0/s1 hold 10 en + 10 fr each, s2 holds 10 en only.
+    Corpus marginal is (en 0.6, fr 0.4), so the balanced classes sit at
+    TVD = |0.5-0.6| = 0.1 and the homogeneous class at 1 - p_en = 0.4 —
+    and a fully homogeneous class of a value with corpus share p always
+    lands at exactly 1 - p."""
+    from kitkat_spark.operators import privacy
+
+    rows = []
+    for s in ("s0", "s1"):
+        rows += [(len(rows) + k, "t", "en" if k % 2 else "fr", s, 10) for k in range(20)]
+    rows += [(len(rows) + k, "t", "en", "s2", 10) for k in range(10)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        docs.write.parquet(os.path.join(td, "documents.parquet"))
+        out = {r.source: r for r in privacy.q_tclose_audit(spark, td).collect()}
+    assert out["s0"].emd == 0.1 and out["s0"].t_close
+    assert out["s1"].emd == 0.1 and out["s1"].t_close
+    assert out["s2"].emd == 0.4 and not out["s2"].t_close
+
+
+# ----------------------------------------------------------- lcp dedup
+
+
+def test_lcp_dedup_plants_exact_substring(spark):
+    """Plant one shared 12-token substring into two otherwise-unique
+    documents: both must report exactly one maximal duplicated span of
+    exactly that length, and nothing else."""
+    from kitkat_spark.operators import corpus
+
+    shared = " ".join(f"S{i}" for i in range(12))
+    a = " ".join(f"a{i}" for i in range(10)) + " " + shared + " " + " ".join(
+        f"b{i}" for i in range(10)
+    )
+    b = " ".join(f"c{i}" for i in range(5)) + " " + shared + " " + " ".join(
+        f"d{i}" for i in range(15)
+    )
+    c = " ".join(f"e{i}" for i in range(30))
+    docs = spark.createDataFrame(
+        [(1, a, "en", "s", len(a)), (2, b, "en", "s", len(b)), (3, c, "en", "s", len(c))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        docs.write.parquet(os.path.join(td, "documents.parquet"))
+        got = {r.doc_id: r for r in corpus.q_lcp_dedup(spark, td).collect()}
+    assert got[1].n_dup_spans == 1 and got[1].max_span_len == 12
+    assert got[2].n_dup_spans == 1 and got[2].max_span_len == 12
+    assert got[1].dup_tokens == 12 and got[2].dup_tokens == 12
+    assert got[3].n_dup_spans == 0 and got[3].dup_tokens == 0
+
+
+def test_lcp_dedup_span_accounting(spark):
+    """Per-doc invariants at the fixture: dup_tokens <= n_tokens,
+    max_span_len <= dup_tokens, spans imply >= LCP_GRAM dup tokens each,
+    and dup_frac replays as the rounded ratio."""
+    from kitkat_spark.operators.corpus import LCP_GRAM, q_lcp_dedup
+
+    rows = q_lcp_dedup(spark, SF).collect()
+    assert rows
+    assert any(r.n_dup_spans > 0 for r in rows)
+    for r in rows:
+        assert 0 <= r.dup_tokens <= r.n_tokens
+        assert r.max_span_len <= r.dup_tokens
+        if r.n_dup_spans:
+            assert r.max_span_len >= LCP_GRAM
+            assert r.dup_tokens >= r.n_dup_spans * LCP_GRAM
+        assert r.dup_frac == pytest.approx(
+            round(r.dup_tokens / r.n_tokens, 4), abs=1e-12
+        )
