@@ -239,6 +239,12 @@ HEADLINE = [
     "q_weighted_reservoir",
     "q_gram_matrix",
     "q_ldiv_audit",
+    # round-11 additions
+    "q_tclose_audit",
+    "q_lcp_dedup",
+    "q_gram_blocked",
+    "q_lm_calibration",
+    "q_stream_session_paths",
     # Excluded on purpose (NOT a silent cap): q_cc_chain is the adversarial
     # deep-diameter CC verification query — it deliberately runs ~25 star
     # rounds on a path graph, so its wall time is per-round scheduler

@@ -283,15 +283,33 @@ def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     - ln() of identical count ratios rounds at 4 dp on both engines (the
       q_token_pmi precedent).
     """
+    scored = _lm_scored(spark, sf_dir)
+    return scored.select(
+        "doc_id",
+        "n_bigrams",
+        "mean_logp",
+        (F.col("mean_logp") > LM_KEEP_LOGP).alias("keep"),
+    )
+
+
+def _lm_scored(spark: SparkSession, sf_dir: str, *carry: str) -> DataFrame:
+    """q_lm_score's per-doc scored relation (doc_id, *carry, n_bigrams,
+    mean_logp), factored so q_lm_calibration reuses the identical LM and
+    scoring arithmetic. ``carry`` columns (e.g. source) ride the bigram
+    fan-out and the per-doc groupBy — doc_id is unique, so extra keys
+    change neither groups nor values (and no join-back is needed)."""
     par = spark.sparkContext.defaultParallelism
     docs = load_table(spark, sf_dir, "documents").repartition(par)
     toks = tokens(F.col("text"))
     bg = docs.select(
         "doc_id",
+        *carry,
         F.explode(
             F.when(F.size(toks) >= 2, _zipped_ngrams(toks, 2)).otherwise(F.array())
         ).alias("b"),
-    ).select("doc_id", F.col("b")["0"].alias("t1"), F.col("b")["1"].alias("t2"))
+    ).select(
+        "doc_id", *carry, F.col("b")["0"].alias("t1"), F.col("b")["1"].alias("t2")
+    )
 
     pair = bg.groupBy("t1", "t2").agg(F.count("*").alias("n_bigram"))
     w_tot = W.partitionBy("t1")
@@ -300,9 +318,9 @@ def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_bigram") >= LM_MIN_BIGRAM)
         .select("t1", "t2", (F.log(F.col("n_bigram") / F.col("n_first"))).alias("logp"))
     )
-    scored = (
+    return (
         bg.join(F.broadcast(lm), ["t1", "t2"], "left")
-        .groupBy("doc_id")
+        .groupBy("doc_id", *carry)
         .agg(
             F.count("*").alias("n_bigrams"),
             F.round(
@@ -310,11 +328,59 @@ def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_logp"),
         )
     )
-    return scored.select(
-        "doc_id",
-        "n_bigrams",
-        "mean_logp",
-        (F.col("mean_logp") > LM_KEEP_LOGP).alias("keep"),
+
+
+LMC_T = LM_KEEP_LOGP  # calibration reference point: the deployed threshold
+
+
+def q_lm_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram over q_lm_score — the calibration table an
+    LM-filter deployment reads BEFORE trusting its threshold (Guo et al.,
+    "On Calibration of Modern Neural Networks", ICML 2017 — the binned
+    predicted-vs-empirical method; public literature): documents bin by
+    their mean bigram log-probability (1-nat bins), and each (source, bin)
+    reports the PREDICTED keep-rate — the logistic transform
+    sigmoid(bin_mid - threshold) a deployment would use as its
+    score->probability map, evaluated at the bin midpoint — against the
+    EMPIRICAL keep-rate (the fraction actually past the threshold). The
+    calib_gap column is the per-bin reliability residual; a well-placed
+    threshold shows the empirical step crossing 0.5 inside the bin where
+    the sigmoid does.
+
+    Determinism discipline: the empirical rate is an exact integer ratio
+    (one division, round 4 dp); the predicted rate is a scalar function
+    of the BIN id (sigmoid at the midpoint — no float accumulation over
+    rows at all), rounded 6 dp off exp ulp boundaries (the q_dp_counts
+    transcendental rule); the gap subtracts two already-rounded values.
+
+    Scale: rides q_lm_score's shuffles (the bigram fan-out and per-doc
+    groupBy — `source` carries through, no join-back); the calibration
+    rollup itself is a combinable shuffle on a |sources| x ~15-bin key
+    domain."""
+    scored = _lm_scored(spark, sf_dir, "source")
+    binned = scored.select(
+        "source",
+        F.floor("mean_logp").cast("int").alias("bin"),
+        (F.col("mean_logp") > LM_KEEP_LOGP).cast("int").alias("keep"),
+    )
+    bin_mid = F.col("bin") + F.lit(0.5)
+    pred = F.round(
+        F.lit(1.0) / (F.lit(1.0) + F.exp(-(bin_mid - F.lit(LMC_T)))), 6
+    )
+    emp = F.round(F.col("n_keep") / F.col("n_docs"), 4)
+    return (
+        binned.groupBy("source", "bin")
+        .agg(F.count("*").alias("n_docs"), F.sum("keep").alias("n_keep"))
+        .select(
+            "source",
+            "bin",
+            bin_mid.alias("bin_mid"),
+            "n_docs",
+            F.col("n_keep").cast("long").alias("n_keep"),
+            emp.alias("emp_keep_rate"),
+            pred.alias("pred_keep_rate"),
+            F.round(pred - emp, 4).alias("calib_gap"),
+        )
     )
 
 
@@ -1179,6 +1245,43 @@ ORACLE: dict[str, str] = {
                round(avg(coalesce(lm.logp, {LM_UNSEEN_LOGP})), 4) > {LM_KEEP_LOGP} AS keep
         FROM bg LEFT JOIN lm ON bg.t1 = lm.t1 AND bg.t2 = lm.t2
         GROUP BY bg.doc_id
+    """,
+    # Same LM + scoring CTEs as q_lm_score (source carried through the
+    # bigram fan-out), then the binned reliability rollup: exact-integer
+    # empirical rate, bin-midpoint sigmoid predicted rate (no float
+    # accumulation), gap of two rounded values.
+    "q_lm_calibration": f"""
+        WITH toks AS (
+            SELECT doc_id, source, string_split(text, ' ') AS w FROM documents
+        ), bg AS (
+            SELECT doc_id, source, w[i] AS t1, w[i+1] AS t2
+            FROM toks, UNNEST(generate_series(1, len(w) - 1)) AS t(i)
+            WHERE len(w) >= 2
+        ), pair AS (
+            SELECT t1, t2, count(*) AS n_bigram FROM bg GROUP BY t1, t2
+        ), lm AS (
+            SELECT t1, t2, ln(n_bigram * 1.0 / sum(n_bigram) OVER (PARTITION BY t1)) AS logp
+            FROM pair
+            QUALIFY n_bigram >= {LM_MIN_BIGRAM}
+        ), scored AS (
+            SELECT bg.doc_id, bg.source,
+                   round(avg(coalesce(lm.logp, {LM_UNSEEN_LOGP})), 4) AS mean_logp
+            FROM bg LEFT JOIN lm ON bg.t1 = lm.t1 AND bg.t2 = lm.t2
+            GROUP BY bg.doc_id, bg.source
+        ), binned AS (
+            SELECT source, CAST(floor(mean_logp) AS INT) AS bin,
+                   CASE WHEN mean_logp > {LM_KEEP_LOGP} THEN 1 ELSE 0 END AS keep
+            FROM scored
+        )
+        SELECT source, bin, bin + 0.5 AS bin_mid,
+               count(*) AS n_docs,
+               CAST(sum(keep) AS BIGINT) AS n_keep,
+               round(sum(keep) * 1.0 / count(*), 4) AS emp_keep_rate,
+               round(1.0 / (1.0 + exp(-(bin + 0.5 - {LM_KEEP_LOGP}))), 6)
+                   AS pred_keep_rate,
+               round(round(1.0 / (1.0 + exp(-(bin + 0.5 - {LM_KEEP_LOGP}))), 6)
+                     - round(sum(keep) * 1.0 / count(*), 4), 4) AS calib_gap
+        FROM binned GROUP BY source, bin
     """,
     # Replays the KN interpolation with the identical operation order:
     # exact integer counts from the pair-type table, double division in

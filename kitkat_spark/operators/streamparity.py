@@ -337,6 +337,84 @@ def q_stream_session_wm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def q_stream_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING twin of q_session_paths (temporal.py) — top-K first-N
+    event-type sequences over REAL streaming session windows: events
+    replay through a watermarked file stream, the native
+    ``session_window`` aggregation builds each session's path INSIDE the
+    state store (collect_list of (ts, event_id, event_type) structs —
+    merged by the dynamic-gap state merge the same way q_stream_session_wm
+    merges counts — then array_sort + slice SP_N + join, all inside the
+    sealed-emit projection), and append mode emits a session's path
+    exactly once, when the watermark passes its end.
+
+    The path ranking then runs AT READ TIME over the drained sealed
+    sessions — the production composition (the q_stream_gap_fill shape):
+    the stream writes one row per sealed session to a table; "top paths"
+    is a batch view over that table, re-computable under any filter
+    without touching stream state. The emitted set is deterministic for a
+    fixed fixture (sessions with end <= max(ts) - delay; the tail stays
+    in state — the streaming contract), so the batch oracle replays it:
+    gap-and-island sessions under session_window's merge rule (new
+    session when gap >= 30 min), sealed-filtered, first-SP_N paths,
+    count, top-K.
+
+    Scale: session state is per-(user, open-session) — bounded by the
+    watermark horizon, not stream length; per-session collect is
+    human-session-sized (a production run caps it like LSH_MAX_BUCKET);
+    the read-time rollup is combinable on the |event_type|^SP_N-bounded
+    path domain with a TakeOrderedAndProject top-K."""
+    from pyspark.sql import Window as W
+
+    from kitkat_spark.operators.temporal import SP_K, SP_N
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts"
+    )
+    path, n_rows = _replay_info(spark, sf_dir, "session_paths", lambda: ev)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .parquet(path)
+        .withWatermark("ts", "10 minutes")
+    )
+    sealed = (
+        stream.groupBy(F.session_window(F.col("ts"), "30 minutes").alias("s"), "user_id")
+        .agg(
+            F.concat_ws(
+                ">",
+                F.transform(
+                    F.slice(
+                        F.array_sort(
+                            F.collect_list(F.struct("ts", "event_id", "event_type"))
+                        ),
+                        1,
+                        SP_N,
+                    ),
+                    lambda e: e["event_type"],
+                ),
+            ).alias("path")
+        )
+        .select(F.col("s.end").alias("session_end"), "user_id", "path")
+    )
+    name = f"stream_session_paths_{_sink_suffix(path)}"
+    with _state_partitions(spark, n_rows):
+        q = (
+            sealed.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    drained = spark.table(name)
+    counts = drained.groupBy("path").agg(F.count("*").alias("n_sessions"))
+    top = counts.orderBy(F.col("n_sessions").desc(), "path").limit(SP_K)
+    w_rank = W.orderBy(F.col("n_sessions").desc(), "path")
+    return top.select(
+        F.row_number().over(w_rank).cast("int").alias("rk"), "path", "n_sessions"
+    )
+
+
 def q_stream_dedup_agg_wm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CHAINED stateful streaming — dedup feeding a windowed aggregation in
     ONE query (the multiple-stateful-operators capability, with watermark
@@ -1227,6 +1305,55 @@ ORACLE: dict[str, str] = {
     # gap-and-island twin of session_window (new session when gap >= 30 min
     # — the half-open merge rule), filtered to the sessions append mode
     # seals: end <= final watermark = max(ts) - 10 min
+    # q_stream_session_paths: q_stream_session_wm's sealed-session replay
+    # (same merge rule: new session when gap >= 30 min; same sealing
+    # boundary: session end = max(ts)+30min <= max(ts)-10min), then
+    # q_session_paths' path/rank arithmetic over only the sealed set.
+    "q_stream_session_paths": """
+        WITH x AS (
+            SELECT user_id, ts, event_id, event_type,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                        THEN 1 ELSE 0 END AS new_s
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        s AS (
+            SELECT user_id, ts, event_id, event_type,
+                   sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+            FROM x
+        ),
+        sealed AS (
+            SELECT user_id, sid
+            FROM s GROUP BY user_id, sid
+            HAVING max(ts) + INTERVAL 30 MINUTE
+                   <= (SELECT max(ts) - INTERVAL 10 MINUTE FROM events)
+        ),
+        ranked AS (
+            SELECT s.user_id, s.sid, s.event_type, s.ts, s.event_id,
+                   row_number() OVER (
+                       PARTITION BY s.user_id, s.sid ORDER BY s.ts, s.event_id
+                   ) AS rn
+            FROM s JOIN sealed USING (user_id, sid)
+        ),
+        paths AS (
+            SELECT user_id, sid,
+                   string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+            FROM ranked WHERE rn <= 3
+            GROUP BY 1, 2
+        ),
+        counts AS (
+            SELECT path, count(*) AS n_sessions FROM paths GROUP BY 1
+        ),
+        top AS (
+            SELECT * FROM counts ORDER BY n_sessions DESC, path LIMIT 15
+        )
+        SELECT CAST(row_number() OVER (ORDER BY n_sessions DESC, path) AS INT)
+                   AS rk,
+               path, n_sessions
+        FROM top
+    """,
     "q_stream_session_wm": """
         WITH x AS (
             SELECT user_id, ts, event_id,

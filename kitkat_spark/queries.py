@@ -99,76 +99,76 @@ for _m in _MODULES:
             _ALL[_name] = _cache_scoped(getattr(_m, _name))
     ORACLES.update(getattr(_m, "ORACLE", {}))
 
-# The 50 driver-verified slots this round (round 10). Blocks, per the
-# staleness gate (tests/test_driver_staleness.py) and the round-9 verdict:
-# (a) the gate's 34 violations — r6 greens whose host modules changed since
-# the r6 snapshot; (b) the three sampling.py r6 greens that BECOME
-# violations this round (q_reservoir_sample lands in their module);
-# (c) the twelve queries NEW this round — never driver-verified, always
-# forced; (d) one rotation of the oldest remaining r6 green (relational,
-# unchanged module — not forced, refreshed proactively). 34+3+12+1 = 50.
+# The 50 driver-verified slots this round (round 11). Blocks, per the
+# staleness gate (tests/test_driver_staleness.py) and the round-10 verdict:
+# (a) the gate's 37 violations — r7 greens whose host modules changed since
+# the r7 snapshot commit (round 10 touched similarity/corpus/pipelines/
+# temporal/tpchx/multimodal/dedup/textops/streamparity/analytic; round 11
+# touches several again); (b) the five queries NEW this round — never
+# driver-verified, always forced; (c) eight rotations of the four-round-old
+# r6 greens in UNCHANGED modules (not forced; refreshed proactively,
+# oldest evidence first). 37+5+8 = 50.
 _VERIFY_FIRST = [
-    # -- (a) the gate's 34 violations (r6 greens in changed modules) --
-    "q_column_profile",
-    "q_column_profile_approx",
-    "q_conditional_funcs",
-    "q_corpus_pipeline",
-    "q_datetime_funcs",
-    "q_decontaminate",
-    "q_disjunctive_join",
-    "q_embedding_audit",
-    "q_excess_suppliers",
-    "q_forecast_revenue",
-    "q_grouping_sets",
-    "q_histogram",
-    "q_incremental_dedup",
-    "q_lang_mismatch",
-    "q_lm_score",
-    "q_market_share",
-    "q_min_cost_supplier",
-    "q_mix_rebalance",
-    "q_mjoin_region_revenue",
-    "q_mjoin_revenue",
-    "q_nation_volume",
-    "q_normalize_window",
-    "q_product_profit",
-    "q_promo_revenue",
-    "q_returned_revenue",
-    "q_simhash",
-    "q_stream_session_wm",
-    "q_subquery_scalar",
-    "q_tfidf",
-    "q_top_supplier",
-    "q_unpivot",
-    "q_window_ntile",
-    "q_window_range",
-    "q_winnow_fingerprint",
-    # -- (b) sampling.py r6 greens, module changed this round --
-    "q_sample_split",
-    "q_stratified_sample",
-    "q_weighted_sample",
-    # -- (c) new this round --
-    "q_curriculum",          # NEW: range-partitioned curriculum manifest
-    "q_reservoir_sample",    # NEW: per-group deterministic reservoir
-    "q_label_prop",          # NEW: fixed-iteration label propagation
-    "q_session_paths",       # NEW: top-K first-N event-type sequences
-    "q_kn_trigram",          # NEW: KN trigram with bigram backoff
-    "q_stream_cms_wm",       # NEW: streaming windowed Count-Min
-    "q_dataset_card",        # NEW: CUBE corpus-health dataset card
-    "q_kanon_audit",         # NEW: k-anonymity class audit (privacy.py)
-    "q_dp_counts",           # NEW: deterministic-seed DP Laplace counts
-    "q_weighted_reservoir",  # NEW: per-group A-Res weighted reservoir
-    "q_gram_matrix",         # NEW: exact distributed Gram matrix (X^T X)
-    "q_ldiv_audit",          # NEW: l-diversity / entropy class audit
-    # -- (d) rotation: oldest remaining r6 green (relational, unchanged) --
-    "q_scan_filter",
-    # -- Re-verify-next-round tail (round 11): the eleven r6 greens still
-    # un-refreshed, all in UNCHANGED modules so the gate does not force
-    # them: q_sort_limit q_agg_group q_agg_distinct q_string_agg q_pivot q_posexplode
-    # q_window_frame (relational) q_skew_join_auto q_skew_join_salted
-    # (skew) q_bloom_join (runtimefilter) q_zlib (payloads) -- plus
-    # whatever round 10 changes. Every non-slotted query stays proven by
-    # the local parity suite (tests/test_oracle_parity.py, every run).
+    # -- (a) the gate's 37 violations (r7 greens in changed modules) --
+    "q_ann_ivf",
+    "q_ann_multiprobe",
+    "q_ann_recall",
+    "q_asof_join",
+    "q_bigram_lm",
+    "q_centroid_assign",
+    "q_chunk_docs",
+    "q_cohort_retention",
+    "q_consume_plain",
+    "q_corpus_mix",
+    "q_cross_join_grid",
+    "q_dup_rate_by_source",
+    "q_event_growth",
+    "q_frame_sample",
+    "q_funnel",
+    "q_idle_customers",
+    "q_in_subquery",
+    "q_knn_classify",
+    "q_label_centroid",
+    "q_late_priority_lines",
+    "q_length_outliers",
+    "q_media_resize",
+    "q_minhash_accuracy",
+    "q_mix_rebalance_rate",
+    "q_multimodal_decode",
+    "q_near_dedup",
+    "q_pack_sequences",
+    "q_part_supplier_count",
+    "q_pii_redact",
+    "q_quality_score",
+    "q_repetition_filter",
+    "q_sessionize",
+    "q_shard_status",
+    "q_small_qty_revenue",
+    "q_stateful_profile",
+    "q_stream_enrich",
+    "q_waiting_orders",
+    # -- (b) new this round --
+    "q_tclose_audit",          # NEW: t-closeness EMD audit (privacy.py)
+    "q_lcp_dedup",             # NEW: exact-substring maximal-span dedup
+    "q_gram_blocked",          # NEW: large-D Gram via partition BLAS
+    "q_lm_calibration",        # NEW: reliability diagram over q_lm_score
+    "q_stream_session_paths",  # NEW: streaming top-K session paths
+    # -- (c) rotation: eight of the eleven r6 greens (unchanged modules) --
+    "q_sort_limit",
+    "q_agg_group",
+    "q_agg_distinct",
+    "q_string_agg",
+    "q_pivot",
+    "q_posexplode",
+    "q_window_frame",
+    "q_zlib",
+    # -- Re-verify-next-round tail (round 12): the three r6 greens still
+    # un-refreshed after this round's rotation — q_skew_join_auto
+    # q_skew_join_salted (skew) q_bloom_join (runtimefilter), all in
+    # UNCHANGED modules so the gate does not force them — take rotation
+    # slots first next round, then whatever round 11 leaves at r7 in
+    # changed modules. Every non-slotted query stays proven by the local
+    # parity suite (tests/test_oracle_parity.py, every run).
 ]
 
 assert len(_VERIFY_FIRST) == 50, len(_VERIFY_FIRST)

@@ -206,3 +206,72 @@ def test_lcp_dedup_span_accounting(spark):
         assert r.dup_frac == pytest.approx(
             round(r.dup_tokens / r.n_tokens, 4), abs=1e-12
         )
+
+
+# -------------------------------------------------- stream session paths
+
+
+def test_stream_session_paths_equals_batch_replay(spark):
+    """The streaming-equals-batch pin every stream twin carries: the
+    sealed-session top paths from the REAL streaming run must equal a
+    batch Spark replay (gap-and-island under session_window's merge rule,
+    sealed at max(ts) - 10 min) — independently of the DuckDB oracle."""
+    from pyspark.sql import Window as W
+
+    from kitkat_spark.operators.streamparity import q_stream_session_paths
+    from kitkat_spark.operators.temporal import SP_K, SP_N
+
+    got = [
+        (r.rk, r.path, r.n_sessions)
+        for r in q_stream_session_paths(spark, SF).orderBy("rk").collect()
+    ]
+
+    ev = load_table(spark, SF, "events").select("event_id", "user_id", "event_type", "ts")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w)
+    sess = (
+        ev.withColumn(
+            "new_s", F.when(gap.isNull() | (gap >= 30 * 60), 1).otherwise(0)
+        )
+        .withColumn(
+            "sid",
+            F.sum("new_s").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
+        )
+    )
+    max_ts = ev.agg(F.max("ts").alias("m"))
+    sealed = (
+        sess.groupBy("user_id", "sid")
+        .agg(
+            F.max("ts").alias("last_ts"),
+            F.concat_ws(
+                ">",
+                F.transform(
+                    F.slice(
+                        F.array_sort(
+                            F.collect_list(F.struct("ts", "event_id", "event_type"))
+                        ),
+                        1,
+                        SP_N,
+                    ),
+                    lambda e: e["event_type"],
+                ),
+            ).alias("path"),
+        )
+        .crossJoin(F.broadcast(max_ts))
+        .filter(
+            F.col("last_ts") + F.expr("INTERVAL 30 MINUTES")
+            <= F.col("m") - F.expr("INTERVAL 10 MINUTES")
+        )
+    )
+    counts = sealed.groupBy("path").agg(F.count("*").alias("n_sessions"))
+    top = counts.orderBy(F.col("n_sessions").desc(), "path").limit(SP_K)
+    w_rank = W.orderBy(F.col("n_sessions").desc(), "path")
+    want = [
+        (r.rk, r.path, r.n_sessions)
+        for r in top.select(
+            F.row_number().over(w_rank).cast("int").alias("rk"),
+            "path",
+            "n_sessions",
+        ).orderBy("rk").collect()
+    ]
+    assert got == want

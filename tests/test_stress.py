@@ -188,6 +188,23 @@ def test_batch_dedup_family_sublinear_at_10x(spark, stress_dir):
         "q_multimodal_decode": 4.0,
         "q_media_resize": 4.0,
         "q_frame_sample": 4.0,
+        # round-11 additions (measured 10x ratios in parens, SCALE_NOTES
+        # "round-11 ratio rows"):
+        # exact-integer TVD over the schema-bounded qid x lang cells (1.0x)
+        "q_tclose_audit": 4.0,
+        # stride-1 gram stream: token-linear fan-out + ONE count-over-fp
+        # shuffle; the data-sized shuffle makes this the family's honest
+        # linear-cost member — bound tracks data growth, not a cap (3.4x)
+        "q_lcp_dedup": 8.0,
+        # partition BLAS: Arrow transfer linear, partials fixed per
+        # partition, cell agg on the 2080-key domain (1.3x)
+        "q_gram_blocked": 4.0,
+        # rides q_lm_score's bigram fan-out + per-doc agg; calibration
+        # rollup is |sources| x ~15 bins (2.0x)
+        "q_lm_calibration": 6.0,
+        # micro-batch harness + per-(user, open-session) state bounded by
+        # the watermark horizon; read-time rollup path-domain-sized (1.4x)
+        "q_stream_session_paths": 5.0,
     }
     failures = []
     for name, max_ratio in bounds.items():
@@ -243,8 +260,17 @@ def test_passjoin_superset_of_blocked_at_10x(spark, stress_dir):
     ed = QUERIES["q_edit_dedup"](spark, stress_dir).select("doc_a", "doc_b")
     lost_by_passjoin = ed.join(pj, ["doc_a", "doc_b"], "left_anti").count()
     assert lost_by_passjoin == 0
-    extra = pj.count() - ed.count()
-    assert extra > 0, "expected the blocked variant to be cap-lossy at 10x"
+    # The teaching-query contract, pinned as a MAGNITUDE (round-11
+    # decision: q_edit_dedup stays permanently as the documented lossy
+    # blocker): at 10x the blocked variant keeps well under half the true
+    # pairs (measured 41% — 59% loss, SCALE_NOTES). If this assertion
+    # ever fails with ed_n ~ pj_n, someone un-lossied the blocker —
+    # update the docstrings before re-promoting it.
+    pj_n, ed_n = pj.count(), ed.count()
+    assert ed_n < 0.7 * pj_n, (
+        f"blocked variant found {ed_n} of {pj_n} pairs — the documented "
+        "cap loss vanished; q_edit_dedup's teaching-query contract is stale"
+    )
 
 
 def test_stream_dedup_state_flat_at_10x(spark):
