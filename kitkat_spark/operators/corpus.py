@@ -1004,6 +1004,35 @@ def q_cdc_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
 LCP_GRAM = 8  # exact-substring match width (tokens); >= this length = dup
 
 
+def lcp_span_fold(k: int) -> F.Column:
+    """Closed-form island fold over a SORTED int array ``ps`` of
+    duplicated gram start-positions (width-k grams): returns a struct
+    with ns (maximal-span count), tot (covered tokens), mx (longest
+    span). A new span starts when the gap to the previous position
+    exceeds k (spans [p, p+k-1] no longer touch); otherwise the covered
+    region extends by exactly the gap. prev starts at -2k (bigint —
+    ANSI-safe) so the first position always opens a span. Equivalent to
+    classic interval-merge of [p, p+k-1] — property-tested against a
+    brute-force merge in tests/test_round11_ops.py, and against DuckDB's
+    independent gaps-and-islands window derivation via the oracle."""
+    return F.expr(
+        f"""aggregate(ps,
+            named_struct(
+                'prev', cast(-{2 * k} as bigint), 'cur', cast(0 as bigint),
+                'mx', cast(0 as bigint), 'tot', cast(0 as bigint),
+                'ns', cast(0 as int)),
+            (a, p) -> if(p - a.prev > {k},
+                named_struct(
+                    'prev', cast(p as bigint), 'cur', cast({k} as bigint),
+                    'mx', greatest(a.mx, cast({k} as bigint)),
+                    'tot', a.tot + {k}, 'ns', a.ns + 1),
+                named_struct(
+                    'prev', cast(p as bigint), 'cur', a.cur + (p - a.prev),
+                    'mx', greatest(a.mx, a.cur + (p - a.prev)),
+                    'tot', a.tot + (p - a.prev), 'ns', a.ns)))"""
+    )
+
+
 def q_lcp_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-substring dedup audit (the suffix-array exact-substring dedup
     of Lee et al., "Deduplicating Training Data Makes Language Models
@@ -1060,27 +1089,7 @@ def q_lcp_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.collect_list(F.when(F.col("dup"), F.col("p")))
         ).alias("ps"),
     )
-    # Closed-form island fold over the sorted duplicated positions: a new
-    # span starts when the gap to the previous position exceeds K (spans
-    # [p, p+K-1] no longer touch); otherwise the covered region extends
-    # by exactly the gap. prev starts at -2K (bigint — ANSI-safe) so the
-    # first position always opens a span.
-    fold = F.expr(
-        f"""aggregate(ps,
-            named_struct(
-                'prev', cast(-{2 * k} as bigint), 'cur', cast(0 as bigint),
-                'mx', cast(0 as bigint), 'tot', cast(0 as bigint),
-                'ns', cast(0 as int)),
-            (a, p) -> if(p - a.prev > {k},
-                named_struct(
-                    'prev', cast(p as bigint), 'cur', cast({k} as bigint),
-                    'mx', greatest(a.mx, cast({k} as bigint)),
-                    'tot', a.tot + {k}, 'ns', a.ns + 1),
-                named_struct(
-                    'prev', cast(p as bigint), 'cur', a.cur + (p - a.prev),
-                    'mx', greatest(a.mx, a.cur + (p - a.prev)),
-                    'tot', a.tot + (p - a.prev), 'ns', a.ns)))"""
-    )
+    fold = lcp_span_fold(k)
     n_tokens = (F.col("n_grams") + (k - 1)).cast("long")
     return per_doc.select(
         "doc_id", F.col("n_grams").alias("n_grams"), fold.alias("f")

@@ -275,3 +275,43 @@ def test_stream_session_paths_equals_batch_replay(spark):
         ).orderBy("rk").collect()
     ]
     assert got == want
+
+
+def test_lcp_span_fold_equals_interval_merge(spark):
+    """Property test for the closed-form island fold: on 300 random
+    sorted position sets (seeded), the fold's (ns, tot, mx) must equal
+    brute-force interval-merge of [p, p+K-1] — including empty sets,
+    singletons, exact-touch gaps (gap == K) and heavy overlap."""
+    import random
+
+    from kitkat_spark.operators.corpus import lcp_span_fold
+
+    k = 8
+    rng = random.Random(1111)
+    cases = [[]]
+    for _ in range(299):
+        n = rng.randint(1, 40)
+        span = rng.choice([10, 25, 100, 400])
+        cases.append(sorted(rng.sample(range(1, span + 2), min(n, span))))
+
+    def merge(ps):
+        spans = []
+        for p in ps:
+            lo, hi = p, p + k - 1
+            if spans and lo <= spans[-1][1] + 1:
+                spans[-1][1] = max(spans[-1][1], hi)
+            else:
+                spans.append([lo, hi])
+        tot = sum(b - a + 1 for a, b in spans)
+        mx = max((b - a + 1 for a, b in spans), default=0)
+        return (len(spans), tot, mx)
+
+    df = spark.createDataFrame(
+        [(i, ps) for i, ps in enumerate(cases)], "id int, ps array<int>"
+    )
+    got = {
+        r.id: (r.f.ns, r.f.tot, r.f.mx)
+        for r in df.select("id", lcp_span_fold(k).alias("f")).collect()
+    }
+    for i, ps in enumerate(cases):
+        assert got[i] == merge(ps), (i, ps, got[i], merge(ps))
