@@ -1087,7 +1087,14 @@ def q_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The pair fan-out is ARRAY-NATIVE (nested transform over the
     quantized vector — q_assoc_rules' move): D(D+1)/2 structs per row,
-    no self-join, no shuffle until the cell aggregation."""
+    no self-join, no shuffle until the cell aggregation.
+
+    FAMILY DEFAULT AT SCALE: q_gram_blocked (hash-equal by construction,
+    pytest-pinned) — the per-row struct churn here is CPU-linear in
+    rows x D^2 and measured ~10x slower than the partition-BLAS path at
+    100x data even at D = 64 (11.7 s vs 1.2 s, SCALE_NOTES round-11 100x
+    sweep); this form stays as the pure-built-in derivation the oracle
+    mirrors structurally."""
     emb = load_table(spark, sf_dir, "embeddings").filter(F.size("embedding") > 0)
     quant = emb.select(
         F.expr(
@@ -1152,7 +1159,9 @@ def q_gram_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     struct churn per row), and Arrow-batched integer BLAS is exactly the
     'drop to mapInPandas only where built-ins genuinely can't express it
     efficiently' case. Rows per Python batch are Arrow-sized; partitions
-    parallelize by file split at scale."""
+    parallelize by file split at scale. Measured: ~10x faster than
+    q_gram_matrix at 100x data even at D = 64 (1.2 s vs 11.7 s,
+    SCALE_NOTES round-11 100x sweep) — the FAMILY DEFAULT at scale."""
     emb = load_table(spark, sf_dir, "embeddings").filter(F.size("embedding") > 0)
     return gram_blocked_from(emb)
 
