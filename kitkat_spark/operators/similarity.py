@@ -1187,6 +1187,15 @@ def gram_blocked_from(emb: DataFrame) -> DataFrame:
         for pdf in batches:
             if not len(pdf):
                 continue
+            lens = {len(q) for q in pdf["q"]}
+            if len(lens) > 1 or (acc is not None and lens != {acc.shape[0]}):
+                # a ragged corpus would otherwise surface as an opaque
+                # numpy shape error from deep inside the matmul; a Gram
+                # matrix is only defined for one fixed D
+                raise ValueError(
+                    f"q_gram_blocked: mixed embedding dimensions {sorted(lens)}"
+                    + (f" vs established D={acc.shape[0]}" if acc is not None else "")
+                )
             x = np.array(pdf["q"].tolist(), dtype=np.int64)
             if acc is None:
                 acc = np.zeros((x.shape[1], x.shape[1]), dtype=object)

@@ -315,3 +315,17 @@ def test_lcp_span_fold_equals_interval_merge(spark):
     }
     for i, ps in enumerate(cases):
         assert got[i] == merge(ps), (i, ps, got[i], merge(ps))
+
+
+def test_gram_blocked_rejects_ragged_dimensions(spark):
+    """A mixed-D corpus must fail with a NAMED dimension error, not an
+    opaque numpy shape error from inside the matmul."""
+    from pyspark.errors.exceptions.captured import PythonException
+
+    from kitkat_spark.operators.similarity import gram_blocked_from
+
+    emb = spark.createDataFrame(
+        [([1.0, 2.0],), ([1.0, 2.0, 3.0],)], "embedding array<double>"
+    )
+    with pytest.raises(PythonException, match="mixed embedding dimensions"):
+        gram_blocked_from(emb.coalesce(1)).count()
