@@ -1204,6 +1204,17 @@ def gram_blocked_from(emb: DataFrame) -> DataFrame:
             # under 2^62 per chunk; cross-chunk accumulation is
             # arbitrary-precision (object dtype -> Python ints)
             qmax = int(np.abs(x).max()) or 1
+            # a SINGLE int64 product x_i*x_j already overflows past
+            # qmax^2 >= 2^63 — numpy would wrap SILENTLY (the JVM twin
+            # raises under ANSI), so refuse loudly instead. 3037000499 =
+            # isqrt(2^63 - 1): micro-unit values past it mean raw
+            # embedding magnitudes > ~3037, far outside any embedding
+            # space this engine targets.
+            if qmax > 3_037_000_499:
+                raise ValueError(
+                    f"q_gram_blocked: quantized magnitude {qmax} overflows "
+                    "int64 products — rescale GRAM_SCALE for this corpus"
+                )
             step = max(1, (1 << 62) // (qmax * qmax))
             for s0 in range(0, x.shape[0], step):
                 blk = x[s0 : s0 + step]

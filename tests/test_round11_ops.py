@@ -329,3 +329,17 @@ def test_gram_blocked_rejects_ragged_dimensions(spark):
     )
     with pytest.raises(PythonException, match="mixed embedding dimensions"):
         gram_blocked_from(emb.coalesce(1)).count()
+
+
+def test_gram_blocked_rejects_int64_overflow_magnitudes(spark):
+    """Quantized values whose single product would wrap int64 must fail
+    loudly (numpy wraps silently where the JVM twin raises under ANSI)."""
+    from pyspark.errors.exceptions.captured import PythonException
+
+    from kitkat_spark.operators.similarity import gram_blocked_from
+
+    emb = spark.createDataFrame(
+        [([4000.0, 1.0],), ([2.0, 3.0],)], "embedding array<double>"
+    )
+    with pytest.raises(PythonException, match="overflows int64"):
+        gram_blocked_from(emb.coalesce(1)).count()
