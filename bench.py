@@ -279,10 +279,47 @@ def _wait_for_idle() -> int:
     return waited
 
 
+def _calibrate_cpu() -> float:
+    """Fixed single-core arithmetic loop (round-11 verdict #4): a pure-Python
+    integer workload whose wall time tracks per-core container speed, so
+    round-over-round bench comparisons can normalize for environment drift
+    mechanically instead of by prose. Returns seconds (best of 3)."""
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        acc = 0
+        for i in range(2_000_000):
+            acc = (acc * 1103515245 + i) & 0x7FFFFFFF
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 4)
+
+
+def _calibrate_spark(spark) -> float:
+    """Fixed tiny-Spark plan (same verdict item): one shuffle over
+    spark.range — times scheduler + shuffle machinery at a size where data
+    volume is irrelevant, i.e. the JVM/container floor every trivial
+    registry query also pays. Returns seconds (best of 3, after one warm)."""
+    from pyspark.sql import functions as F
+
+    def run() -> float:
+        t0 = time.perf_counter()
+        (
+            spark.range(100_000, numPartitions=8)
+            .groupBy((F.col("id") % 97).alias("k"))
+            .count()
+            .count()
+        )
+        return time.perf_counter() - t0
+
+    run()  # warm (codegen for this exact plan)
+    return round(min(run() for _ in range(3)), 4)
+
+
 def main() -> None:
     global _LOAD0
     idle_waited = _wait_for_idle()
     _LOAD0 = os.getloadavg()
+    calib_cpu_s = _calibrate_cpu()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark(app_name="kitkat_spark_bench")
@@ -291,6 +328,7 @@ def main() -> None:
     # query, not session startup
     QUERIES["q_scan_filter"](spark, sf_dir).count()
     _warm_python_workers(spark)
+    calib_spark_s = _calibrate_spark(spark)
 
     # Two timed passes per query, report the min: pass 1 pays one-time
     # Janino codegen compilation of each plan (3-5 s for the big
@@ -324,11 +362,16 @@ def main() -> None:
             "loadavg_start": [round(x, 2) for x in _LOAD0],
             "loadavg_end": [round(x, 2) for x in os.getloadavg()],
             "idle_waited_s": idle_waited,
+            # cross-round calibration (round-11 verdict #4): divide query
+            # walls by these to normalize out container speed drift
+            "calib_cpu_s": calib_cpu_s,
+            "calib_spark_s": calib_spark_s,
         },
     }
     # The driver stores only a 2000-char tail of stdout, which truncates the
     # per-query head (lost for r2/r4). Persist the full JSON in-repo too,
     # named for the upcoming round (= latest driver BENCH_r{N} + 1).
+    local = None
     try:
         import glob
         import re
@@ -339,22 +382,52 @@ def main() -> None:
             for f in glob.glob(os.path.join(here, "BENCH_r*.json"))
             if (m := re.search(r"BENCH_r(\d+)\.json$", f))
         ]
-        base = os.path.join(here, f"BENCH_LOCAL_r{max(rounds, default=0) + 1:02d}")
-        # never clobber an existing head: the committed file is the
-        # builder's idle-machine run, and a later (often contended) driver
-        # run overwriting it is exactly what muddied the round-6 numbers —
-        # suffix instead so every run is preserved side by side
-        local = f"{base}.json"
-        n = 2
-        while os.path.exists(local):
-            local = f"{base}_{n}.json"
-            n += 1
+        stem = f"BENCH_LOCAL_r{max(rounds, default=0) + 1:02d}"
+        # never clobber an existing run: every run is preserved side by
+        # side (overwriting is what muddied the round-6 numbers). The FIRST
+        # run of a round lives at repo root; the rest of the round's pool
+        # goes under bench_runs/ (round-11 verdict #7 — root holds <=1
+        # BENCH_LOCAL per round).
+        local = os.path.join(here, f"{stem}.json")
+        if os.path.exists(local):
+            pool = os.path.join(here, "bench_runs")
+            os.makedirs(pool, exist_ok=True)
+            n = 2
+            local = os.path.join(pool, f"{stem}_{n}.json")
+            while os.path.exists(local):
+                n += 1
+                local = os.path.join(pool, f"{stem}_{n}.json")
         with open(local, "w") as fh:
             json.dump(out, fh, indent=1)
     except OSError:
-        pass  # read-only checkout: stdout line below is still the contract
+        local = None  # read-only checkout: stdout line below is the contract
 
-    print(json.dumps(out))
+    # Driver-parseable stdout (round-11 verdict #2): eleven rounds of
+    # BENCH_r{N}.json carried "parsed": null because the full 200+-entry
+    # per-query map overflows the driver's ~2000-char stdout capture. Print
+    # a COMPACT object — same schema, but "queries" holds only the slowest
+    # 10 — and leave the complete map in the BENCH_LOCAL file written above.
+    slowest = dict(
+        sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:10]
+    )
+    compact = {
+        "metric": out["metric"],
+        "value": out["value"],
+        "unit": "sec",
+        "queries": slowest,
+        "sf": out["sf"],
+        "n_queries": len(timings),
+        "full_map": os.path.basename(local) if local else None,
+        "conf": {
+            "runs_per_query": 2,
+            "report": "min",
+            "idle_waited_s": idle_waited,
+            "calib_cpu_s": calib_cpu_s,
+            "calib_spark_s": calib_spark_s,
+            "loadavg_start": out["conf"]["loadavg_start"],
+        },
+    }
+    print(json.dumps(compact, separators=(",", ":")))
 
 
 def _warm_python_workers(spark) -> None:
