@@ -127,8 +127,16 @@ def q_tclose_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the (qid, lang) cell relation is schema-bounded (qid product x
     |langs|), the lang marginal broadcasts, N rides a broadcast 1-row
     cross join, and the class rollup reuses the cell shuffle's keys — no
-    corpus-sized shuffle beyond the one combinable cell count."""
-    docs = load_table(spark, sf_dir, "documents")
+    corpus-sized shuffle beyond the one combinable cell count.
+
+    NULL sensitive values (round-11 advice): lang is coalesced to a
+    sentinel BEFORE both groupBys, so NULL-lang documents form a regular
+    sensitive value instead of silently dropping out of class_size and the
+    TVD sum at the inner marginal join (NULL keys never match) — keeping
+    class accounting consistent with q_kanon_audit/q_ldiv_audit."""
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "lang", F.coalesce(F.col("lang"), F.lit("<null>"))
+    )
     cell = docs.groupBy(
         "source",
         F.expr(f"n_chars div {KANON_LEN_BAND}").alias("len_band"),
@@ -292,13 +300,16 @@ ORACLE: dict[str, str] = {
     # Spark — both exact), same closed-form absent-value fold, one final
     # double division rounded 6 dp.
     "q_tclose_audit": f"""
-        WITH cell AS (
+        WITH d AS (
+            SELECT source, n_chars, coalesce(lang, '<null>') AS lang
+            FROM documents
+        ), cell AS (
             SELECT source, n_chars // {KANON_LEN_BAND} AS len_band, lang,
                    count(*) AS c
-            FROM documents GROUP BY 1, 2, 3
+            FROM d GROUP BY 1, 2, 3
         ), marginal AS (
-            SELECT lang, count(*) AS g FROM documents GROUP BY 1
-        ), tot AS (SELECT count(*) AS n_corpus FROM documents),
+            SELECT lang, count(*) AS g FROM d GROUP BY 1
+        ), tot AS (SELECT count(*) AS n_corpus FROM d),
         j AS (
             SELECT cell.source, cell.len_band, cell.c, marginal.g,
                    tot.n_corpus,

@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from kitkat_spark.functions.text import md5_long
 from kitkat_spark.functions.vectors import dot, norm2
 from kitkat_spark.sources import load_table
 
@@ -552,6 +553,170 @@ def q_ann_recall_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     single = _recall_vs_exact(exact, q_ann_ivf(spark, sf_dir), "lsh_1probe")
     multi = _recall_vs_exact(exact, q_ann_multiprobe(spark, sf_dir), "lsh_multiprobe")
     return single.unionByName(multi)
+
+
+HNSW_MAX_LAYERS = 6  # top layer index: layer l holds ~n/2^l of the corpus
+
+
+def q_ann_hnsw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HNSW-style layered ANN (Malkov & Yashunin, "Efficient and robust
+    approximate nearest neighbor search using Hierarchical Navigable Small
+    World graphs", TPAMI 2018 — public literature), re-expressed
+    set-at-a-time. The two HNSW ingredients that survive a distributed
+    batch re-expression:
+
+    1. GEOMETRIC LAYER ASSIGNMENT — vector v belongs to every layer l with
+       hash(v) % 2^l == 0 (md5_long of 'lvl_<vec_id>', the cross-engine
+       hash), so layer populations halve going up: exactly HNSW's
+       exponentially-decaying level sampling, deterministic and
+       oracle-replayable instead of RNG-drawn.
+    2. COARSE-TO-FINE NAVIGATION — at layer l the query examines only
+       layer-l members whose first (n_planes - l) sign-LSH bits match its
+       own. Sparse top layers use coarse cells over few nodes, the dense
+       bottom layer the full signature, so the EXPECTED visited set per
+       layer is ~ANN_TARGET_BUCKET at every level — n/2^(l + bits_l) is
+       constant in l. The per-edge greedy walk becomes a union of
+       per-layer bucket joins ranked once at the end: the ef-search
+       candidate pool, set-at-a-time.
+
+    Scale: (level, prefix) are COLUMNS of the stored index (the full
+    bucket is already there for q_ann_ivf; levels are a hash of the id) —
+    the corpus is never reshuffled per query. The corpus-side layer
+    fan-out is map-side and bounded by sum 2^-l < 2x rows; the tiny query
+    side broadcasts one row per (query, layer); every join is
+    bucket-local. Layer 0 with the full prefix IS q_ann_ivf's candidate
+    set, so recall(hnsw) >= recall(1probe) per query BY CONSTRUCTION —
+    asserted in tests and measured by q_ann_recall_hnsw."""
+    emb, n_planes = _bucketed_index(spark, sf_dir)
+    top = min(n_planes, HNSW_MAX_LAYERS)
+    lvlh = md5_long(F.concat(F.lit("lvl_"), F.col("vec_id").cast("string")))
+    pfx = F.expr(f"bucket % shiftleft(CAST(1 AS BIGINT), {n_planes} - l)")
+    cand = (
+        emb.withColumn("lvlh", lvlh)
+        .withColumn(
+            "l",
+            F.explode(
+                F.expr(
+                    f"filter(sequence(0, {top}), "
+                    "l -> lvlh % shiftleft(CAST(1 AS BIGINT), l) = 0)"
+                )
+            ),
+        )
+        .select(F.col("vec_id").alias("cand_id"), "v", "nrm", "l", pfx.alias("pfx"))
+    )
+    queries = (
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .withColumn("l", F.explode(F.sequence(F.lit(0), F.lit(top))))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("nrm").alias("qn"),
+            "l",
+            pfx.alias("pfx"),
+        )
+    )
+    # the same pair surfaces from every shared layer with an identical
+    # cosine; max() is the dedup (the oracle's DISTINCT)
+    scored = (
+        cand.join(F.broadcast(queries), ["l", "pfx"])
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .groupBy("query_id", "cand_id")
+        .agg(
+            F.round(
+                F.max(dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm"))),
+                6,
+            ).alias("cosine")
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), "cand_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+        .select("query_id", "cand_id", "cosine", "rk")
+    )
+
+
+def q_ann_recall_hnsw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall audit closing the ANN family's layered index loop: recall@k
+    of the single-probe sign-LSH index (q_ann_ivf) and the HNSW-style
+    layered index (q_ann_hnsw) side by side against the same brute-force
+    exact top-k — the HNSW analog of q_ann_recall_multiprobe. Because the
+    layered candidate pool CONTAINS the single-probe pool (its layer 0
+    uses the full prefix), the result set proves the hierarchy's per-query
+    recall dominance, which tests assert.
+
+    Shape: exact side computed once (eager checkpoint, queries x k rows,
+    two consumers); each index's audited production pipeline reused
+    verbatim; each recall join broadcasts the approx side."""
+    exact = (
+        q_similarity_search(spark, sf_dir)
+        .select("query_id", "cand_id")
+        .localCheckpoint(eager=True)
+    )
+    single = _recall_vs_exact(exact, q_ann_ivf(spark, sf_dir), "lsh_1probe")
+    layered = _recall_vs_exact(exact, q_ann_hnsw(spark, sf_dir), "hnsw_layered")
+    return single.unionByName(layered)
+
+
+def _ndcg_vs_exact(exact: DataFrame, approx: DataFrame, index_name: str) -> DataFrame:
+    """nDCG@k of one approximate ranking against the exact top-k with
+    graded relevance rel = k+1 - exact_rank (k..1 inside the exact list,
+    0 outside). Both DCG and IDCG quantize each rel/log2(rank+1) term to
+    1e-6 micro-units BEFORE summing — integer sums are order-independent
+    across partial aggregation, and the final ndcg is a ratio of the two
+    int64 sums (one exact division, engine-identical)."""
+    rel = exact.select(
+        "query_id", "cand_id", (F.lit(TOP_K + 1) - F.col("rk")).alias("rel"), "rk"
+    )
+    term6 = lambda rel_col, rk_col: F.round(  # noqa: E731
+        rel_col / F.log2(rk_col + F.lit(1.0)) * 1e6
+    ).cast("long")
+    idcg = rel.groupBy("query_id").agg(
+        F.sum(term6(F.col("rel"), F.col("rk"))).alias("idcg6")
+    )
+    dcg = (
+        approx.select("query_id", "cand_id", F.col("rk").alias("rk_a"))
+        .join(F.broadcast(rel), ["query_id", "cand_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.sum(
+                term6(F.coalesce(F.col("rel"), F.lit(0)), F.col("rk_a"))
+            ).alias("dcg6")
+        )
+    )
+    return (
+        idcg.join(dcg, "query_id", "left")
+        .select(
+            F.lit(index_name).alias("index_name"),
+            "query_id",
+            F.coalesce(F.col("dcg6"), F.lit(0)).alias("dcg6"),
+            "idcg6",
+            F.round(
+                F.coalesce(F.col("dcg6"), F.lit(0)) * 1.0 / F.col("idcg6"), 6
+            ).alias("ndcg_at_k"),
+        )
+    )
+
+
+def q_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graded ranking-quality audit for the sign-LSH ANN family: nDCG@10
+    (Järvelin & Kekäläinen, TOIS 2002 — public literature) of the
+    single-probe index and the HNSW-style layered index against the exact
+    ranking. recall@k (q_ann_recall*) treats every exact top-k member
+    equally; nDCG weights by position, so an index that finds the
+    neighbors but SCRAMBLES their order is scored down — the second axis
+    every ANN deployment reports. Relevance is graded from the exact rank
+    (k+1-rank), IDCG comes from the exact list itself, and every term is
+    quantized to 1e-6 micro-units before the order-independent integer
+    sums (the GRAM_SCALE discipline applied to eval math)."""
+    exact = (
+        q_similarity_search(spark, sf_dir)
+        .select("query_id", "cand_id", "rk")
+        .localCheckpoint(eager=True)
+    )
+    single = _ndcg_vs_exact(exact, q_ann_ivf(spark, sf_dir), "lsh_1probe")
+    layered = _ndcg_vs_exact(exact, q_ann_hnsw(spark, sf_dir), "hnsw_layered")
+    return single.unionByName(layered)
 
 
 SEMDEDUP_COS = 0.4  # within-cell semantic-duplicate cosine threshold
@@ -1227,14 +1392,43 @@ def gram_blocked_from(emb: DataFrame) -> DataFrame:
             {
                 "i": [i for i, _ in iu],
                 "j": [j for _, j in iu],
+                "d": [d] * len(iu),
                 "s": [Decimal(int(acc[i, j])) for i, j in iu],
             }
         )
 
-    partials = quant.mapInPandas(partial_gram, schema="i int, j int, s decimal(38,0)")
+    # Each partial carries its partition's D (round-11 advice): the
+    # in-partition raggedness check above cannot see ACROSS partitions —
+    # two partitions each internally consistent at different D would pass
+    # it and the groupBy would silently blend incompatible partial Grams.
+    # Any two distinct Ds share cell (0, 0), so a per-cell min/max-D
+    # comparison detects the mix on every layout. The check lives in a
+    # FILTER over the aggregate (assert_true, row-preserving when clean):
+    # a guard placed in the projection would be column-pruned away under
+    # .count() and the blend would sail through exactly when nobody reads
+    # the values.
+    partials = quant.mapInPandas(
+        partial_gram, schema="i int, j int, d int, s decimal(38,0)"
+    )
     return (
         partials.groupBy("i", "j")
-        .agg(F.sum("s").alias("s"))
+        .agg(
+            F.sum("s").alias("s"),
+            F.min("d").alias("d_min"),
+            F.max("d").alias("d_max"),
+        )
+        .filter(
+            F.assert_true(
+                F.col("d_min") == F.col("d_max"),
+                F.format_string(
+                    "q_gram_blocked: mixed embedding dimensions across "
+                    "partitions (min D=%s, max D=%s) — a Gram matrix is "
+                    "only defined for one fixed D",
+                    F.col("d_min"),
+                    F.col("d_max"),
+                ),
+            ).isNull()
+        )
         .select(
             "i",
             "j",
@@ -1881,3 +2075,160 @@ ORACLE: dict[str, str] = {
 # strategy (per-partition integer BLAS instead of array fan-out) — one
 # oracle, two execution paths, hash-equal by construction.
 ORACLE["q_gram_blocked"] = ORACLE["q_gram_matrix"]
+
+# Shared CTE chain for the HNSW-style layered index family: plane/bucket
+# replay (as in q_ann_ivf/q_ann_multiprobe), layer membership via the
+# md5_long('lvl_<id>') % 2^l == 0 geometric rule, per-layer prefix-bucket
+# candidate joins, and the final exact re-rank (htopk). Also carries the
+# exact brute-force side (q_similarity_search verbatim) and the 1-probe
+# side (q_ann_ivf verbatim) for the recall/nDCG audits.
+_HNSW_CTES_SQL = f"""{_ANN_PARAMS_SQL}dims AS (
+            SELECT max(len(embedding)) AS d FROM embeddings
+        ), planes AS (
+            SELECT p, list_transform(generate_series(0, (SELECT d - 1 FROM dims)),
+                   d -> ('0x' || substr(md5('plane_' || p || '_' || d), 1, 15))::BIGINT
+                        / 1152921504606846976.0 * 2 - 1) AS pv
+            FROM UNNEST(generate_series(0, (SELECT np FROM params) - 1)) AS t(p)
+        ), ea AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v,
+                   sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                       AS nrm
+            FROM embeddings
+        ), e AS (
+            SELECT vec_id, v, nrm FROM ea WHERE len(v) > 0
+        ), buckets AS (
+            SELECT vec_id,
+                   sum(CASE WHEN list_dot_product(e.v, pl.pv) > 0
+                            THEN (1::BIGINT << pl.p) ELSE 0 END) AS bucket
+            FROM e, planes pl
+            GROUP BY vec_id
+        ), htop AS (
+            SELECT least((SELECT np FROM params), {HNSW_MAX_LAYERS}) AS top
+        ), hcand AS (
+            SELECT b.vec_id, t.l,
+                   b.bucket % (1::BIGINT << ((SELECT np FROM params) - t.l)) AS pfx
+            FROM buckets b,
+                 UNNEST(generate_series(0, (SELECT top FROM htop))) AS t(l)
+            WHERE ('0x' || substr(md5('lvl_' || b.vec_id), 1, 15))::BIGINT
+                  % (1::BIGINT << t.l) = 0
+        ), hq AS (
+            SELECT b.vec_id AS query_id, t.l,
+                   b.bucket % (1::BIGINT << ((SELECT np FROM params) - t.l)) AS pfx
+            FROM buckets b,
+                 UNNEST(generate_series(0, (SELECT top FROM htop))) AS t(l)
+            WHERE b.vec_id < {N_QUERIES}
+        ), hpairs AS (
+            SELECT DISTINCT hq.query_id, c.vec_id AS cand_id
+            FROM hq JOIN hcand c ON c.l = hq.l AND c.pfx = hq.pfx
+            WHERE c.vec_id <> hq.query_id
+        ), htopk AS (
+            SELECT query_id, cand_id, cosine, rk FROM (
+                SELECT p.query_id, p.cand_id,
+                       round(list_dot_product(eq.v, ec.v) / (eq.nrm * ec.nrm), 6)
+                           AS cosine,
+                       CAST(row_number() OVER (
+                           PARTITION BY p.query_id
+                           ORDER BY round(list_dot_product(eq.v, ec.v)
+                                          / (eq.nrm * ec.nrm), 6) DESC,
+                                    p.cand_id) AS INT) AS rk
+                FROM hpairs p
+                JOIN e eq ON eq.vec_id = p.query_id
+                JOIN e ec ON ec.vec_id = p.cand_id
+            ) WHERE rk <= {TOP_K}
+        ), exact AS (
+            -- q_similarity_search verbatim (over ALL embeddings)
+            SELECT query_id, cand_id, rk FROM (
+                SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+                       CAST(row_number() OVER (
+                           PARTITION BY q.vec_id
+                           ORDER BY round(list_dot_product(q.v, c.v)
+                                          / (q.nrm * c.nrm), 6) DESC, c.vec_id)
+                           AS INT) AS rk
+                FROM ea q JOIN ea c ON c.vec_id <> q.vec_id
+                WHERE q.vec_id < {N_QUERIES}
+            ) WHERE rk <= {TOP_K}
+        ), stopk AS (
+            -- q_ann_ivf verbatim: probe = own bucket only
+            SELECT query_id, cand_id, rk FROM (
+                SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+                       CAST(row_number() OVER (
+                           PARTITION BY q.vec_id
+                           ORDER BY round(list_dot_product(eq.v, ec.v)
+                                          / (eq.nrm * ec.nrm), 6) DESC, c.vec_id)
+                           AS INT) AS rk
+                FROM buckets q
+                JOIN buckets c ON c.bucket = q.bucket AND c.vec_id <> q.vec_id
+                JOIN e eq ON eq.vec_id = q.vec_id
+                JOIN e ec ON ec.vec_id = c.vec_id
+                WHERE q.vec_id < {N_QUERIES}
+            ) WHERE rk <= {TOP_K}
+        )"""
+
+ORACLE["q_ann_hnsw"] = f"""
+        WITH {_HNSW_CTES_SQL}
+        SELECT query_id, cand_id, cosine, rk FROM htopk
+    """
+
+ORACLE["q_ann_recall_hnsw"] = f"""
+        WITH {_HNSW_CTES_SQL}
+        SELECT 'lsh_1probe' AS index_name, x.query_id,
+               CAST(count(*) AS INT) AS n_exact,
+               CAST(sum(CASE WHEN a.cand_id IS NOT NULL THEN 1 ELSE 0 END) AS INT)
+                   AS n_hits,
+               round(sum(CASE WHEN a.cand_id IS NOT NULL THEN 1 ELSE 0 END)
+                     / count(*), 4) AS recall_at_k
+        FROM exact x
+        LEFT JOIN stopk a ON a.query_id = x.query_id AND a.cand_id = x.cand_id
+        GROUP BY x.query_id
+        UNION ALL
+        SELECT 'hnsw_layered' AS index_name, x.query_id,
+               CAST(count(*) AS INT) AS n_exact,
+               CAST(sum(CASE WHEN a.cand_id IS NOT NULL THEN 1 ELSE 0 END) AS INT)
+                   AS n_hits,
+               round(sum(CASE WHEN a.cand_id IS NOT NULL THEN 1 ELSE 0 END)
+                     / count(*), 4) AS recall_at_k
+        FROM exact x
+        LEFT JOIN htopk a ON a.query_id = x.query_id AND a.cand_id = x.cand_id
+        GROUP BY x.query_id
+    """
+
+# nDCG@k: relevance graded from the exact rank, every rel/log2(rank+1)
+# term quantized to 1e-6 micro-units BEFORE summing (order-independent
+# integer sums), ndcg = one exact int/int division.
+ORACLE["q_ndcg_eval"] = f"""
+        WITH {_HNSW_CTES_SQL}, rel AS (
+            SELECT query_id, cand_id, {TOP_K + 1} - rk AS rel, rk FROM exact
+        ), idcg AS (
+            SELECT query_id,
+                   CAST(sum(CAST(round(rel / log2(rk + 1.0) * 1000000.0)
+                                 AS BIGINT)) AS BIGINT) AS idcg6
+            FROM rel GROUP BY query_id
+        ), sd AS (
+            SELECT s.query_id,
+                   CAST(sum(CAST(round(coalesce(r.rel, 0)
+                                           / log2(s.rk + 1.0)
+                                           * 1000000.0) AS BIGINT)) AS BIGINT)
+                       AS dcg6
+            FROM stopk s
+            LEFT JOIN rel r ON r.query_id = s.query_id AND r.cand_id = s.cand_id
+            GROUP BY s.query_id
+        ), hd AS (
+            SELECT h.query_id,
+                   CAST(sum(CAST(round(coalesce(r.rel, 0)
+                                           / log2(h.rk + 1.0)
+                                           * 1000000.0) AS BIGINT)) AS BIGINT)
+                       AS dcg6
+            FROM htopk h
+            LEFT JOIN rel r ON r.query_id = h.query_id AND r.cand_id = h.cand_id
+            GROUP BY h.query_id
+        )
+        SELECT 'lsh_1probe' AS index_name, i.query_id,
+               coalesce(s.dcg6, 0) AS dcg6, i.idcg6,
+               round(coalesce(s.dcg6, 0) * 1.0 / i.idcg6, 6) AS ndcg_at_k
+        FROM idcg i LEFT JOIN sd s ON s.query_id = i.query_id
+        UNION ALL
+        SELECT 'hnsw_layered' AS index_name, i.query_id,
+               coalesce(h.dcg6, 0) AS dcg6, i.idcg6,
+               round(coalesce(h.dcg6, 0) * 1.0 / i.idcg6, 6) AS ndcg_at_k
+        FROM idcg i LEFT JOIN hd h ON h.query_id = i.query_id
+    """

@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kitkat_spark.operators.payloads import build_kpl_blobs
+from kitkat_spark.operators.temporal import SP_K, SP_N
 from kitkat_spark.sources import load_table
 from kitkat_spark.streaming.consumer import ConsumeOptions, consume
 from kitkat_spark.streaming.pipeline import consume_transform
@@ -1309,7 +1310,9 @@ ORACLE: dict[str, str] = {
     # (same merge rule: new session when gap >= 30 min; same sealing
     # boundary: session end = max(ts)+30min <= max(ts)-10min), then
     # q_session_paths' path/rank arithmetic over only the sealed set.
-    "q_stream_session_paths": """
+    # f-string (round-11 advice): SP_N/SP_K interpolate from temporal.py so
+    # the oracle cannot silently desync from the Spark side's constants
+    "q_stream_session_paths": f"""
         WITH x AS (
             SELECT user_id, ts, event_id, event_type,
                    CASE WHEN lag(ts) OVER w IS NULL
@@ -1340,14 +1343,14 @@ ORACLE: dict[str, str] = {
         paths AS (
             SELECT user_id, sid,
                    string_agg(event_type, '>' ORDER BY ts, event_id) AS path
-            FROM ranked WHERE rn <= 3
+            FROM ranked WHERE rn <= {SP_N}
             GROUP BY 1, 2
         ),
         counts AS (
             SELECT path, count(*) AS n_sessions FROM paths GROUP BY 1
         ),
         top AS (
-            SELECT * FROM counts ORDER BY n_sessions DESC, path LIMIT 15
+            SELECT * FROM counts ORDER BY n_sessions DESC, path LIMIT {SP_K}
         )
         SELECT CAST(row_number() OVER (ORDER BY n_sessions DESC, path) AS INT)
                    AS rk,
