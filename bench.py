@@ -245,6 +245,11 @@ HEADLINE = [
     "q_gram_blocked",
     "q_lm_calibration",
     "q_stream_session_paths",
+    # round-12 additions
+    "q_ann_hnsw",
+    "q_ann_recall_hnsw",
+    "q_ndcg_eval",
+    "q_lsh_tuning",
     # Excluded on purpose (NOT a silent cap): q_cc_chain is the adversarial
     # deep-diameter CC verification query — it deliberately runs ~25 star
     # rounds on a path graph, so its wall time is per-round scheduler

@@ -69,7 +69,13 @@ def _build_parser() -> argparse.ArgumentParser:
         help="produce in KPL aggregated record format (produce.go:27; the "
         "reference declares this flag but never wires it — here it is real)",
     )
-    pr.add_argument("--source", required=True, help="directory of newline-delimited text")
+    pr.add_argument(
+        "--source",
+        required=True,
+        help="directory of newline-delimited text, or '-' to read stdin "
+        "(the reference's headline mode: `cat file | kitkat produce`, "
+        "producer/producer.go:30-36 via command/produce.go:41)",
+    )
 
     info = sub.add_parser("info", help="stream description table (consumer.go:88)")
     info.add_argument("--stream", "-s", required=True)
@@ -148,6 +154,21 @@ def _cmd_consume(args: argparse.Namespace) -> int:
     return 0
 
 
+def _spool_stdin() -> str:
+    """Literal-stdin parity (producer/producer.go:30-36, the reference's
+    `cat file | kitkat produce` UX): spool the pipe into a temp text dir so
+    the identical streaming pipeline replays it. The spool is the
+    unavoidable batch boundary — Spark's file text source can't tail an
+    anonymous pipe — and is bounded by whatever the caller pipes in."""
+    import shutil
+    import tempfile
+
+    tmpdir = tempfile.mkdtemp(prefix="kitkat_stdin_")
+    with open(os.path.join(tmpdir, "stdin.txt"), "w") as fh:
+        shutil.copyfileobj(sys.stdin, fh)
+    return tmpdir
+
+
 def _cmd_produce(args: argparse.Namespace) -> int:
     spark = get_spark(app_name="kitkat-produce")
     from kitkat_spark.streaming.producer import kinesis_put_records, line_source
@@ -157,14 +178,23 @@ def _cmd_produce(args: argparse.Namespace) -> int:
     except NotImplementedError as exc:
         print(f"error: {exc}", file=sys.stderr)
         return 1
-    q = produce(
-        line_source(spark, args.source),
-        put,
-        key=args.key,
-        verbose=args.verbose,
-        aggregated=args.aggregated,
-    )
-    q.awaitTermination()
+    source, tmpdir = args.source, None
+    if source == "-":
+        source = tmpdir = _spool_stdin()
+    try:
+        q = produce(
+            line_source(spark, source),
+            put,
+            key=args.key,
+            verbose=args.verbose,
+            aggregated=args.aggregated,
+        )
+        q.awaitTermination()
+    finally:
+        if tmpdir is not None:
+            import shutil
+
+            shutil.rmtree(tmpdir, ignore_errors=True)
     return 0
 
 

@@ -552,6 +552,78 @@ def q_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+LSH_TUNE_ROWS = (1, 2, 4, 8, 16, 32)  # r per config; bands = MINHASH_K // r
+
+
+def _pow_sq(col, k: int):
+    """col ** (2**k) by repeated squaring — multiplication only, so both
+    engines compute the identical IEEE double (no pow() library variance,
+    the reason the tuning grid is restricted to power-of-two r)."""
+    for _ in range(k):
+        col = col * col
+    return col
+
+
+def q_lsh_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banding S-curve audit (Leskovec, Rajaraman & Ullman, "Mining of
+    Massive Datasets" ch. 3 — public literature): for every carving of the
+    k=32 MinHash signature into b bands of r rows (b*r = 32, r a power of
+    two), a pair with Jaccard j is caught with probability
+    1 - (1 - j^r)^b. Evaluated over the MEASURED candidate-pair population
+    (q_minhash_accuracy's pairs and their exact Jaccards — the honest
+    population available without an all-pairs pass, stated bias: pairs the
+    current 8x4 banding never surfaces are absent), each config reports
+    its expected recall on true near-dups (j >= threshold) and its
+    expected catch rate on sub-threshold pairs — the data-driven way to
+    pick (b, r), next to q_minhash_accuracy's sketch-error measurement.
+
+    Exactness: r and 32/r are powers of two, so j^r and (1-j^r)^(32/r)
+    compute by REPEATED SQUARING — pure multiplication, bit-identical
+    across engines; per-pair probabilities quantize to 1e-6 micro-units
+    before the order-independent integer sums; each mean is one exact
+    division of those sums. Shape: rides the audited candidate pipeline,
+    then a 6x constant fan-out and one schema-bounded (6-row) aggregation
+    — nothing new shuffles at any corpus size."""
+    pairs = q_minhash_accuracy(spark, sf_dir).select("jaccard_exact")
+    j = F.col("jaccard_exact")
+    configs = []
+    for r in LSH_TUNE_ROWS:
+        k = r.bit_length() - 1  # r = 2^k
+        miss = _pow_sq(F.lit(1.0) - _pow_sq(j, k), 5 - k)  # (1-j^r)^(32/r)
+        configs.append(
+            F.struct(
+                F.lit(MINHASH_K // r).alias("n_bands"),
+                F.lit(r).alias("n_rows"),
+                (F.lit(1.0) - miss).alias("p"),
+            )
+        )
+    cfg = pairs.select(
+        j.alias("j"), F.explode(F.array(*configs)).alias("c")
+    ).select("j", "c.n_bands", "c.n_rows", "c.p")
+    p6 = F.round(F.col("p") * 1e6).cast("long")
+    is_dup = F.col("j") >= F.lit(JACCARD_THRESHOLD)
+    agg = cfg.groupBy("n_bands", "n_rows").agg(
+        F.sum(is_dup.cast("long")).alias("n_dup_pairs"),
+        F.sum((~is_dup).cast("long")).alias("n_nondup_pairs"),
+        F.sum(F.when(is_dup, p6).otherwise(F.lit(0))).alias("p6_dup"),
+        F.sum(F.when(~is_dup, p6).otherwise(F.lit(0))).alias("p6_nondup"),
+    )
+    return agg.select(
+        "n_bands",
+        "n_rows",
+        "n_dup_pairs",
+        "n_nondup_pairs",
+        F.when(
+            F.col("n_dup_pairs") > 0,
+            F.round(F.col("p6_dup") / (F.col("n_dup_pairs") * F.lit(1e6)), 6),
+        ).alias("exp_recall_dup"),
+        F.when(
+            F.col("n_nondup_pairs") > 0,
+            F.round(F.col("p6_nondup") / (F.col("n_nondup_pairs") * F.lit(1e6)), 6),
+        ).alias("exp_catch_nondup"),
+    )
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash64 near-dup pairs with Hamming <= 3 via 4x16-bit band join.
 
@@ -826,3 +898,82 @@ ORACLE: dict[str, str] = {
         SELECT doc_a, doc_b, hamming FROM cand WHERE hamming <= {SIMHASH_MAX_HAMMING}
     """,
 }
+
+def _sq_sql(expr: str, k: int) -> str:
+    """SQL text for expr ** (2**k) by repeated squaring — the textual twin
+    of _pow_sq, so DuckDB executes the same multiplication tree."""
+    for _ in range(k):
+        expr = f"({expr} * {expr})"
+    return expr
+
+
+_TUNE_CONFIGS = "\n            UNION ALL ".join(
+    f"SELECT j, {MINHASH_K // r} AS n_bands, {r} AS n_rows, "
+    f"1.0 - {_sq_sql(f'(1.0 - {_sq_sql(chr(106), r.bit_length() - 1)})', 5 - (r.bit_length() - 1))} AS p FROM jp"
+    for r in LSH_TUNE_ROWS
+)
+
+# Rides the q_minhash_accuracy pair chain (exact Jaccard only), then the
+# repeated-squaring S-curve per power-of-two config and micro-unit sums.
+ORACLE["q_lsh_tuning"] = f"""
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        ), sh AS (
+            SELECT DISTINCT doc_id,
+                   ('0x' || substr(md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2]), 1, 15))::BIGINT
+                       % {MINHASH_PRIME} AS h
+            FROM toks, UNNEST(generate_series(1, len(w) - 2)) AS t(i)
+            WHERE len(w) >= 3
+        ), sig AS (
+            SELECT doc_id, count(*) AS n_sh,
+                   {_SIG_MINS}
+            FROM sh GROUP BY doc_id
+        ), bands AS (
+            {_BAND_SELECTS}
+        ), bsz AS (
+            SELECT band_id, key, count(*) AS c FROM bands GROUP BY 1, 2
+        ), cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a
+            JOIN bands b ON a.band_id = b.band_id AND a.key = b.key
+                        AND a.doc_id < b.doc_id
+            JOIN bsz s ON s.band_id = a.band_id AND s.key = a.key
+                      AND s.c BETWEEN 2 AND {LSH_MAX_BUCKET}
+        ), common AS (
+            SELECT c.doc_a, c.doc_b, count(*) AS n_common
+            FROM cand c
+            JOIN sh x ON x.doc_id = c.doc_a
+            JOIN sh y ON y.doc_id = c.doc_b AND x.h = y.h
+            GROUP BY 1, 2
+        ), jp AS (
+            SELECT round(coalesce(m.n_common, 0) * 1.0
+                         / (na.n_sh + nb.n_sh - coalesce(m.n_common, 0)), 4) AS j
+            FROM cand c
+            LEFT JOIN common m ON m.doc_a = c.doc_a AND m.doc_b = c.doc_b
+            JOIN sig na ON c.doc_a = na.doc_id
+            JOIN sig nb ON c.doc_b = nb.doc_id
+        ), cfg AS (
+            {_TUNE_CONFIGS}
+        ), agg AS (
+            SELECT n_bands, n_rows,
+                   CAST(sum(CASE WHEN j >= {JACCARD_THRESHOLD} THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_dup_pairs,
+                   CAST(sum(CASE WHEN j < {JACCARD_THRESHOLD} THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_nondup_pairs,
+                   CAST(sum(CASE WHEN j >= {JACCARD_THRESHOLD}
+                            THEN CAST(round(p * 1000000.0) AS BIGINT)
+                            ELSE 0 END) AS BIGINT) AS p6_dup,
+                   CAST(sum(CASE WHEN j < {JACCARD_THRESHOLD}
+                            THEN CAST(round(p * 1000000.0) AS BIGINT)
+                            ELSE 0 END) AS BIGINT) AS p6_nondup
+            FROM cfg GROUP BY 1, 2
+        )
+        SELECT n_bands, n_rows, n_dup_pairs, n_nondup_pairs,
+               CASE WHEN n_dup_pairs > 0
+                    THEN round(p6_dup / (n_dup_pairs * 1000000.0), 6)
+               END AS exp_recall_dup,
+               CASE WHEN n_nondup_pairs > 0
+                    THEN round(p6_nondup / (n_nondup_pairs * 1000000.0), 6)
+               END AS exp_catch_nondup
+        FROM agg
+    """

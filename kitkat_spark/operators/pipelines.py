@@ -407,19 +407,60 @@ def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\+[0-9]{1,3}-[0-9]{3,4}-[0-9]{3,4}"
+PII_IBAN_RE = r"[A-Z]{2}[0-9]{2}[A-Z0-9]{10,30}"
+PII_ID_RE = r"[0-9]+"
+
+
 def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PII redaction pass: mask digit runs in customer names, report how much
-    was redacted. Pure codegen regexp — the 100 TB shape is a narrow map with
-    zero shuffle; the same expression slots into any ingest pipeline. (The
-    synthetic corpus has no emails/phones, so the ID-number pattern is the
-    nonvacuous one — every fixture name carries a digit run.)"""
+    """PII redaction battery over four classes — emails, separator phones,
+    IBAN-shaped account ids, leftover digit runs — applied in that order so
+    each class is counted on the text the previous classes already
+    scrubbed (digits inside an email never double-count as an ID run).
+    Pure codegen regexp_replace/regexp_count: the 100 TB shape is a narrow
+    zero-shuffle map, and the patterns are the deliberately-portable
+    subset (no lookaround/backrefs) that Java regex and RE2 share.
+
+    The synthetic corpus carries no contact strings, so the input is a
+    DETERMINISTIC contact card synthesized per customer from key fields
+    (name + derived email/phone/IBAN) — both engines construct the
+    identical string, making the battery non-vacuous for every class AND
+    oracle-replayable, which plain fixture text could not give. The
+    redaction expressions themselves are input-agnostic."""
     customer = load_table(spark, sf_dir, "customer")
-    n_digits = F.length("c_name") - F.length(F.regexp_replace("c_name", "[0-9]", ""))
+    key = F.col("c_custkey")
+    email = F.concat(
+        F.lower("c_mktsegment"), F.lit("."), key.cast("string"), F.lit("@example.com")
+    )
+    phone = F.concat(
+        F.lit("+1-"),
+        F.lpad(((key % 900) + 100).cast("string"), 3, "0"),
+        F.lit("-"),
+        F.lpad(((key % 100000) * 7 % 10000).cast("string"), 4, "0"),
+    )
+    iban = F.concat(
+        F.lit("DE"),
+        F.lpad(((key % 89) + 10).cast("string"), 2, "0"),
+        F.lpad(((key % 100000) * 131071 % 10000000000).cast("string"), 16, "0"),
+    )
+    step0 = F.concat_ws(" ", F.col("c_name"), email, phone, iban)
+    step1 = F.regexp_replace(step0, PII_EMAIL_RE, "<EMAIL>")
+    step2 = F.regexp_replace(step1, PII_PHONE_RE, "<PHONE>")
+    step3 = F.regexp_replace(step2, PII_IBAN_RE, "<IBAN>")
+    step4 = F.regexp_replace(step3, PII_ID_RE, "<ID>")
+    n_emails = F.regexp_count(step0, F.lit(PII_EMAIL_RE)).cast("int")
+    n_phones = F.regexp_count(step1, F.lit(PII_PHONE_RE)).cast("int")
+    n_ibans = F.regexp_count(step2, F.lit(PII_IBAN_RE)).cast("int")
+    n_ids = F.regexp_count(step3, F.lit(PII_ID_RE)).cast("int")
     return customer.select(
         "c_custkey",
-        F.regexp_replace("c_name", "[0-9]+", "<ID>").alias("redacted"),
-        n_digits.alias("n_digits"),
-        (n_digits > 0).alias("had_pii"),
+        step4.alias("redacted"),
+        n_emails.alias("n_emails"),
+        n_phones.alias("n_phones"),
+        n_ibans.alias("n_ibans"),
+        n_ids.alias("n_ids"),
+        ((n_emails + n_phones + n_ibans + n_ids) > 0).alias("had_pii"),
     )
 
 
@@ -1507,14 +1548,46 @@ ORACLE: dict[str, str] = {
             FROM scored
         ) WHERE rn = 1
     """,
-    "q_pii_redact": """
-        SELECT c_custkey,
-               regexp_replace(c_name, '[0-9]+', '<ID>', 'g') AS redacted,
-               CAST(length(c_name) - length(regexp_replace(c_name, '[0-9]', '', 'g')) AS INT)
-                   AS n_digits,
-               length(c_name) - length(regexp_replace(c_name, '[0-9]', '', 'g')) > 0
-                   AS had_pii
-        FROM customer
+    # replays the contact-card synthesis, then the ordered 4-class battery
+    # (each class counted on the text the previous classes scrubbed)
+    "q_pii_redact": f"""
+        WITH card AS (
+            SELECT c_custkey,
+                   c_name || ' '
+                   || lower(c_mktsegment) || '.' || c_custkey || '@example.com'
+                   || ' +1-' || lpad(CAST(c_custkey % 900 + 100 AS VARCHAR), 3, '0')
+                   || '-' || lpad(CAST((c_custkey % 100000) * 7 % 10000 AS VARCHAR),
+                                  4, '0')
+                   || ' DE' || lpad(CAST(c_custkey % 89 + 10 AS VARCHAR), 2, '0')
+                   || lpad(CAST((c_custkey % 100000) * 131071 % 10000000000
+                                AS VARCHAR), 16, '0') AS s0
+            FROM customer
+        ), steps AS (
+            SELECT c_custkey, s0,
+                   regexp_replace(s0, '{PII_EMAIL_RE}', '<EMAIL>', 'g') AS s1
+            FROM card
+        ), steps2 AS (
+            SELECT *, regexp_replace(s1, '{PII_PHONE_RE}', '<PHONE>', 'g') AS s2
+            FROM steps
+        ), steps3 AS (
+            SELECT *, regexp_replace(s2, '{PII_IBAN_RE}', '<IBAN>', 'g') AS s3
+            FROM steps2
+        ), counted AS (
+            SELECT c_custkey,
+                   regexp_replace(s3, '{PII_ID_RE}', '<ID>', 'g') AS redacted,
+                   CAST(len(regexp_extract_all(s0, '{PII_EMAIL_RE}')) AS INT)
+                       AS n_emails,
+                   CAST(len(regexp_extract_all(s1, '{PII_PHONE_RE}')) AS INT)
+                       AS n_phones,
+                   CAST(len(regexp_extract_all(s2, '{PII_IBAN_RE}')) AS INT)
+                       AS n_ibans,
+                   CAST(len(regexp_extract_all(s3, '{PII_ID_RE}')) AS INT)
+                       AS n_ids
+            FROM steps3
+        )
+        SELECT c_custkey, redacted, n_emails, n_phones, n_ibans, n_ids,
+               (n_emails + n_phones + n_ibans + n_ids) > 0 AS had_pii
+        FROM counted
     """,
     "q_funnel": """
         WITH per_user AS (

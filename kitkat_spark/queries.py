@@ -99,76 +99,82 @@ for _m in _MODULES:
             _ALL[_name] = _cache_scoped(getattr(_m, _name))
     ORACLES.update(getattr(_m, "ORACLE", {}))
 
-# The 50 driver-verified slots this round (round 11). Blocks, per the
-# staleness gate (tests/test_driver_staleness.py) and the round-10 verdict:
-# (a) the gate's 37 violations — r7 greens whose host modules changed since
-# the r7 snapshot commit (round 10 touched similarity/corpus/pipelines/
-# temporal/tpchx/multimodal/dedup/textops/streamparity/analytic; round 11
-# touches several again); (b) the five queries NEW this round — never
-# driver-verified, always forced; (c) eight rotations of the four-round-old
-# r6 greens in UNCHANGED modules (not forced; refreshed proactively,
-# oldest evidence first). 37+5+8 = 50.
+# The 50 driver-verified slots this round (round 12). Blocks, per the
+# staleness gate (tests/test_driver_staleness.py) and the round-11 verdict:
+# (a) the gate's 38 violations — r8 greens whose host modules changed since
+# the r8 snapshot commit; (b) the four queries NEW this round — never
+# driver-verified, always forced; (c) three queries whose behavior or
+# oracle CHANGED this round (pii battery broadened, gram guard made
+# layout-independent, tclose NULL-lang coalesce) — fresh r11 greens, but
+# stale evidence the moment the semantics moved; (d) the three r6 greens
+# queued first for rotation by the round-11 plan (skew/runtimefilter,
+# unchanged modules); (e) two rotations of the oldest remaining r7 greens
+# (warehouse, unchanged). 38+4+3+3+2 = 50.
 _VERIFY_FIRST = [
-    # -- (a) the gate's 37 violations (r7 greens in changed modules) --
-    "q_ann_ivf",
-    "q_ann_multiprobe",
-    "q_ann_recall",
-    "q_asof_join",
-    "q_bigram_lm",
-    "q_centroid_assign",
-    "q_chunk_docs",
-    "q_cohort_retention",
-    "q_consume_plain",
-    "q_corpus_mix",
-    "q_cross_join_grid",
-    "q_dup_rate_by_source",
-    "q_event_growth",
-    "q_frame_sample",
-    "q_funnel",
-    "q_idle_customers",
-    "q_in_subquery",
-    "q_knn_classify",
-    "q_label_centroid",
-    "q_late_priority_lines",
-    "q_length_outliers",
-    "q_media_resize",
-    "q_minhash_accuracy",
-    "q_mix_rebalance_rate",
-    "q_multimodal_decode",
-    "q_near_dedup",
-    "q_pack_sequences",
-    "q_part_supplier_count",
-    "q_pii_redact",
-    "q_quality_score",
-    "q_repetition_filter",
-    "q_sessionize",
-    "q_shard_status",
-    "q_small_qty_revenue",
-    "q_stateful_profile",
-    "q_stream_enrich",
-    "q_waiting_orders",
+    # -- (a) the gate's 38 violations (r8 greens in changed modules) --
+    "q_ann_kmeans_ivf",
+    "q_ann_recall_multiprobe",
+    "q_anomaly_zscore",
+    "q_bm25",
+    "q_bucketed_join",
+    "q_canonical_docs",
+    "q_cc_chain",
+    "q_consume_dlq",
+    "q_consume_pipeline",
+    "q_consume_since",
+    "q_count_min",
+    "q_dedup",
+    "q_dedup_apply",
+    "q_dedup_clusters",
+    "q_dedup_verify",
+    "q_edit_dedup",
+    "q_embedding_near_dup",
+    "q_fingerprint",
+    "q_format_roundtrip",
+    "q_gap_fill",
+    "q_groupmap_normalize",
+    "q_lang_id",
+    "q_multimodal",
+    "q_ngram_jaccard",
+    "q_oov_rate",
+    "q_pack_efficiency",
+    "q_pagerank",
+    "q_partition_prune",
+    "q_passjoin_dedup",
+    "q_quantile_sketch",
+    "q_shuffle_shards",
+    "q_stream_gap_fill",
+    "q_stream_mix_rebalance",
+    "q_stream_sliding",
+    "q_stream_tumbling",
+    "q_text_analysis",
+    "q_token_count",
+    "q_vocab",
     # -- (b) new this round --
-    "q_tclose_audit",          # NEW: t-closeness EMD audit (privacy.py)
-    "q_lcp_dedup",             # NEW: exact-substring maximal-span dedup
-    "q_gram_blocked",          # NEW: large-D Gram via partition BLAS
-    "q_lm_calibration",        # NEW: reliability diagram over q_lm_score
-    "q_stream_session_paths",  # NEW: streaming top-K session paths
-    # -- (c) rotation: eight of the eleven r6 greens (unchanged modules) --
-    "q_sort_limit",
-    "q_agg_group",
-    "q_agg_distinct",
-    "q_string_agg",
-    "q_pivot",
-    "q_posexplode",
-    "q_window_frame",
-    "q_zlib",
-    # -- Re-verify-next-round tail (round 12): the three r6 greens still
-    # un-refreshed after this round's rotation — q_skew_join_auto
-    # q_skew_join_salted (skew) q_bloom_join (runtimefilter), all in
-    # UNCHANGED modules so the gate does not force them — take rotation
-    # slots first next round, then whatever round 11 leaves at r7 in
-    # changed modules. Every non-slotted query stays proven by the local
-    # parity suite (tests/test_oracle_parity.py, every run).
+    "q_ann_hnsw",         # NEW: HNSW-style layered ANN (similarity.py)
+    "q_ann_recall_hnsw",  # NEW: recall@10 audit, 1-probe vs layered
+    "q_ndcg_eval",        # NEW: graded nDCG@10 audit of the LSH family
+    "q_lsh_tuning",       # NEW: banding S-curve over measured Jaccards
+    # -- (c) changed this round (fresh greens, but semantics moved) --
+    "q_pii_redact",    # broadened to the 4-class battery
+    "q_gram_blocked",  # layout-independent ragged-D guard
+    "q_tclose_audit",  # NULL-lang sentinel on both engines
+    # -- (d) the r6 rotation queued by the round-11 plan --
+    "q_skew_join_auto",
+    "q_skew_join_salted",
+    "q_bloom_join",
+    # -- (e) rotation: oldest remaining greens (r7, unchanged modules) --
+    "q_merge_upsert",
+    "q_scd2",
+    # -- Re-verify-next-round tail (round 13): the remaining r7 greens
+    # (q_exists_join q_having_scalar q_count_distribution
+    # q_group_filter_join in warehouse; q_range_join q_json_funcs in
+    # relational; q_embedding_quantize in profiling — all unchanged
+    # modules, not gate-forced) take rotation slots first, then whatever
+    # round 12 leaves stale in changed modules (similarity/dedup/
+    # pipelines/privacy/streamparity moved this round). Every non-slotted
+    # query stays value-proven by the local parity suite
+    # (tests/test_oracle_parity.py, every run).
 ]
 
 assert len(_VERIFY_FIRST) == 50, len(_VERIFY_FIRST)
