@@ -685,7 +685,7 @@ def _ndcg_vs_exact(exact: DataFrame, approx: DataFrame, index_name: str) -> Data
         )
     )
     return (
-        idcg.join(dcg, "query_id", "left")
+        idcg.join(F.broadcast(dcg), "query_id", "left")
         .select(
             F.lit(index_name).alias("index_name"),
             "query_id",

@@ -130,6 +130,16 @@ SUBSET = [
     # real streaming run over 10x rows into the same hour x type window
     # state — cost tracks input rows, state tracks the watermark horizon
     "q_stream_gap_fill",
+    # round-12: the layered ANN must track the bucketed index build (~one
+    # scan + the <2x layer fan-out, never all-pairs); its recall audit adds
+    # the fixed-panel brute-force side; the S-curve audit rides the
+    # minhash-accuracy candidate pipeline (replica near-dups densify the
+    # pair population — the adversarial case); the PII battery is a
+    # stateless narrow map and must track the scan
+    "q_ann_hnsw",
+    "q_ann_recall_hnsw",
+    "q_lsh_tuning",
+    "q_pii_redact",
 ]
 
 
