@@ -116,8 +116,8 @@ HEADLINE = [
     "q_event_growth",
     "q_dup_rate_by_source",
     "q_corpus_pipeline",
-    # full-surface tail: every remaining registry query, so each of the
-    # 110 declared operators has per-round perf data
+    # full-surface tail: every remaining registry query, so every declared
+    # operator has per-round perf data
     "q_json_funcs",
     "q_stateful_profile",
     "q_consume_since",
