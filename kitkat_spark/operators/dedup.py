@@ -624,6 +624,111 @@ def q_lsh_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CROSS_SOURCE = "<cross>"
+NULL_SOURCE = "<null>"
+
+
+def q_lsh_source_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source banding S-curve: q_lsh_tuning's expected-recall /
+    expected-catch audit split by WHERE the near-dup mass lives — each
+    candidate pair is attributed to its source when both docs share one,
+    else to the '<cross>' class (NULL sources coalesce to a '<null>'
+    sentinel on both engines first — the q_tclose_audit lesson). Corpus
+    sources dedupe very differently (a crawl snapshot is near-dup-dense at
+    high Jaccard, a curated set sparse and borderline), so one global
+    (b, r) choice hides per-source recall cliffs; this is the table that
+    shows them, and whether duplication is intra-source (fix the source)
+    or cross-source (fix the pipeline).
+
+    Shape: the identical audited candidate pipeline (persisted signature
+    table, capped band-bucket self-join) — the ONE extra byte is the source
+    column carried through the signature table, so attribution costs zero
+    additional joins or shuffles; then the same 6x constant fan-out into a
+    (sources+1) x 6-row aggregate. Exactness as q_lsh_tuning: repeated
+    squaring only, 1e-6 micro-unit quantization before order-independent
+    integer sums, one exact division per mean."""
+    par = spark.sparkContext.defaultParallelism
+    docs = load_table(spark, sf_dir, "documents").repartition(par)
+    minhash_udf = make_minhash_udf(MINHASH_K)
+    src = F.coalesce(F.col("source"), F.lit(NULL_SOURCE))
+    sig = (
+        docs.select(
+            "doc_id",
+            src.alias("src"),
+            oracle_shingle_hashes(tokens(F.col("text")), SHINGLE_N).alias("sh"),
+        )
+        .filter(F.size("sh") > 0)
+        .select("doc_id", "src", "sh", minhash_udf(F.col("sh")).alias("sig"))
+        .persist()
+    )
+    banded = sig.select(
+        "doc_id",
+        F.posexplode(
+            band_slices(F.col("sig"), LSH_BANDS, LSH_ROWS)
+        ).alias("band_id", "band_key"),
+    )
+    cand = (
+        bucket_pairs(banded, ["band_id", "band_key"], "doc_id", LSH_MAX_BUCKET)
+        .select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
+        .distinct()
+    )
+    sa = sig.select(
+        F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"), F.col("src").alias("src_a")
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"), F.col("src").alias("src_b")
+    )
+    exact = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
+        F.array_union("sh_a", "sh_b")
+    )
+    pair_source = F.when(
+        F.col("src_a") == F.col("src_b"), F.col("src_a")
+    ).otherwise(F.lit(CROSS_SOURCE))
+    pairs = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(pair_source.alias("pair_source"), F.round(exact, 4).alias("j"))
+    )
+    j = F.col("j")
+    configs = []
+    for r in LSH_TUNE_ROWS:
+        k = r.bit_length() - 1  # r = 2^k
+        miss = _pow_sq(F.lit(1.0) - _pow_sq(j, k), 5 - k)  # (1-j^r)^(32/r)
+        configs.append(
+            F.struct(
+                F.lit(MINHASH_K // r).alias("n_bands"),
+                F.lit(r).alias("n_rows"),
+                (F.lit(1.0) - miss).alias("p"),
+            )
+        )
+    cfg = pairs.select(
+        "pair_source", j.alias("j"), F.explode(F.array(*configs)).alias("c")
+    ).select("pair_source", "j", "c.n_bands", "c.n_rows", "c.p")
+    p6 = F.round(F.col("p") * 1e6).cast("long")
+    is_dup = F.col("j") >= F.lit(JACCARD_THRESHOLD)
+    agg = cfg.groupBy("pair_source", "n_bands", "n_rows").agg(
+        F.sum(is_dup.cast("long")).alias("n_dup_pairs"),
+        F.sum((~is_dup).cast("long")).alias("n_nondup_pairs"),
+        F.sum(F.when(is_dup, p6).otherwise(F.lit(0))).alias("p6_dup"),
+        F.sum(F.when(~is_dup, p6).otherwise(F.lit(0))).alias("p6_nondup"),
+    )
+    return agg.select(
+        "pair_source",
+        "n_bands",
+        "n_rows",
+        "n_dup_pairs",
+        "n_nondup_pairs",
+        F.when(
+            F.col("n_dup_pairs") > 0,
+            F.round(F.col("p6_dup") / (F.col("n_dup_pairs") * F.lit(1e6)), 6),
+        ).alias("exp_recall_dup"),
+        F.when(
+            F.col("n_nondup_pairs") > 0,
+            F.round(F.col("p6_nondup") / (F.col("n_nondup_pairs") * F.lit(1e6)), 6),
+        ).alias("exp_catch_nondup"),
+    )
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash64 near-dup pairs with Hamming <= 3 via 4x16-bit band join.
 
@@ -907,11 +1012,18 @@ def _sq_sql(expr: str, k: int) -> str:
     return expr
 
 
-_TUNE_CONFIGS = "\n            UNION ALL ".join(
-    f"SELECT j, {MINHASH_K // r} AS n_bands, {r} AS n_rows, "
-    f"1.0 - {_sq_sql(f'(1.0 - {_sq_sql(chr(106), r.bit_length() - 1)})', 5 - (r.bit_length() - 1))} AS p FROM jp"
-    for r in LSH_TUNE_ROWS
-)
+def _tune_configs_sql(extra_cols: str = "") -> str:
+    """The 6-config S-curve fan-out as a UNION ALL over jp — shared by
+    q_lsh_tuning (no extra columns) and q_lsh_source_curve (pair_source
+    threaded through)."""
+    return "\n            UNION ALL ".join(
+        f"SELECT {extra_cols}j, {MINHASH_K // r} AS n_bands, {r} AS n_rows, "
+        f"1.0 - {_sq_sql(f'(1.0 - {_sq_sql(chr(106), r.bit_length() - 1)})', 5 - (r.bit_length() - 1))} AS p FROM jp"
+        for r in LSH_TUNE_ROWS
+    )
+
+
+_TUNE_CONFIGS = _tune_configs_sql()
 
 # Rides the q_minhash_accuracy pair chain (exact Jaccard only), then the
 # repeated-squaring S-curve per power-of-two config and micro-unit sums.
@@ -969,6 +1081,79 @@ ORACLE["q_lsh_tuning"] = f"""
             FROM cfg GROUP BY 1, 2
         )
         SELECT n_bands, n_rows, n_dup_pairs, n_nondup_pairs,
+               CASE WHEN n_dup_pairs > 0
+                    THEN round(p6_dup / (n_dup_pairs * 1000000.0), 6)
+               END AS exp_recall_dup,
+               CASE WHEN n_nondup_pairs > 0
+                    THEN round(p6_nondup / (n_nondup_pairs * 1000000.0), 6)
+               END AS exp_catch_nondup
+        FROM agg
+    """
+
+# The same pair chain with the coalesced source attributed per pair (same
+# source -> that source, else '<cross>'), then the shared S-curve fan-out
+# grouped one level deeper.
+ORACLE["q_lsh_source_curve"] = f"""
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        ), srcs AS (
+            SELECT doc_id, coalesce(source, '{NULL_SOURCE}') AS src
+            FROM documents
+        ), sh AS (
+            SELECT DISTINCT doc_id,
+                   ('0x' || substr(md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2]), 1, 15))::BIGINT
+                       % {MINHASH_PRIME} AS h
+            FROM toks, UNNEST(generate_series(1, len(w) - 2)) AS t(i)
+            WHERE len(w) >= 3
+        ), sig AS (
+            SELECT doc_id, count(*) AS n_sh,
+                   {_SIG_MINS}
+            FROM sh GROUP BY doc_id
+        ), bands AS (
+            {_BAND_SELECTS}
+        ), bsz AS (
+            SELECT band_id, key, count(*) AS c FROM bands GROUP BY 1, 2
+        ), cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a
+            JOIN bands b ON a.band_id = b.band_id AND a.key = b.key
+                        AND a.doc_id < b.doc_id
+            JOIN bsz s ON s.band_id = a.band_id AND s.key = a.key
+                      AND s.c BETWEEN 2 AND {LSH_MAX_BUCKET}
+        ), common AS (
+            SELECT c.doc_a, c.doc_b, count(*) AS n_common
+            FROM cand c
+            JOIN sh x ON x.doc_id = c.doc_a
+            JOIN sh y ON y.doc_id = c.doc_b AND x.h = y.h
+            GROUP BY 1, 2
+        ), jp AS (
+            SELECT CASE WHEN da.src = db.src THEN da.src
+                        ELSE '{CROSS_SOURCE}' END AS pair_source,
+                   round(coalesce(m.n_common, 0) * 1.0
+                         / (na.n_sh + nb.n_sh - coalesce(m.n_common, 0)), 4) AS j
+            FROM cand c
+            LEFT JOIN common m ON m.doc_a = c.doc_a AND m.doc_b = c.doc_b
+            JOIN sig na ON c.doc_a = na.doc_id
+            JOIN sig nb ON c.doc_b = nb.doc_id
+            JOIN srcs da ON da.doc_id = c.doc_a
+            JOIN srcs db ON db.doc_id = c.doc_b
+        ), cfg AS (
+            {_tune_configs_sql("pair_source, ")}
+        ), agg AS (
+            SELECT pair_source, n_bands, n_rows,
+                   CAST(sum(CASE WHEN j >= {JACCARD_THRESHOLD} THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_dup_pairs,
+                   CAST(sum(CASE WHEN j < {JACCARD_THRESHOLD} THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_nondup_pairs,
+                   CAST(sum(CASE WHEN j >= {JACCARD_THRESHOLD}
+                            THEN CAST(round(p * 1000000.0) AS BIGINT)
+                            ELSE 0 END) AS BIGINT) AS p6_dup,
+                   CAST(sum(CASE WHEN j < {JACCARD_THRESHOLD}
+                            THEN CAST(round(p * 1000000.0) AS BIGINT)
+                            ELSE 0 END) AS BIGINT) AS p6_nondup
+            FROM cfg GROUP BY 1, 2, 3
+        )
+        SELECT pair_source, n_bands, n_rows, n_dup_pairs, n_nondup_pairs,
                CASE WHEN n_dup_pairs > 0
                     THEN round(p6_dup / (n_dup_pairs * 1000000.0), 6)
                END AS exp_recall_dup,

@@ -407,6 +407,52 @@ def q_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN index build-cost audit: the bucket-occupancy histogram of the
+    stored sign-LSH layout (the q_ann_ivf / q_ann_multiprobe index) — for
+    every occupancy level, how many buckets hold exactly that many vectors,
+    how many vectors they hold in total, and the corpus fraction covered at
+    or below it. This is the number an IVF deployment reads BEFORE trusting
+    the index: expected 1-probe candidate volume is sum(c^2)/n (a uniform
+    query lands in a bucket of size c with probability c/n and scans c),
+    so the histogram's right tail IS the probe cost and the skew signal —
+    random-hyperplane LSH guarantees nothing about balance (Charikar,
+    STOC 2002: the planes equalize ANGULAR cells, not occupancy), so the
+    balance is measured, not assumed. Companion to q_ann_recall*'s quality
+    audits: recall tells you what the index finds, this tells you what it
+    costs.
+
+    Plan shape: rides the SAME persisted bucketed index the probe queries
+    use, then two combinable aggregations whose domains shrink fast —
+    n buckets, then <= distinct-occupancy rows (tens at any corpus size,
+    since the corpus-sized plane count pins E[occupancy] at
+    ~ANN_TARGET_BUCKET) — plus one broadcast of the 1-row total. The
+    cumulative fraction sums INTEGER vector counts inside a single-partition
+    window over that tiny histogram domain (never the corpus), and each
+    fraction is one exact long/long division rounded at 4 dp, so every
+    value replays bit-for-bit in the oracle."""
+    emb, _ = _bucketed_index(spark, sf_dir)
+    occ = emb.groupBy("bucket").agg(F.count("*").alias("bucket_size"))
+    hist = (
+        occ.groupBy("bucket_size")
+        .agg(F.count("*").alias("n_buckets"))
+        .select(
+            "bucket_size",
+            "n_buckets",
+            (F.col("bucket_size") * F.col("n_buckets")).alias("n_vectors"),
+        )
+    )
+    tot = hist.agg(F.sum("n_vectors").alias("n_total"))
+    w = W.orderBy("bucket_size").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return hist.crossJoin(F.broadcast(tot)).select(
+        "bucket_size",
+        "n_buckets",
+        "n_vectors",
+        F.round(F.col("n_vectors") / F.col("n_total"), 4).alias("frac_vectors"),
+        F.round(F.sum("n_vectors").over(w) / F.col("n_total"), 4).alias("cum_frac"),
+    )
+
+
 N_CENTROIDS = 8
 
 
@@ -2231,4 +2277,44 @@ ORACLE["q_ndcg_eval"] = f"""
                coalesce(h.dcg6, 0) AS dcg6, i.idcg6,
                round(coalesce(h.dcg6, 0) * 1.0 / i.idcg6, 6) AS ndcg_at_k
         FROM idcg i LEFT JOIN hd h ON h.query_id = i.query_id
+    """
+
+# Replays the shared sign-LSH bucket assignment (identical planes/buckets
+# CTEs as q_ann_ivf), then the two shrinking integer aggregations; the
+# cumulative fraction sums BIGINT vector counts before its one division, so
+# the window never accumulates floating error.
+ORACLE["q_ann_index_stats"] = f"""
+        WITH {_ANN_PARAMS_SQL}dims AS (
+            SELECT max(len(embedding)) AS d FROM embeddings
+        ), planes AS (
+            SELECT p, list_transform(generate_series(0, (SELECT d - 1 FROM dims)),
+                   d -> ('0x' || substr(md5('plane_' || p || '_' || d), 1, 15))::BIGINT
+                        / 1152921504606846976.0 * 2 - 1) AS pv
+            FROM UNNEST(generate_series(0, (SELECT np FROM params) - 1)) AS t(p)
+        ), e AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v
+            FROM embeddings WHERE len(embedding) > 0
+        ), buckets AS (
+            SELECT vec_id,
+                   sum(CASE WHEN list_dot_product(e.v, pl.pv) > 0
+                            THEN (1::BIGINT << pl.p) ELSE 0 END) AS bucket
+            FROM e, planes pl
+            GROUP BY vec_id
+        ), occ AS (
+            SELECT bucket, CAST(count(*) AS BIGINT) AS bucket_size
+            FROM buckets GROUP BY bucket
+        ), hist AS (
+            SELECT bucket_size, CAST(count(*) AS BIGINT) AS n_buckets,
+                   CAST(bucket_size * count(*) AS BIGINT) AS n_vectors
+            FROM occ GROUP BY bucket_size
+        ), tot AS (
+            SELECT CAST(sum(n_vectors) AS BIGINT) AS n_total FROM hist
+        )
+        SELECT bucket_size, n_buckets, n_vectors,
+               round(n_vectors * 1.0 / n_total, 4) AS frac_vectors,
+               round(CAST(sum(n_vectors) OVER (
+                         ORDER BY bucket_size
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS BIGINT) * 1.0 / n_total, 4) AS cum_frac
+        FROM hist, tot
     """

@@ -102,14 +102,14 @@ for _m in _MODULES:
 # The 50 driver-verified slots this round (round 12). Blocks, per the
 # staleness gate (tests/test_driver_staleness.py) and the round-11 verdict:
 # (a) the gate's 38 violations — r8 greens whose host modules changed since
-# the r8 snapshot commit; (b) the four queries NEW this round — never
-# driver-verified, always forced; (c) three queries whose behavior or
-# oracle CHANGED this round (pii battery broadened, gram guard made
-# layout-independent, tclose NULL-lang coalesce) — fresh r11 greens, but
-# stale evidence the moment the semantics moved; (d) the three r6 greens
-# queued first for rotation by the round-11 plan (skew/runtimefilter,
-# unchanged modules); (e) two rotations of the oldest remaining r7 greens
-# (warehouse, unchanged). 38+4+3+3+2 = 50.
+# the r8 snapshot commit; (b) the six queries NEW this round — never
+# driver-verified, always forced (the round-11 budget arithmetic: 38 forced
+# + 3 queued rotations leaves 9 free slots; 6 new + 3 changed fill them);
+# (c) three queries whose behavior or oracle CHANGED this round (pii
+# battery broadened, gram guard made layout-independent, tclose NULL-lang
+# coalesce) — fresh r11 greens, but stale evidence the moment the
+# semantics moved; (d) the three r6 greens queued first for rotation by
+# the round-11 plan (skew/runtimefilter, unchanged modules). 38+6+3+3 = 50.
 _VERIFY_FIRST = [
     # -- (a) the gate's 38 violations (r8 greens in changed modules) --
     "q_ann_kmeans_ivf",
@@ -155,6 +155,8 @@ _VERIFY_FIRST = [
     "q_ann_recall_hnsw",  # NEW: recall@10 audit, 1-probe vs layered
     "q_ndcg_eval",        # NEW: graded nDCG@10 audit of the LSH family
     "q_lsh_tuning",       # NEW: banding S-curve over measured Jaccards
+    "q_ann_index_stats",  # NEW: bucket-occupancy audit of the LSH index
+    "q_lsh_source_curve",  # NEW: the S-curve split per (coalesced) source
     # -- (c) changed this round (fresh greens, but semantics moved) --
     "q_pii_redact",    # broadened to the 4-class battery
     "q_gram_blocked",  # layout-independent ragged-D guard
@@ -163,17 +165,15 @@ _VERIFY_FIRST = [
     "q_skew_join_auto",
     "q_skew_join_salted",
     "q_bloom_join",
-    # -- (e) rotation: oldest remaining greens (r7, unchanged modules) --
-    "q_merge_upsert",
-    "q_scd2",
-    # -- Re-verify-next-round tail (round 13): the remaining r7 greens
-    # (q_exists_join q_having_scalar q_count_distribution
-    # q_group_filter_join in warehouse; q_range_join q_json_funcs in
-    # relational; q_embedding_quantize in profiling — all unchanged
-    # modules, not gate-forced) take rotation slots first, then whatever
-    # round 12 leaves stale in changed modules (similarity/dedup/
-    # pipelines/privacy/streamparity moved this round). Every non-slotted
-    # query stays value-proven by the local parity suite
+    # -- Re-verify-next-round tail (round 13): q_merge_upsert + q_scd2
+    # (the r7 warehouse rotations displaced this round by the two late
+    # additions) go first, then the remaining r7 greens (q_exists_join
+    # q_having_scalar q_count_distribution q_group_filter_join in
+    # warehouse; q_range_join q_json_funcs in relational;
+    # q_embedding_quantize in profiling — all unchanged modules, not
+    # gate-forced), then whatever round 12 leaves stale in changed modules
+    # (similarity/dedup/pipelines/privacy/streamparity moved this round).
+    # Every non-slotted query stays value-proven by the local parity suite
     # (tests/test_oracle_parity.py, every run).
 ]
 

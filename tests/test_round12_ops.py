@@ -174,3 +174,61 @@ def test_pii_redact_four_classes_nonvacuous(spark):
         for tag in ("<EMAIL>", "<PHONE>", "<IBAN>", "<ID>"):
             assert tag in r.redacted, r
         assert not any(c.isdigit() for c in r.redacted), r
+
+
+# ----------------------------------------------------- ANN index occupancy
+def test_ann_index_stats_mass_identity(spark):
+    """The histogram must conserve the corpus: per-row n_vectors is
+    bucket_size * n_buckets, their sum equals the count of non-empty
+    embeddings (every indexed vector in exactly one bucket), and the
+    cumulative fraction is strictly increasing in bucket_size, ending at
+    exactly 1.0."""
+    from kitkat_spark.operators.similarity import q_ann_index_stats
+    from kitkat_spark.sources import load_table
+
+    rows = sorted(q_ann_index_stats(spark, SF).collect(), key=lambda r: r.bucket_size)
+    assert rows, "empty histogram"
+    n_indexed = (
+        load_table(spark, SF, "embeddings").filter(F.size("embedding") > 0).count()
+    )
+    assert sum(r.n_vectors for r in rows) == n_indexed
+    for r in rows:
+        assert r.n_vectors == r.bucket_size * r.n_buckets, r
+        assert 0.0 < r.frac_vectors <= 1.0, r
+    cums = [r.cum_frac for r in rows]
+    assert cums == sorted(cums)
+    assert cums[-1] == 1.0
+
+
+# ----------------------------------------------------- per-source S-curve
+def test_lsh_source_curve_marginalizes_to_global(spark):
+    """Summing the per-source pair counts over all pair_source classes must
+    reproduce q_lsh_tuning's global counts for every (b, r) config — same
+    candidate pipeline, same threshold, just one extra grouping level —
+    and every pair_source is either a real corpus source or a sentinel."""
+    from kitkat_spark.operators.dedup import (
+        CROSS_SOURCE,
+        NULL_SOURCE,
+        q_lsh_source_curve,
+        q_lsh_tuning,
+    )
+    from kitkat_spark.sources import load_table
+
+    per_src = q_lsh_source_curve(spark, SF).collect()
+    assert per_src, "no candidate pairs at fixture scale"
+    glob = {(r.n_bands, r.n_rows): r for r in q_lsh_tuning(spark, SF).collect()}
+    sources = {
+        r.source
+        for r in load_table(spark, SF, "documents").select("source").distinct().collect()
+    }
+    allowed = {s for s in sources if s is not None} | {CROSS_SOURCE, NULL_SOURCE}
+    sums: dict[tuple[int, int], list[int]] = {}
+    for r in per_src:
+        assert r.pair_source in allowed, r
+        acc = sums.setdefault((r.n_bands, r.n_rows), [0, 0])
+        acc[0] += r.n_dup_pairs
+        acc[1] += r.n_nondup_pairs
+    assert set(sums) == set(glob)
+    for cfg, (ndup, nnon) in sums.items():
+        assert ndup == glob[cfg].n_dup_pairs, cfg
+        assert nnon == glob[cfg].n_nondup_pairs, cfg
