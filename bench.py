@@ -250,6 +250,8 @@ HEADLINE = [
     "q_ann_recall_hnsw",
     "q_ndcg_eval",
     "q_lsh_tuning",
+    "q_ann_index_stats",
+    "q_lsh_source_curve",
     # Excluded on purpose (NOT a silent cap): q_cc_chain is the adversarial
     # deep-diameter CC verification query — it deliberately runs ~25 star
     # rounds on a path graph, so its wall time is per-round scheduler

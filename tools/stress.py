@@ -140,6 +140,13 @@ SUBSET = [
     "q_ann_recall_hnsw",
     "q_lsh_tuning",
     "q_pii_redact",
+    # round-12 late additions: the occupancy histogram must track the index
+    # build (one scan + two shrinking aggs — the histogram domain is
+    # occupancy levels, never rows); the per-source S-curve rides the same
+    # pair-densified candidate population as q_lsh_tuning (emit-bound by
+    # construction, post-pair stage a (sources+1)x6-row aggregate)
+    "q_ann_index_stats",
+    "q_lsh_source_curve",
 ]
 
 
