@@ -24,8 +24,9 @@ def main() -> int:
     ap.add_argument("--threshold", type=float, default=1.3)
     args = ap.parse_args()
 
-    old = json.load(open(args.old))["queries"]
-    new = json.load(open(args.new))["queries"]
+    old_doc = json.load(open(args.old))
+    new_doc = json.load(open(args.new))
+    old, new = old_doc["queries"], new_doc["queries"]
     shared = sorted(set(old) & set(new))
     tot_o = sum(old[q] for q in shared)
     tot_n = sum(new[q] for q in shared)
@@ -33,6 +34,18 @@ def main() -> int:
         f"shared {len(shared)} queries: {tot_o:.1f}s -> {tot_n:.1f}s "
         f"({tot_n / tot_o:.2f}x)"
     )
+    # hardware-normalized ratio when both heads carry the round-11 verdict's
+    # calibration constants (bench.py conf.calib_spark_s: a fixed tiny Spark
+    # plan timed on the same machine right before the run) — this is the
+    # mechanical replacement for prose drift estimates in SCALE_NOTES
+    c_o = (old_doc.get("conf") or {}).get("calib_spark_s")
+    c_n = (new_doc.get("conf") or {}).get("calib_spark_s")
+    if c_o and c_n:
+        drift = c_n / c_o
+        print(
+            f"calib_spark_s {c_o:.3f} -> {c_n:.3f} (env drift {drift:.2f}x); "
+            f"normalized ratio {(tot_n / tot_o) / drift:.2f}x"
+        )
     regressed = []
     for q in shared:
         r = new[q] / max(old[q], 0.01)
