@@ -361,7 +361,7 @@ def main() -> None:
             "master": spark.sparkContext.master,
             "shuffle_partitions": spark.conf.get("spark.sql.shuffle.partitions"),
             "aqe": spark.conf.get("spark.sql.adaptive.enabled"),
-            "runs_per_query": "2",
+            "runs_per_query": 2,
             "report": "min (steady-state; first run pays per-plan codegen compile)",
             # machine-load context: single-run totals scatter +-8-15% with
             # background load (round-8 adjudication); loadavg at start/end
@@ -424,7 +424,7 @@ def main() -> None:
         "queries": slowest,
         "sf": out["sf"],
         "n_queries": len(timings),
-        "full_map": os.path.basename(local) if local else None,
+        "full_map": os.path.relpath(local, here) if local else None,
         "conf": {
             "runs_per_query": 2,
             "report": "min",

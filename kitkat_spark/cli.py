@@ -164,8 +164,16 @@ def _spool_stdin() -> str:
     import tempfile
 
     tmpdir = tempfile.mkdtemp(prefix="kitkat_stdin_")
-    with open(os.path.join(tmpdir, "stdin.txt"), "w") as fh:
-        shutil.copyfileobj(sys.stdin, fh)
+    try:
+        # byte-mode on both ends: text-mode stdin would raise on non-UTF-8
+        # input (or under a C locale) mid-spool; bytes are copied verbatim
+        # and Spark's text source does its own UTF-8 decoding, exactly as
+        # it would for a file the user passed directly
+        with open(os.path.join(tmpdir, "stdin.txt"), "wb") as fh:
+            shutil.copyfileobj(sys.stdin.buffer, fh)
+    except BaseException:
+        shutil.rmtree(tmpdir, ignore_errors=True)
+        raise
     return tmpdir
 
 

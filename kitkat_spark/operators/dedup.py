@@ -57,6 +57,11 @@ LSH_MAX_BUCKET = 1000
 EDIT_MAX_DIST = 12
 EDIT_BLOCK_WIDTH = 32
 EDIT_MAX_BUCKET = 500
+# Sentinels for per-source pair attribution (q_lsh_source_curve): a pair
+# whose docs disagree on source is '<cross>'; NULL sources coalesce to
+# '<null>' on BOTH engines first (the q_tclose_audit lesson).
+CROSS_SOURCE = "<cross>"
+NULL_SOURCE = "<null>"
 
 
 import numpy as np  # noqa: E402
@@ -427,43 +432,68 @@ def q_passjoin_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash(32) + LSH(8 bands x 4 rows) candidate pairs, exact-verified.
+def lsh_signatures_and_candidates(
+    spark: SparkSession, sf_dir: str, with_source: bool = False
+) -> tuple[DataFrame, DataFrame]:
+    """The audited MinHash-LSH candidate pipeline shared by q_near_dedup,
+    q_minhash_accuracy, and q_lsh_source_curve: a PERSISTED signature
+    table (doc_id[, src], shingle hashes, k-component signature) and the
+    unique candidate pairs from the capped band-bucket self-join.
 
-    Candidate generation cost is driven by band-bucket sizes, not corpus
-    size^2; the verify join re-reads only candidate docs' shingle sets.
-
-    Two deliberate scale moves:
+    Two deliberate scale moves (shared by every consumer):
     - shingles live as HASHES from the first pass (oracle_shingle_hashes:
-      md5-derived so the DuckDB twin reproduces values) — minhash, banding,
-      and the exact-Jaccard verify all run on longs.
-    - the signature table is persisted: it feeds the band self-join (twice)
-      and the verify join (twice); without reuse Spark recomputes the
-      shingle+minhash pipeline 4x (measured: 75% of query wall time). At
-      100 TB this materialization is the standard "signature table" layout —
-      tiny relative to the corpus (k longs + shingle hashes per doc).
-    """
+      md5-derived so the DuckDB twins reproduce values) — minhash, banding,
+      and every downstream exact-Jaccard compare run on longs.
+    - the signature table is persisted: it feeds the band self-join and
+      each consumer's pair joins; without reuse Spark recomputes the
+      shingle+minhash pipeline per consumer (measured: 75% of q_near_dedup
+      wall time). At 100 TB this materialization is the standard
+      "signature table" layout — tiny relative to the corpus (k longs +
+      shingle hashes per doc).
+
+    ``with_source`` threads the coalesced source column ('<null>' sentinel)
+    through the signature table — the one extra byte that makes per-source
+    attribution free downstream."""
     par = spark.sparkContext.defaultParallelism
     docs = load_table(spark, sf_dir, "documents").repartition(par)
     minhash_udf = make_minhash_udf(MINHASH_K)
+    cols = ["doc_id"]
+    if with_source:
+        docs = docs.withColumn(
+            "src", F.coalesce(F.col("source"), F.lit(NULL_SOURCE))
+        )
+        cols.append("src")
     sig = (
         docs.select(
-            "doc_id",
+            *cols,
             oracle_shingle_hashes(tokens(F.col("text")), SHINGLE_N).alias("sh"),
         )
         .filter(F.size("sh") > 0)
-        .select("doc_id", "sh", minhash_udf(F.col("sh")).alias("sig"))
-        .select(
-            "doc_id", "sh", band_slices(F.col("sig"), LSH_BANDS, LSH_ROWS).alias("bands")
-        )
+        .select(*cols, "sh", minhash_udf(F.col("sh")).alias("sig"))
         .persist()
     )
-    banded = sig.select("doc_id", F.posexplode("bands").alias("band_id", "band_key"))
+    banded = sig.select(
+        "doc_id",
+        F.posexplode(
+            band_slices(F.col("sig"), LSH_BANDS, LSH_ROWS)
+        ).alias("band_id", "band_key"),
+    )
     cand = (
         bucket_pairs(banded, ["band_id", "band_key"], "doc_id", LSH_MAX_BUCKET)
         .select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
         .distinct()
     )
+    return sig, cand
+
+
+def q_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(32) + LSH(8 bands x 4 rows) candidate pairs, exact-verified.
+
+    Candidate generation cost is driven by band-bucket sizes, not corpus
+    size^2; the verify join re-reads only candidate docs' shingle sets
+    (from the shared persisted signature table —
+    lsh_signatures_and_candidates for the scale rationale)."""
+    sig, cand = lsh_signatures_and_candidates(spark, sf_dir)
     sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     verified = (
@@ -496,34 +526,13 @@ def q_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     (Broder 1997); this query shows the realized spread at k=32 on real
     candidates, which is exactly what sets the banding thresholds.
 
-    Shape: identical to q_near_dedup's candidate pipeline (persisted
-    signature table, band-bucket self-join with the LSH_MAX_BUCKET cap)
-    plus one zip_with/aggregate comparison per pair — no new shuffle. The
-    estimate is an exact rational (int/32) and the exact Jaccard an exact
-    rational of set sizes, so every output value is engine-replayable."""
-    par = spark.sparkContext.defaultParallelism
-    docs = load_table(spark, sf_dir, "documents").repartition(par)
-    minhash_udf = make_minhash_udf(MINHASH_K)
-    sig = (
-        docs.select(
-            "doc_id",
-            oracle_shingle_hashes(tokens(F.col("text")), SHINGLE_N).alias("sh"),
-        )
-        .filter(F.size("sh") > 0)
-        .select("doc_id", "sh", minhash_udf(F.col("sh")).alias("sig"))
-        .persist()
-    )
-    banded = sig.select(
-        "doc_id",
-        F.posexplode(
-            band_slices(F.col("sig"), LSH_BANDS, LSH_ROWS)
-        ).alias("band_id", "band_key"),
-    )
-    cand = (
-        bucket_pairs(banded, ["band_id", "band_key"], "doc_id", LSH_MAX_BUCKET)
-        .select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
-        .distinct()
-    )
+    Shape: identical to q_near_dedup's candidate pipeline (the shared
+    lsh_signatures_and_candidates: persisted signature table, band-bucket
+    self-join with the LSH_MAX_BUCKET cap) plus one zip_with/aggregate
+    comparison per pair — no new shuffle. The estimate is an exact
+    rational (int/32) and the exact Jaccard an exact rational of set
+    sizes, so every output value is engine-replayable."""
+    sig, cand = lsh_signatures_and_candidates(spark, sf_dir)
     sa = sig.select(
         F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"), F.col("sig").alias("sig_a")
     )
@@ -552,7 +561,13 @@ def q_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
-LSH_TUNE_ROWS = (1, 2, 4, 8, 16, 32)  # r per config; bands = MINHASH_K // r
+# log2(MINHASH_K): the S-curve exponent (1 - j^r)^(K/r) is computed by
+# repeated squaring log2(K) - log2(r) times — derived from the signature
+# width so the curve can never silently desync if MINHASH_K is retuned
+_LOG2_K = MINHASH_K.bit_length() - 1
+assert MINHASH_K == 1 << _LOG2_K, "MINHASH_K must be a power of two"
+# r per config; bands = MINHASH_K // r
+LSH_TUNE_ROWS = tuple(1 << i for i in range(_LOG2_K + 1))
 
 
 def _pow_sq(col, k: int):
@@ -584,12 +599,24 @@ def q_lsh_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
     division of those sums. Shape: rides the audited candidate pipeline,
     then a 6x constant fan-out and one schema-bounded (6-row) aggregation
     — nothing new shuffles at any corpus size."""
-    pairs = q_minhash_accuracy(spark, sf_dir).select("jaccard_exact")
-    j = F.col("jaccard_exact")
+    pairs = q_minhash_accuracy(spark, sf_dir).select(
+        F.col("jaccard_exact").alias("j")
+    )
+    return s_curve(pairs)
+
+
+def s_curve(pairs: DataFrame, keys: tuple[str, ...] = ()) -> DataFrame:
+    """The banding S-curve fan-out + aggregation over a pair table with an
+    exact-Jaccard column ``j`` — shared by q_lsh_tuning (keys=()) and
+    q_lsh_source_curve (keys=('pair_source',)). Detection probabilities by
+    repeated squaring only, 1e-6 micro-unit quantization before the
+    order-independent integer sums, one exact division per mean (the
+    exactness contract both oracles replay textually)."""
+    j = F.col("j")
     configs = []
     for r in LSH_TUNE_ROWS:
         k = r.bit_length() - 1  # r = 2^k
-        miss = _pow_sq(F.lit(1.0) - _pow_sq(j, k), 5 - k)  # (1-j^r)^(32/r)
+        miss = _pow_sq(F.lit(1.0) - _pow_sq(j, k), _LOG2_K - k)  # (1-j^r)^(K/r)
         configs.append(
             F.struct(
                 F.lit(MINHASH_K // r).alias("n_bands"),
@@ -598,17 +625,18 @@ def q_lsh_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     cfg = pairs.select(
-        j.alias("j"), F.explode(F.array(*configs)).alias("c")
-    ).select("j", "c.n_bands", "c.n_rows", "c.p")
+        *keys, "j", F.explode(F.array(*configs)).alias("c")
+    ).select(*keys, "j", "c.n_bands", "c.n_rows", "c.p")
     p6 = F.round(F.col("p") * 1e6).cast("long")
     is_dup = F.col("j") >= F.lit(JACCARD_THRESHOLD)
-    agg = cfg.groupBy("n_bands", "n_rows").agg(
+    agg = cfg.groupBy(*keys, "n_bands", "n_rows").agg(
         F.sum(is_dup.cast("long")).alias("n_dup_pairs"),
         F.sum((~is_dup).cast("long")).alias("n_nondup_pairs"),
         F.sum(F.when(is_dup, p6).otherwise(F.lit(0))).alias("p6_dup"),
         F.sum(F.when(~is_dup, p6).otherwise(F.lit(0))).alias("p6_nondup"),
     )
     return agg.select(
+        *keys,
         "n_bands",
         "n_rows",
         "n_dup_pairs",
@@ -624,10 +652,6 @@ def q_lsh_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-CROSS_SOURCE = "<cross>"
-NULL_SOURCE = "<null>"
-
-
 def q_lsh_source_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source banding S-curve: q_lsh_tuning's expected-recall /
     expected-catch audit split by WHERE the near-dup mass lives — each
@@ -640,38 +664,12 @@ def q_lsh_source_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     shows them, and whether duplication is intra-source (fix the source)
     or cross-source (fix the pipeline).
 
-    Shape: the identical audited candidate pipeline (persisted signature
-    table, capped band-bucket self-join) — the ONE extra byte is the source
-    column carried through the signature table, so attribution costs zero
-    additional joins or shuffles; then the same 6x constant fan-out into a
-    (sources+1) x 6-row aggregate. Exactness as q_lsh_tuning: repeated
-    squaring only, 1e-6 micro-unit quantization before order-independent
-    integer sums, one exact division per mean."""
-    par = spark.sparkContext.defaultParallelism
-    docs = load_table(spark, sf_dir, "documents").repartition(par)
-    minhash_udf = make_minhash_udf(MINHASH_K)
-    src = F.coalesce(F.col("source"), F.lit(NULL_SOURCE))
-    sig = (
-        docs.select(
-            "doc_id",
-            src.alias("src"),
-            oracle_shingle_hashes(tokens(F.col("text")), SHINGLE_N).alias("sh"),
-        )
-        .filter(F.size("sh") > 0)
-        .select("doc_id", "src", "sh", minhash_udf(F.col("sh")).alias("sig"))
-        .persist()
-    )
-    banded = sig.select(
-        "doc_id",
-        F.posexplode(
-            band_slices(F.col("sig"), LSH_BANDS, LSH_ROWS)
-        ).alias("band_id", "band_key"),
-    )
-    cand = (
-        bucket_pairs(banded, ["band_id", "band_key"], "doc_id", LSH_MAX_BUCKET)
-        .select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
-        .distinct()
-    )
+    Shape: the identical audited candidate pipeline (the shared
+    lsh_signatures_and_candidates, with_source=True) — the ONE extra byte
+    is the source column carried through the persisted signature table, so
+    attribution costs zero additional joins or shuffles; then the shared
+    s_curve fan-out into a (sources+1) x 6-row aggregate."""
+    sig, cand = lsh_signatures_and_candidates(spark, sf_dir, with_source=True)
     sa = sig.select(
         F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"), F.col("src").alias("src_a")
     )
@@ -689,44 +687,7 @@ def q_lsh_source_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(sb, "doc_b")
         .select(pair_source.alias("pair_source"), F.round(exact, 4).alias("j"))
     )
-    j = F.col("j")
-    configs = []
-    for r in LSH_TUNE_ROWS:
-        k = r.bit_length() - 1  # r = 2^k
-        miss = _pow_sq(F.lit(1.0) - _pow_sq(j, k), 5 - k)  # (1-j^r)^(32/r)
-        configs.append(
-            F.struct(
-                F.lit(MINHASH_K // r).alias("n_bands"),
-                F.lit(r).alias("n_rows"),
-                (F.lit(1.0) - miss).alias("p"),
-            )
-        )
-    cfg = pairs.select(
-        "pair_source", j.alias("j"), F.explode(F.array(*configs)).alias("c")
-    ).select("pair_source", "j", "c.n_bands", "c.n_rows", "c.p")
-    p6 = F.round(F.col("p") * 1e6).cast("long")
-    is_dup = F.col("j") >= F.lit(JACCARD_THRESHOLD)
-    agg = cfg.groupBy("pair_source", "n_bands", "n_rows").agg(
-        F.sum(is_dup.cast("long")).alias("n_dup_pairs"),
-        F.sum((~is_dup).cast("long")).alias("n_nondup_pairs"),
-        F.sum(F.when(is_dup, p6).otherwise(F.lit(0))).alias("p6_dup"),
-        F.sum(F.when(~is_dup, p6).otherwise(F.lit(0))).alias("p6_nondup"),
-    )
-    return agg.select(
-        "pair_source",
-        "n_bands",
-        "n_rows",
-        "n_dup_pairs",
-        "n_nondup_pairs",
-        F.when(
-            F.col("n_dup_pairs") > 0,
-            F.round(F.col("p6_dup") / (F.col("n_dup_pairs") * F.lit(1e6)), 6),
-        ).alias("exp_recall_dup"),
-        F.when(
-            F.col("n_nondup_pairs") > 0,
-            F.round(F.col("p6_nondup") / (F.col("n_nondup_pairs") * F.lit(1e6)), 6),
-        ).alias("exp_catch_nondup"),
-    )
+    return s_curve(pairs, keys=("pair_source",))
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1016,11 +977,16 @@ def _tune_configs_sql(extra_cols: str = "") -> str:
     """The 6-config S-curve fan-out as a UNION ALL over jp — shared by
     q_lsh_tuning (no extra columns) and q_lsh_source_curve (pair_source
     threaded through)."""
-    return "\n            UNION ALL ".join(
-        f"SELECT {extra_cols}j, {MINHASH_K // r} AS n_bands, {r} AS n_rows, "
-        f"1.0 - {_sq_sql(f'(1.0 - {_sq_sql(chr(106), r.bit_length() - 1)})', 5 - (r.bit_length() - 1))} AS p FROM jp"
-        for r in LSH_TUNE_ROWS
-    )
+    parts = []
+    for r in LSH_TUNE_ROWS:
+        k = r.bit_length() - 1  # r = 2^k
+        jr = _sq_sql("j", k)
+        miss = _sq_sql(f"(1.0 - {jr})", _LOG2_K - k)  # (1-j^r)^(K/r)
+        parts.append(
+            f"SELECT {extra_cols}j, {MINHASH_K // r} AS n_bands, {r} AS n_rows, "
+            f"1.0 - {miss} AS p FROM jp"
+        )
+    return "\n            UNION ALL ".join(parts)
 
 
 _TUNE_CONFIGS = _tune_configs_sql()

@@ -21,6 +21,9 @@ from kitkat_spark.sources import load_table
 
 K_ANON = 5  # classes smaller than this are re-identification risks
 KANON_LEN_BAND = 100  # n_chars quantization for the quasi-identifier
+# NULL-sensitive-value sentinel, interpolated into BOTH engines' groupBys
+# (same spelling convention as dedup.NULL_SOURCE)
+NULL_LANG = "<null>"
 
 
 def q_kanon_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -135,7 +138,7 @@ def q_tclose_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     TVD sum at the inner marginal join (NULL keys never match) — keeping
     class accounting consistent with q_kanon_audit/q_ldiv_audit."""
     docs = load_table(spark, sf_dir, "documents").withColumn(
-        "lang", F.coalesce(F.col("lang"), F.lit("<null>"))
+        "lang", F.coalesce(F.col("lang"), F.lit(NULL_LANG))
     )
     cell = docs.groupBy(
         "source",
@@ -301,7 +304,7 @@ ORACLE: dict[str, str] = {
     # double division rounded 6 dp.
     "q_tclose_audit": f"""
         WITH d AS (
-            SELECT source, n_chars, coalesce(lang, '<null>') AS lang
+            SELECT source, n_chars, coalesce(lang, '{NULL_LANG}') AS lang
             FROM documents
         ), cell AS (
             SELECT source, n_chars // {KANON_LEN_BAND} AS len_band, lang,

@@ -336,6 +336,13 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # zero norm (NaN cosine) — excluded inside _bucketed_index, as the
     # oracle does
     emb, _ = _bucketed_index(spark, sf_dir)
+    return _ann_ivf_from(emb)
+
+
+def _ann_ivf_from(emb: DataFrame) -> DataFrame:
+    """Single-probe top-k over a prebuilt bucketed index — q_ann_ivf's
+    probe stage, shared with the recall/nDCG audits so they reuse ONE
+    persisted index instead of rebuilding it per probe pipeline."""
     queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
@@ -634,6 +641,12 @@ def q_ann_hnsw(spark: SparkSession, sf_dir: str) -> DataFrame:
     set, so recall(hnsw) >= recall(1probe) per query BY CONSTRUCTION —
     asserted in tests and measured by q_ann_recall_hnsw."""
     emb, n_planes = _bucketed_index(spark, sf_dir)
+    return _ann_hnsw_from(emb, n_planes)
+
+
+def _ann_hnsw_from(emb: DataFrame, n_planes: int) -> DataFrame:
+    """The layered probe over a prebuilt bucketed index — q_ann_hnsw's
+    navigation stage, shared with the recall/nDCG audits."""
     top = min(n_planes, HNSW_MAX_LAYERS)
     lvlh = md5_long(F.concat(F.lit("lvl_"), F.col("vec_id").cast("string")))
     pfx = F.expr(f"bucket % shiftleft(CAST(1 AS BIGINT), {n_planes} - l)")
@@ -692,15 +705,22 @@ def q_ann_recall_hnsw(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall dominance, which tests assert.
 
     Shape: exact side computed once (eager checkpoint, queries x k rows,
-    two consumers); each index's audited production pipeline reused
-    verbatim; each recall join broadcasts the approx side."""
+    two consumers); ONE shared persisted bucketed index feeds both probe
+    pipelines (_ann_ivf_from / _ann_hnsw_from — previously each audit leg
+    rebuilt the index, doubling the dominant corpus scan); each recall
+    join broadcasts the approx side."""
     exact = (
         q_similarity_search(spark, sf_dir)
         .select("query_id", "cand_id")
         .localCheckpoint(eager=True)
     )
-    single = _recall_vs_exact(exact, q_ann_ivf(spark, sf_dir), "lsh_1probe")
-    layered = _recall_vs_exact(exact, q_ann_hnsw(spark, sf_dir), "hnsw_layered")
+    emb, n_planes = _bucketed_index(spark, sf_dir)
+    # populate the shared cache in ONE pass before four probe subtrees
+    # race for it (the lazy-persist recompute race — measured 3.9 s -> 2.7 s
+    # at sf0.1 for this audit)
+    emb.count()
+    single = _recall_vs_exact(exact, _ann_ivf_from(emb), "lsh_1probe")
+    layered = _recall_vs_exact(exact, _ann_hnsw_from(emb, n_planes), "hnsw_layered")
     return single.unionByName(layered)
 
 
@@ -760,8 +780,10 @@ def q_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "cand_id", "rk")
         .localCheckpoint(eager=True)
     )
-    single = _ndcg_vs_exact(exact, q_ann_ivf(spark, sf_dir), "lsh_1probe")
-    layered = _ndcg_vs_exact(exact, q_ann_hnsw(spark, sf_dir), "hnsw_layered")
+    emb, n_planes = _bucketed_index(spark, sf_dir)
+    emb.count()  # fill the shared index cache before the probe fan-out
+    single = _ndcg_vs_exact(exact, _ann_ivf_from(emb), "lsh_1probe")
+    layered = _ndcg_vs_exact(exact, _ann_hnsw_from(emb, n_planes), "hnsw_layered")
     return single.unionByName(layered)
 
 

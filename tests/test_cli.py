@@ -179,11 +179,39 @@ def test_spool_stdin_preserves_lines(spark, tmp_path, monkeypatch):
     from kitkat_spark.cli import _spool_stdin
 
     lines = [f"stdin-line-{i}" for i in range(25)]
-    monkeypatch.setattr(sys, "stdin", io.StringIO("\n".join(lines) + "\n"))
+    payload = ("\n".join(lines) + "\n").encode()
+    monkeypatch.setattr(
+        sys, "stdin", io.TextIOWrapper(io.BytesIO(payload), encoding="utf-8")
+    )
     spooled = _spool_stdin()
     try:
         got = sorted(r.value for r in spark.read.text(spooled).collect())
         assert got == sorted(lines)
+    finally:
+        import shutil
+
+        shutil.rmtree(spooled, ignore_errors=True)
+
+
+def test_spool_stdin_copies_bytes_verbatim(monkeypatch):
+    """The spool is byte-mode on both ends: non-UTF-8 input (binary, or a
+    latin-1 locale pipe) must land on disk verbatim instead of raising
+    UnicodeDecodeError mid-copy."""
+    import io
+    import os
+
+    from kitkat_spark.cli import _spool_stdin
+
+    payload = b"caf\xe9 line\n\x00\xff raw bytes\n"  # not valid UTF-8
+    monkeypatch.setattr(
+        sys,
+        "stdin",
+        io.TextIOWrapper(io.BytesIO(payload), encoding="utf-8", errors="strict"),
+    )
+    spooled = _spool_stdin()
+    try:
+        with open(os.path.join(spooled, "stdin.txt"), "rb") as fh:
+            assert fh.read() == payload
     finally:
         import shutil
 
