@@ -378,18 +378,18 @@ def main() -> None:
     # The driver stores only a 2000-char tail of stdout, which truncates the
     # per-query head (lost for r2/r4). Persist the full JSON in-repo too,
     # named for the upcoming round (= latest driver BENCH_r{N} + 1).
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    rounds = [
+        int(m.group(1))
+        for f in glob.glob(os.path.join(here, "BENCH_r*.json"))
+        if (m := re.search(r"BENCH_r(\d+)\.json$", f))
+    ]
+    stem = f"BENCH_LOCAL_r{max(rounds, default=0) + 1:02d}"
     local = None
     try:
-        import glob
-        import re
-
-        here = os.path.dirname(os.path.abspath(__file__))
-        rounds = [
-            int(m.group(1))
-            for f in glob.glob(os.path.join(here, "BENCH_r*.json"))
-            if (m := re.search(r"BENCH_r(\d+)\.json$", f))
-        ]
-        stem = f"BENCH_LOCAL_r{max(rounds, default=0) + 1:02d}"
         # never clobber an existing run: every run is preserved side by
         # side (overwriting is what muddied the round-6 numbers). The FIRST
         # run of a round lives at repo root; the rest of the round's pool
@@ -409,6 +409,35 @@ def main() -> None:
     except OSError:
         local = None  # read-only checkout: stdout line below is the contract
 
+    # Pool best-of (round-12 verdict #2): the protocol number is the
+    # per-query best over ALL of this round's archived runs, but the driver
+    # snapshots ONE run's stdout — r12's snapshot happened to catch the
+    # worst of 14 pool runs (218.9 s vs the true 160.5 s best-of), which
+    # reads as a 25% regression to anyone not opening bench_runs/. Fold the
+    # round's pool (root BENCH_LOCAL + bench_runs/, same sf only) into the
+    # parsed line so the protocol number rides every snapshot.
+    pool_best: dict[str, float] = dict(timings)
+    pool_runs = 1
+    try:
+        candidates = [os.path.join(here, f"{stem}.json")] + sorted(
+            glob.glob(os.path.join(here, "bench_runs", f"{stem}_*.json"))
+        )
+        for f in candidates:
+            if local and os.path.abspath(f) == os.path.abspath(local):
+                continue  # this run, already seeded
+            try:
+                doc = json.load(open(f))
+            except (OSError, ValueError):
+                continue
+            if doc.get("sf") != out["sf"]:
+                continue  # never mix pools across scale factors
+            pool_runs += 1
+            for q, s in (doc.get("queries") or {}).items():
+                prev = pool_best.get(q)
+                pool_best[q] = s if prev is None else min(prev, s)
+    except Exception:
+        pool_best, pool_runs = dict(timings), 1  # degraded: this run only
+
     # Driver-parseable stdout (round-11 verdict #2): eleven rounds of
     # BENCH_r{N}.json carried "parsed": null because the full 200+-entry
     # per-query map overflows the driver's ~2000-char stdout capture. Print
@@ -425,6 +454,14 @@ def main() -> None:
         "sf": out["sf"],
         "n_queries": len(timings),
         "full_map": os.path.relpath(local, here) if local else None,
+        # the protocol number: per-query best over the round's run pool
+        # (this run included) — read THIS, not "value", for cross-round
+        # comparisons; "value" is one run's wall on a possibly-noisy box
+        "pool": {
+            "runs": pool_runs,
+            "best_value": round(sum(pool_best.values()), 3),
+            "n_queries": len(pool_best),
+        },
         "conf": {
             "runs_per_query": 2,
             "report": "min",

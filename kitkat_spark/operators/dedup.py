@@ -26,6 +26,8 @@ at scale a boilerplate shingle would otherwise create a quadratic bucket).
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -242,6 +244,14 @@ def q_edit_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     is O(len x k) with early exit, not O(len^2), and stays JVM-side.
     Texts are joined back by doc_id AFTER pair generation, so the wide
     column never rides through the blocking shuffle."""
+    warnings.warn(
+        "q_edit_dedup is the low-density teaching variant: length blocks "
+        "saturate as corpora densify (measured 97.5% true-pair loss at 20x "
+        "scale, SCALE_NOTES round 10). Use q_passjoin_dedup — cap-free, "
+        "recall 1.0 by the PassJoin theorem — as the edit-distance family "
+        "default.",
+        stacklevel=2,
+    )
     docs = load_table(spark, sf_dir, "documents")
     w2 = EDIT_BLOCK_WIDTH // 2
     keyed = docs.select(
@@ -432,6 +442,10 @@ def q_passjoin_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# (session id, sf_dir, with_source) -> (sig, cand); see the docstring below
+_SIG_CACHE: dict[tuple[int, str, bool], tuple[DataFrame, DataFrame]] = {}
+
+
 def lsh_signatures_and_candidates(
     spark: SparkSession, sf_dir: str, with_source: bool = False
 ) -> tuple[DataFrame, DataFrame]:
@@ -453,7 +467,18 @@ def lsh_signatures_and_candidates(
 
     ``with_source`` threads the coalesced source column ('<null>' sentinel)
     through the signature table — the one extra byte that makes per-source
-    attribution free downstream."""
+    attribution free downstream.
+
+    The built (sig, cand) pair is cached per (session, sf_dir, with_source)
+    — the fresh minhash UDF object per call would otherwise defeat Spark's
+    CacheManager plan-dedup and a session running the whole LSH family
+    would accumulate an independent persisted signature table per consumer
+    (round-12 ADVICE). The cached DataFrame holds its session reference, so
+    the id()-keyed entry can never alias a recycled session object."""
+    key = (id(spark), sf_dir, with_source)
+    hit = _SIG_CACHE.get(key)
+    if hit is not None:
+        return hit
     par = spark.sparkContext.defaultParallelism
     docs = load_table(spark, sf_dir, "documents").repartition(par)
     minhash_udf = make_minhash_udf(MINHASH_K)
@@ -483,6 +508,7 @@ def lsh_signatures_and_candidates(
         .select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
         .distinct()
     )
+    _SIG_CACHE[key] = (sig, cand)
     return sig, cand
 
 
@@ -565,7 +591,11 @@ def q_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
 # repeated squaring log2(K) - log2(r) times — derived from the signature
 # width so the curve can never silently desync if MINHASH_K is retuned
 _LOG2_K = MINHASH_K.bit_length() - 1
-assert MINHASH_K == 1 << _LOG2_K, "MINHASH_K must be a power of two"
+if MINHASH_K != 1 << _LOG2_K:  # explicit: survives python -O (assert would not)
+    raise ValueError(
+        f"MINHASH_K must be a power of two (got {MINHASH_K}); the S-curve "
+        "repeated-squaring exponents and LSH_TUNE_ROWS derive from log2(K)"
+    )
 # r per config; bands = MINHASH_K // r
 LSH_TUNE_ROWS = tuple(1 << i for i in range(_LOG2_K + 1))
 

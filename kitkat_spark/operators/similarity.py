@@ -540,25 +540,16 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the expensive half — production runs it over a SAMPLE of queries
     (the standard recall-estimation move), which this query models with
     its fixed query panel. Deterministic: both rankings break cosine ties
-    by cand_id, so the hit-set is exactly replayed by the oracle."""
+    by cand_id, so the hit-set is exactly replayed by the oracle.
+
+    The recall join itself is the shared _recall_vs_exact helper (round-12
+    verdict #5 — one implementation for all three index audits); this
+    query predates the index_name discriminator column, so it drops it to
+    keep its published schema."""
     exact = q_similarity_search(spark, sf_dir).select("query_id", "cand_id")
-    approx = q_ann_kmeans_ivf(spark, sf_dir).select(
-        "query_id", "cand_id", F.lit(1).alias("hit")
-    )
-    joined = exact.join(F.broadcast(approx), ["query_id", "cand_id"], "left")
-    return (
-        joined.groupBy("query_id")
-        .agg(
-            F.count("*").alias("n_exact"),
-            F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_hits"),
-        )
-        .select(
-            "query_id",
-            F.col("n_exact").cast("int").alias("n_exact"),
-            F.col("n_hits").cast("int").alias("n_hits"),
-            F.round(F.col("n_hits") / F.col("n_exact"), 4).alias("recall_at_k"),
-        )
-    )
+    return _recall_vs_exact(
+        exact, q_ann_kmeans_ivf(spark, sf_dir), "kmeans_ivf"
+    ).drop("index_name")
 
 
 def _recall_vs_exact(exact: DataFrame, approx: DataFrame, index_name: str) -> DataFrame:

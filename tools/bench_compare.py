@@ -40,12 +40,20 @@ def main() -> int:
     # mechanical replacement for prose drift estimates in SCALE_NOTES
     c_o = (old_doc.get("conf") or {}).get("calib_spark_s")
     c_n = (new_doc.get("conf") or {}).get("calib_spark_s")
-    if c_o and c_n:
-        drift = c_n / c_o
-        print(
-            f"calib_spark_s {c_o:.3f} -> {c_n:.3f} (env drift {drift:.2f}x); "
-            f"normalized ratio {(tot_n / tot_o) / drift:.2f}x"
-        )
+    if c_o is not None and c_n is not None:
+        # presence-tested (not truthiness): a recorded 0.0 is a corrupt
+        # calibration, which should be loud rather than silently skipped
+        if c_o <= 0 or c_n <= 0:
+            print(
+                f"WARNING: corrupt calib_spark_s ({c_o!r} -> {c_n!r}); "
+                "normalized ratio unavailable"
+            )
+        else:
+            drift = c_n / c_o
+            print(
+                f"calib_spark_s {c_o:.3f} -> {c_n:.3f} (env drift {drift:.2f}x); "
+                f"normalized ratio {(tot_n / tot_o) / drift:.2f}x"
+            )
     regressed = []
     for q in shared:
         r = new[q] / max(old[q], 0.01)
