@@ -252,6 +252,14 @@ HEADLINE = [
     "q_lsh_tuning",
     "q_ann_index_stats",
     "q_lsh_source_curve",
+    # round-13 additions
+    "q_stream_incr_dedup",
+    "q_ann_index_merge",
+    "q_ann_probe_planner",
+    "q_minhash_merge",
+    "q_longest_repeat",
+    "q_boilerplate_coverage",
+    "q_token_fertility",
     # Excluded on purpose (NOT a silent cap): q_cc_chain is the adversarial
     # deep-diameter CC verification query — it deliberately runs ~25 star
     # rounds on a path graph, so its wall time is per-round scheduler

@@ -1769,3 +1769,196 @@ ORACLE: dict[str, str] = {
         FROM documents
     """,
 }
+
+
+BOILER_DF_PCT = 10  # a gram is corpus-commodity when df > this % of docs
+
+
+def q_boilerplate_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate-coverage audit: for every document, the fraction of its
+    DISTINCT 3-gram shingles that are corpus-commodity phrases (document
+    frequency above BOILER_DF_PCT% of the corpus) — the CCNet/RefinedWeb
+    governance signal that separates documents which are mostly template
+    (navigation chrome, license headers, repeated disclaimers) from
+    documents with substance. Order-free complement of q_ngram_novelty
+    (whose first-occurrence attribution depends on ingest order) and of
+    q_lcp_dedup (which needs an 8-token exact match): a doc built from
+    common phrases scores high here even when no single long span repeats.
+
+    Plan, 100 TB discipline: ONE distinct (doc, gram-fp) pass — the same
+    cardinality every shingle query already pays — then document frequency
+    as a count window keyed on the fp (no self-join), then one per-doc
+    roll-up; the corpus doc count broadcasts as a 1-row aggregate. The
+    threshold compares exact integers (df * 100 > n_docs * PCT — no float
+    boundary), and the one division per doc rounds at 4 dp."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select("doc_id", tokens(F.col("text")).alias("w")).filter(
+        F.size("w") >= 3
+    )
+    pairs = d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("w") - 2),
+                    lambda p: F.md5(F.concat_ws(" ", F.slice("w", p, 3))),
+                )
+            )
+        ).alias("fp"),
+    )
+    n_docs = d.agg(F.count("*").alias("n_docs"))
+    marked = pairs.select(
+        "doc_id", F.count("*").over(W.partitionBy("fp")).alias("df")
+    )
+    return (
+        marked.crossJoin(F.broadcast(n_docs))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(
+                (F.col("df") * 100 > F.col("n_docs") * BOILER_DF_PCT).cast("long")
+            ).alias("n_boiler"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_boiler",
+            F.round(F.col("n_boiler") / F.col("n_grams"), 4).alias("boiler_frac"),
+        )
+    )
+
+
+def q_longest_repeat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The arg-max duplicated span per document, WITH its text — the
+    report q_lcp_dedup's decide-to-trim table points at but doesn't show
+    (round-12 survey worklist): for every document that contains at least
+    one maximal duplicated span (>= LCP_GRAM tokens occurring elsewhere in
+    the corpus, Lee et al. ACL 2022 exact-substring semantics), the
+    longest such span's start position, length, and the span text itself —
+    what a pipeline operator eyeballs before approving the trim list.
+
+    Plan: identical gram/mark/island machinery as q_lcp_dedup (stride-1
+    gram Generate, ONE count-over-fingerprint shuffle, per-doc island
+    windows) with two additions that stay per-doc: a row_number window
+    picks the longest island (earliest start breaks ties), and ONE
+    doc_id-keyed join back to the token arrays reconstructs the span text
+    — the wide text column never rides the fingerprint shuffle. Span
+    arithmetic is integer-exact; there are no divisions at all."""
+    k = LCP_GRAM
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select("doc_id", tokens(F.col("text")).alias("w")).filter(
+        F.size("w") >= k
+    )
+    grams = d.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.size("w") - (k - 1))).alias("p"),
+        "w",
+    ).select(
+        "doc_id",
+        "p",
+        F.md5(F.concat_ws(" ", F.slice("w", F.col("p"), k))).alias("fp"),
+    )
+    dups = grams.select(
+        "doc_id",
+        "p",
+        (F.count("*").over(W.partitionBy("fp")) > 1).alias("dup"),
+    ).filter("dup")
+    wd = W.partitionBy("doc_id").orderBy("p")
+    isl = dups.select(
+        "doc_id",
+        "p",
+        F.sum(
+            F.when(
+                F.lag("p").over(wd).isNull() | (F.col("p") - F.lag("p").over(wd) > k),
+                1,
+            ).otherwise(0)
+        ).over(wd.rowsBetween(W.unboundedPreceding, W.currentRow)).alias("sid"),
+    )
+    spans = isl.groupBy("doc_id", "sid").agg(
+        F.min("p").alias("s"), (F.max("p") + (k - 1)).alias("e")
+    )
+    wr = W.partitionBy("doc_id").orderBy(
+        (F.col("e") - F.col("s")).desc(), F.col("s").asc()
+    )
+    winner = (
+        spans.withColumn("rk", F.row_number().over(wr))
+        .filter(F.col("rk") == 1)
+        .drop("rk", "sid")
+    )
+    return winner.join(d, "doc_id").select(
+        "doc_id",
+        F.col("s").cast("long").alias("span_start"),
+        (F.col("e") - F.col("s") + 1).cast("long").alias("span_len"),
+        F.concat_ws(
+            " ", F.slice("w", F.col("s"), F.col("e") - F.col("s") + 1)
+        ).alias("span_text"),
+    )
+
+
+ORACLE["q_boilerplate_coverage"] = f"""
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        ), d AS (
+            SELECT doc_id, w FROM toks WHERE len(w) >= 3
+        ), pairs AS (
+            SELECT DISTINCT doc_id,
+                   md5(array_to_string(list_slice(w, i, i + 2), ' ')) AS fp
+            FROM d, UNNEST(generate_series(1, len(w) - 2)) AS t(i)
+        ), nd AS (
+            SELECT count(*) AS n_docs FROM d
+        ), marked AS (
+            SELECT doc_id, count(*) OVER (PARTITION BY fp) AS df FROM pairs
+        )
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_grams,
+               CAST(sum(CASE WHEN df * 100 > n_docs * {BOILER_DF_PCT}
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+               round(sum(CASE WHEN df * 100 > n_docs * {BOILER_DF_PCT}
+                              THEN 1 ELSE 0 END) * 1.0 / count(*), 4)
+                   AS boiler_frac
+        FROM marked, nd
+        GROUP BY doc_id
+    """
+
+ORACLE["q_longest_repeat"] = f"""
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        ), d AS (
+            SELECT doc_id, w FROM toks WHERE len(w) >= {LCP_GRAM}
+        ), grams AS (
+            SELECT doc_id, i AS p,
+                   md5(array_to_string(
+                       list_slice(w, i, i + {LCP_GRAM} - 1), ' ')) AS fp
+            FROM d, UNNEST(generate_series(1, len(w) - {LCP_GRAM} + 1)) AS t(i)
+        ), dups AS (
+            SELECT doc_id, p,
+                   CASE WHEN lag(p) OVER w IS NULL
+                             OR p - lag(p) OVER w > {LCP_GRAM}
+                        THEN 1 ELSE 0 END AS new_s
+            FROM (
+                SELECT doc_id, p,
+                       count(*) OVER (PARTITION BY fp) > 1 AS dup
+                FROM grams
+            ) WHERE dup
+            WINDOW w AS (PARTITION BY doc_id ORDER BY p)
+        ), isl AS (
+            SELECT doc_id, p,
+                   sum(new_s) OVER (PARTITION BY doc_id ORDER BY p
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+            FROM dups
+        ), spans AS (
+            SELECT doc_id, min(p) AS s, max(p) + {LCP_GRAM} - 1 AS e
+            FROM isl GROUP BY doc_id, sid
+        ), winner AS (
+            SELECT doc_id, s, e,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY e - s DESC, s ASC) AS rk
+            FROM spans
+        )
+        SELECT w.doc_id,
+               CAST(w.s AS BIGINT) AS span_start,
+               CAST(w.e - w.s + 1 AS BIGINT) AS span_len,
+               array_to_string(list_slice(d.w, w.s, w.e), ' ') AS span_text
+        FROM winner w JOIN d USING (doc_id)
+        WHERE w.rk = 1
+    """

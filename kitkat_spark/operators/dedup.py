@@ -1158,3 +1158,148 @@ ORACLE["q_lsh_source_curve"] = f"""
                END AS exp_catch_nondup
         FROM agg
     """
+
+
+def q_minhash_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash MERGEABILITY — the distributed property the whole sketch
+    family rides on, measured: sig(A UNION B) = elementwise_min(sig(A),
+    sig(B)) (Broder 1997), so per-SOURCE signatures roll up from per-doc
+    signatures through one combinable min-aggregate — no re-shingling, no
+    re-hash, partials merge map-side like any sum. The query folds every
+    source's doc signatures into one 32-component source signature, then
+    estimates the pairwise source-overlap matrix from signatures alone and
+    scores it against the EXACT distinct-shingle Jaccard — the sketch twin
+    of q_source_overlap's exact matrix (which shuffles the corpus; the
+    sketch path aggregates k longs per source).
+
+    Scale shape: rides the shared persisted signature table
+    (lsh_signatures_and_candidates, with_source=True); the source rollup
+    is ONE combinable groupBy over config-many groups; the exact side is
+    one distinct (source, shingle-hash) pass with the q_source_overlap
+    set-expansion (pairs bounded by C(sources, 2) per hash). At 100 TB the
+    estimate column is what you'd actually compute (the exact column is
+    the audit, affordable because the pair domain is sources^2, not
+    docs^2). est = matches/32 and exact = |A&B| / (|A| + |B| - |A&B|) are
+    exact rationals of integers; every reported value quantizes to 1e-4
+    units via CAST(round(x * 10000) AS BIGINT) — the micro-unit rule
+    (q_gram_matrix lesson) — because round(x, 4) itself diverges between
+    engines on ulp-below-boundary doubles (DuckDB rounds the shortest
+    DECIMAL repr, the JVM the binary value: measured on
+    |1/32 - 57/2375| = 0.00724999...95 -> 0.0073 vs 0.0072)."""
+    sig, _ = lsh_signatures_and_candidates(spark, sf_dir, with_source=True)
+    # one combinable min-rollup: the MERGE
+    msig = sig.groupBy("src").agg(
+        F.array(
+            *[F.min(F.element_at("sig", j + 1)) for j in range(MINHASH_K)]
+        ).alias("msig")
+    )
+    # exact side: distinct (source, hash) sets + set-expansion pair counts
+    ex = sig.select("src", F.explode("sh").alias("h")).distinct()
+    sizes = ex.groupBy("src").agg(F.count("*").alias("n_sh"))
+    sets = ex.groupBy("h").agg(F.sort_array(F.collect_set("src")).alias("ss"))
+    pair_structs = F.filter(
+        F.flatten(
+            F.transform(
+                F.col("ss"),
+                lambda a: F.transform(
+                    F.col("ss"),
+                    lambda b: F.struct(a.alias("a"), b.alias("b")),
+                ),
+            )
+        ),
+        lambda s: s["a"] < s["b"],
+    )
+    inter = (
+        sets.select(F.explode(pair_structs).alias("p"))
+        .select(F.col("p")["a"].alias("src_a"), F.col("p")["b"].alias("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    # every source pair (est can be nonzero where exact is 0 — collisions)
+    a = msig.select(
+        F.col("src").alias("src_a"), F.col("msig").alias("sig_a")
+    )
+    b = msig.select(
+        F.col("src").alias("src_b"), F.col("msig").alias("sig_b")
+    )
+    matches = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    est = matches / F.lit(MINHASH_K)
+    exact = F.coalesce(F.col("n_common"), F.lit(0)).cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.coalesce(F.col("n_common"), F.lit(0))
+    ).cast("double")
+    return (
+        a.join(b, F.col("src_a") < F.col("src_b"))
+        .join(inter, ["src_a", "src_b"], "left")
+        .join(
+            F.broadcast(
+                sizes.select(F.col("src").alias("src_a"), F.col("n_sh").alias("n_a"))
+            ),
+            "src_a",
+        )
+        .join(
+            F.broadcast(
+                sizes.select(F.col("src").alias("src_b"), F.col("n_sh").alias("n_b"))
+            ),
+            "src_b",
+        )
+        .select(
+            "src_a",
+            "src_b",
+            _quant4(exact).alias("jaccard_exact"),
+            _quant4(est).alias("jaccard_est"),
+            _quant4(F.abs(est - exact)).alias("abs_err"),
+        )
+    )
+
+
+def _quant4(col):
+    """Engine-stable 4 dp: integer micro-units (round-to-long agrees across
+    engines at every representable boundary), one exact division back."""
+    return F.round(col * 10000).cast("long") / F.lit(10000.0)
+
+
+_SIG_MATCH_SUM = " + ".join(
+    f"(CASE WHEN na.s{j} = nb.s{j} THEN 1 ELSE 0 END)" for j in range(MINHASH_K)
+)
+
+# The oracle folds per-source DISTINCT hash sets straight through the same
+# affine remix mins (_SIG_MINS): min over a source's union set == the
+# elementwise min of its docs' signatures — the identity under test.
+ORACLE["q_minhash_merge"] = f"""
+        WITH toks AS (
+            SELECT coalesce(source, '{NULL_SOURCE}') AS src,
+                   string_split(text, ' ') AS w
+            FROM documents
+        ), sh AS (
+            SELECT DISTINCT src,
+                   ('0x' || substr(md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2]), 1, 15))::BIGINT
+                       % {MINHASH_PRIME} AS h
+            FROM toks, UNNEST(generate_series(1, len(w) - 2)) AS t(i)
+            WHERE len(w) >= 3
+        ), sig AS (
+            SELECT src, count(*) AS n_sh,
+                   {_SIG_MINS}
+            FROM sh GROUP BY src
+        ), common AS (
+            SELECT a.src AS src_a, b.src AS src_b, count(*) AS n_common
+            FROM sh a JOIN sh b ON a.h = b.h AND a.src < b.src
+            GROUP BY 1, 2
+        )
+        SELECT na.src AS src_a, nb.src AS src_b,
+               CAST(round(coalesce(c.n_common, 0) * 1.0
+                     / (na.n_sh + nb.n_sh - coalesce(c.n_common, 0)) * 10000)
+                    AS BIGINT) / 10000.0 AS jaccard_exact,
+               CAST(round(({_SIG_MATCH_SUM}) * 1.0 / {MINHASH_K} * 10000)
+                    AS BIGINT) / 10000.0 AS jaccard_est,
+               CAST(round(abs(({_SIG_MATCH_SUM}) * 1.0 / {MINHASH_K}
+                         - coalesce(c.n_common, 0) * 1.0
+                           / (na.n_sh + nb.n_sh - coalesce(c.n_common, 0)))
+                          * 10000) AS BIGINT) / 10000.0 AS abs_err
+        FROM sig na
+        JOIN sig nb ON na.src < nb.src
+        LEFT JOIN common c ON c.src_a = na.src AND c.src_b = nb.src
+    """

@@ -2331,3 +2331,206 @@ ORACLE["q_ann_index_stats"] = f"""
                      AS BIGINT) * 1.0 / n_total, 4) AS cum_frac
         FROM hist, tot
     """
+
+
+def q_ann_index_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN index SEGMENT MERGE — the build-side lifecycle op between build
+    (q_ann_ivf) and audit (q_ann_index_stats): two index segments (modeled
+    as the even / odd vec_id halves — two ingest shards) are merged into
+    one serving index, and the result is audited for ADDITIVITY against an
+    index built from scratch over the full corpus.
+
+    The property that makes the merge a cheap bucket-wise concatenation —
+    NOT a rebuild — is the frozen hash family: both segments bucket with
+    the SAME hyperplanes (the index config fixed at creation; here the
+    md5-derived planes of _bucketed_index), so a vector's bucket is
+    segment-independent and merged posting lists are exact unions. At
+    100 TB this is how IVF/LSH indexes actually compact: segments arrive
+    bucket-partitioned, the merge is a partition-local file concat with
+    ZERO shuffle of vector data, and this audit (n_seg_a + n_seg_b ==
+    n_full per bucket, additive everywhere) is the invariant a compactor
+    asserts before swapping the serving index. A plane count derived from
+    per-segment corpus size would break exactly this — the reason
+    _ann_planes sizes from the TOTAL corpus.
+
+    Plan: the persisted bucketed index feeds both segment filters (map
+    side), the merge is unionByName (no shuffle), and the audit is one
+    combinable groupBy(bucket) plus one bucket-keyed join against the
+    fresh-build occupancy — every aggregate an exact integer."""
+    emb, _ = _bucketed_index(spark, sf_dir)
+    seg_a = emb.filter(F.col("vec_id") % 2 == 0).withColumn(
+        "seg", F.lit("seg_a")
+    )
+    seg_b = emb.filter(F.col("vec_id") % 2 == 1).withColumn(
+        "seg", F.lit("seg_b")
+    )
+    merged = seg_a.unionByName(seg_b)  # the merge: bucket-wise concat
+    occ = merged.groupBy("bucket").agg(
+        F.sum((F.col("seg") == "seg_a").cast("long")).alias("n_seg_a"),
+        F.sum((F.col("seg") == "seg_b").cast("long")).alias("n_seg_b"),
+        F.count("*").alias("n_merged"),
+    )
+    full = emb.groupBy("bucket").agg(F.count("*").alias("n_full"))
+    return occ.join(full, "bucket").select(
+        "bucket",
+        "n_seg_a",
+        "n_seg_b",
+        "n_merged",
+        "n_full",
+        (F.col("n_merged") == F.col("n_full")).alias("additive"),
+    )
+
+
+def q_ann_probe_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN probe-cost PLANNER — the capacity model q_ann_index_stats feeds
+    (round-12 survey worklist): from the stored index's bucket-occupancy
+    layout alone, the expected number of candidates a query scans at probe
+    radius 0 (the 1-probe q_ann_ivf) and radius 1 (the Hamming-1
+    multi-probe q_ann_multiprobe), BEFORE running a single query. Under
+    the data-driven query model (queries distribute like the corpus — the
+    standard IVF capacity assumption), a query lands in bucket b with
+    probability c_b/n and scans c_b plus, at radius 1, every Hamming-1
+    neighbor bucket's occupancy: E[scan | r] = sum_b c_b * scan_b(r) / n,
+    with scan_b(0) = c_b (so E = sum c_b^2 / n, exactly the skew signal
+    q_ann_index_stats documents) and scan_b(1) = c_b + sum_p c_{b xor 2^p}.
+    This is the planning table that picks n_probe for a recall target
+    next to q_ann_recall_multiprobe's measured recall.
+
+    Plan: everything runs on the occupancy table (<= 2^n_planes rows,
+    corpus-size-free): the radius-1 neighbor sums are one explode of the
+    n_planes bit flips over that tiny table plus one combinable aggregate
+    and one bucket-keyed join — the corpus itself is touched only by the
+    shared persisted index build. Numerators are exact integer sums
+    (c_b <= n so c_b * scan_b fits int64 far past any real bucket count);
+    each expectation is ONE exact long/long division rounded at 4 dp."""
+    emb, n_planes = _bucketed_index(spark, sf_dir)
+    occ = emb.groupBy("bucket").agg(F.count("*").alias("c"))
+    tot = occ.agg(F.sum("c").alias("n"))
+    # radius-1 neighborhood: for every bucket, the occupancy total of its
+    # n_planes Hamming-1 neighbors (absent buckets contribute 0)
+    flips = occ.select(
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {n_planes - 1}), "
+                "p -> bucket ^ shiftleft(CAST(1 AS BIGINT), p))"
+            )
+        ).alias("bucket"),
+        F.col("c").alias("nc"),
+    )
+    neigh = flips.groupBy("bucket").agg(F.sum("nc").alias("c_neigh"))
+    scans = (
+        occ.join(neigh, "bucket", "left")
+        .select(
+            "c",
+            (F.col("c") * F.col("c")).alias("w0"),
+            (
+                F.col("c")
+                * (F.col("c") + F.coalesce(F.col("c_neigh"), F.lit(0)))
+            ).alias("w1"),
+        )
+        .agg(F.sum("w0").alias("num0"), F.sum("w1").alias("num1"))
+    )
+    r0 = F.struct(
+        F.lit(0).alias("probe_radius"),
+        F.lit(1).alias("n_buckets_probed"),
+        F.col("num0").alias("num"),
+    )
+    r1 = F.struct(
+        F.lit(1).alias("probe_radius"),
+        F.lit(n_planes + 1).alias("n_buckets_probed"),
+        F.col("num1").alias("num"),
+    )
+    return (
+        scans.crossJoin(F.broadcast(tot))
+        .select(F.explode(F.array(r0, r1)).alias("r"), "n")
+        .select(
+            F.col("r.probe_radius").alias("probe_radius"),
+            F.col("r.n_buckets_probed").alias("n_buckets_probed"),
+            F.round(F.col("r.num") / F.col("n"), 4).alias("expected_candidates"),
+            F.round(F.col("r.num") / (F.col("n") * F.col("n")), 6).alias(
+                "expected_frac"
+            ),
+        )
+    )
+
+
+# Segment-merge additivity audit: replays the shared buckets CTE, splits by
+# vec_id parity (the two ingest shards), and checks bucket-wise additivity
+# against the from-scratch occupancy — all exact integer counts.
+ORACLE["q_ann_index_merge"] = f"""
+        WITH {_ANN_PARAMS_SQL}dims AS (
+            SELECT max(len(embedding)) AS d FROM embeddings
+        ), planes AS (
+            SELECT p, list_transform(generate_series(0, (SELECT d - 1 FROM dims)),
+                   d -> ('0x' || substr(md5('plane_' || p || '_' || d), 1, 15))::BIGINT
+                        / 1152921504606846976.0 * 2 - 1) AS pv
+            FROM UNNEST(generate_series(0, (SELECT np FROM params) - 1)) AS t(p)
+        ), e AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v
+            FROM embeddings WHERE len(embedding) > 0
+        ), buckets AS (
+            SELECT vec_id,
+                   sum(CASE WHEN list_dot_product(e.v, pl.pv) > 0
+                            THEN (1::BIGINT << pl.p) ELSE 0 END) AS bucket
+            FROM e, planes pl
+            GROUP BY vec_id
+        )
+        SELECT bucket,
+               CAST(sum(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_seg_a,
+               CAST(sum(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_seg_b,
+               CAST(count(*) AS BIGINT) AS n_merged,
+               CAST(count(*) AS BIGINT) AS n_full,
+               count(*) = count(*) AS additive
+        FROM buckets
+        GROUP BY bucket
+    """
+
+# The capacity model on the occupancy table: exact integer numerators
+# (sum c^2 and sum c * (c + Hamming-1 neighborhood)), one division each.
+ORACLE["q_ann_probe_planner"] = f"""
+        WITH {_ANN_PARAMS_SQL}dims AS (
+            SELECT max(len(embedding)) AS d FROM embeddings
+        ), planes AS (
+            SELECT p, list_transform(generate_series(0, (SELECT d - 1 FROM dims)),
+                   d -> ('0x' || substr(md5('plane_' || p || '_' || d), 1, 15))::BIGINT
+                        / 1152921504606846976.0 * 2 - 1) AS pv
+            FROM UNNEST(generate_series(0, (SELECT np FROM params) - 1)) AS t(p)
+        ), e AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v
+            FROM embeddings WHERE len(embedding) > 0
+        ), buckets AS (
+            SELECT vec_id,
+                   sum(CASE WHEN list_dot_product(e.v, pl.pv) > 0
+                            THEN (1::BIGINT << pl.p) ELSE 0 END) AS bucket
+            FROM e, planes pl
+            GROUP BY vec_id
+        ), occ AS (
+            SELECT bucket, CAST(count(*) AS BIGINT) AS c
+            FROM buckets GROUP BY bucket
+        ), tot AS (
+            SELECT CAST(sum(c) AS BIGINT) AS n FROM occ
+        ), flips AS (
+            SELECT xor(o.bucket, 1::BIGINT << t.p) AS bucket, o.c AS nc
+            FROM occ o,
+                 UNNEST(generate_series(0, (SELECT np FROM params) - 1)) AS t(p)
+        ), neigh AS (
+            SELECT bucket, CAST(sum(nc) AS BIGINT) AS c_neigh
+            FROM flips GROUP BY bucket
+        ), scans AS (
+            SELECT CAST(sum(o.c * o.c) AS BIGINT) AS num0,
+                   CAST(sum(o.c * (o.c + coalesce(nh.c_neigh, 0))) AS BIGINT)
+                       AS num1
+            FROM occ o LEFT JOIN neigh nh USING (bucket)
+        )
+        SELECT 0 AS probe_radius, 1 AS n_buckets_probed,
+               round(num0 * 1.0 / n, 4) AS expected_candidates,
+               round(num0 * 1.0 / (n * n), 6) AS expected_frac
+        FROM scans, tot
+        UNION ALL
+        SELECT 1, CAST((SELECT np FROM params) + 1 AS INT),
+               round(num1 * 1.0 / n, 4),
+               round(num1 * 1.0 / (n * n), 6)
+        FROM scans, tot
+    """

@@ -1480,3 +1480,99 @@ ORACLE: dict[str, str] = {
 from kitkat_spark.operators import corpus as _corpus  # noqa: E402
 
 ORACLE["q_stream_mix_rebalance"] = _corpus.ORACLE["q_mix_rebalance_rate"]
+
+
+INCR_BATCHES = 4  # ingest "days" replayed through the checkpointed pipeline
+_INCR_CACHE: dict[tuple[str, str], str] = {}  # (appId, sf_dir) -> sink path
+
+
+def q_stream_incr_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING twin of q_incremental_dedup (round-12 verdict #4a): the
+    incoming 20% of the corpus arrives as INCR_BATCHES successive ingest
+    batches (ascending doc_id ranges — ingest order), each replayed through
+    a CHECKPOINTED Structured Streaming pipeline that (1) drops rows whose
+    fingerprint already exists in the standing corpus (stream-static
+    left_anti join) and (2) drops re-arrivals across batches through
+    dropDuplicates state, appending survivors to a file sink. Each batch is
+    a separate availableNow run against the SAME checkpoint — a genuine
+    stop/restart per ingest day, so the dedup state provably survives
+    recovery (the property that makes incremental dedup deployable).
+
+    Batch-equivalence (what the oracle checks): each ingest file is
+    canonicalized to one min-doc_id row per fingerprint (the ingest
+    buffer's local combine), ranges ascend by doc_id, and streaming state
+    keeps the FIRST arrival per fingerprint — so the kept row is the
+    globally minimal doc_id, exactly q_incremental_dedup's batch answer.
+    The oracle is byte-identical to q_incremental_dedup's (imported below).
+
+    Scale: the dropDuplicates state is the FINGERPRINT INDEX itself — one
+    md5 per distinct new document, the structure a 100 TB incremental
+    dedup persists on purpose (RocksDB state store / compacted table), not
+    a leak; had fingerprints carried ingest time, the horizon-bounded
+    variant is dropDuplicatesWithinWatermark (q_stream_dedup_wm). The
+    static side broadcasts only if small — at corpus scale it stays a
+    shuffled-on-fp join, which Spark plans per micro-batch. The 1-row
+    cut/max collect is config-sized; everything corpus-sized stays
+    distributed."""
+    import os
+    import shutil
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _INCR_CACHE.get(key)
+    if cached is not None:
+        return spark.read.parquet(cached).select("doc_id", "fp")
+    base = os.path.join(
+        "/tmp/kitkat_replay",
+        spark.sparkContext.applicationId,
+        "incr_dedup",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    shutil.rmtree(base, ignore_errors=True)  # partial prior run, if any
+    src = os.path.join(base, "src")
+    out = os.path.join(base, "out")
+    ckpt = os.path.join(base, "ckpt")
+
+    par = spark.sparkContext.defaultParallelism
+    docs = load_table(spark, sf_dir, "documents").repartition(par)
+    fp = F.md5(
+        F.substring(F.lower(F.regexp_replace("text", r"\s+", " ")), 1, 200)
+    )
+    d = docs.select("doc_id", fp.alias("fp"))
+    cut, mx = d.agg(
+        F.expr("(max(doc_id) + 1) * 4 div 5").alias("cut"),
+        F.max("doc_id").alias("mx"),
+    ).first()
+    corpus_fps = d.filter(F.col("doc_id") < cut).select("fp").distinct()
+    span = int(mx) + 1 - int(cut)
+    bounds = [
+        int(cut) + (span * i) // INCR_BATCHES for i in range(INCR_BATCHES + 1)
+    ]
+    batch0 = d.select(F.col("doc_id"), F.col("fp"))
+    with _state_partitions(spark, span):
+        for lo, hi in zip(bounds, bounds[1:]):
+            batch = (
+                d.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+                .groupBy("fp")
+                .agg(F.min("doc_id").alias("doc_id"))
+                .select("doc_id", "fp")
+            )
+            batch.write.mode("append").parquet(src)
+            stream = spark.readStream.schema(batch0.schema).parquet(src)
+            appended = stream.join(corpus_fps, "fp", "left_anti").dropDuplicates(
+                ["fp"]
+            )
+            q = (
+                appended.select("doc_id", "fp")
+                .writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+    _INCR_CACHE[key] = out
+    return spark.read.parquet(out).select("doc_id", "fp")
+
+
+# Byte-identical oracle: the streaming run must reproduce the batch answer.
+ORACLE["q_stream_incr_dedup"] = _corpus.ORACLE["q_incremental_dedup"]

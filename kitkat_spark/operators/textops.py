@@ -774,3 +774,66 @@ ORACLE: dict[str, str] = {
         FROM documents JOIN embeddings ON doc_id = vec_id
     """,
 }
+
+
+def q_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-fertility profile per language — the number that sets a
+    multilingual token budget (and flags scripts the tokenizer shreds):
+    per lang, corpus volume (docs, words, chars) plus FERTILITY = BPE-ish
+    regex tokens per whitespace word (a tokenizer that splits every CJK
+    character inflates fertility for zh long before perplexity shows it)
+    and chars-per-token (compression the token budget actually buys).
+    Companion to q_token_count (per-doc raw counts) and q_lang_id: this is
+    the per-language rollup a data-mix planner reads.
+
+    Plan: one map-side projection (both tokenizations are codegen'd
+    expressions on the scan — no UDF) into ONE combinable groupBy(lang)
+    over config-many groups; all sums are exact longs; the two ratios
+    quantize to 1e-4 integer micro-units before their single exact
+    division (the cross-engine round rule — see q_minhash_merge)."""
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.select(
+        F.coalesce(F.col("lang"), F.lit("<null>")).alias("lang"),
+        F.size(tokens(F.col("text"))).cast("long").alias("ws"),
+        F.size(
+            F.regexp_extract_all(F.col("text"), F.lit(TOKEN_RE), F.lit(0))
+        ).cast("long").alias("re_t"),
+        F.length("text").cast("long").alias("ch"),
+    )
+    agg = per.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("ws").alias("n_words"),
+        F.sum("re_t").alias("n_tokens"),
+        F.sum("ch").alias("n_chars"),
+    )
+    fert = F.col("n_tokens") / F.col("n_words")
+    cpt = F.col("n_chars") / F.col("n_tokens")
+    return agg.select(
+        "lang",
+        "n_docs",
+        "n_words",
+        "n_tokens",
+        "n_chars",
+        (F.round(fert * 10000).cast("long") / F.lit(10000.0)).alias("fertility"),
+        (F.round(cpt * 10000).cast("long") / F.lit(10000.0)).alias(
+            "chars_per_token"
+        ),
+    )
+
+
+ORACLE["q_token_fertility"] = """
+        SELECT coalesce(lang, '<null>') AS lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_words,
+               CAST(sum(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')))
+                    AS BIGINT) AS n_tokens,
+               CAST(sum(length(text)) AS BIGINT) AS n_chars,
+               CAST(round(sum(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')))
+                          * 1.0 / sum(len(string_split(text, ' '))) * 10000)
+                    AS BIGINT) / 10000.0 AS fertility,
+               CAST(round(sum(length(text)) * 1.0
+                          / sum(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')))
+                          * 10000) AS BIGINT) / 10000.0 AS chars_per_token
+        FROM documents
+        GROUP BY 1
+    """

@@ -99,82 +99,80 @@ for _m in _MODULES:
             _ALL[_name] = _cache_scoped(getattr(_m, _name))
     ORACLES.update(getattr(_m, "ORACLE", {}))
 
-# The 50 driver-verified slots this round (round 12). Blocks, per the
-# staleness gate (tests/test_driver_staleness.py) and the round-11 verdict:
-# (a) the gate's 38 violations — r8 greens whose host modules changed since
-# the r8 snapshot commit; (b) the six queries NEW this round — never
-# driver-verified, always forced (the round-11 budget arithmetic: 38 forced
-# + 3 queued rotations leaves 9 free slots; 6 new + 3 changed fill them);
-# (c) three queries whose behavior or oracle CHANGED this round (pii
-# battery broadened, gram guard made layout-independent, tclose NULL-lang
-# coalesce) — fresh r11 greens, but stale evidence the moment the
-# semantics moved; (d) the three r6 greens queued first for rotation by
-# the round-11 plan (skew/runtimefilter, unchanged modules). 38+6+3+3 = 50.
+# The 50 driver-verified slots this round (round 13). Blocks, per the
+# staleness gate (tests/test_driver_staleness.py) and the round-12 verdict:
+# (a) the gate's 34 violations — r9 greens whose host modules changed since
+# the r9 snapshot commit (the authoritative list is the gate's own output
+# at the round-12 HEAD); (b) the nine rotations the round-12 verdict
+# queued — q_merge_upsert + q_scd2 (displaced last round) first, then the
+# remaining r7 greens in unchanged modules; (c) the seven queries NEW this
+# round — never driver-verified, always forced. 34 + 9 + 7 = 50.
 _VERIFY_FIRST = [
-    # -- (a) the gate's 38 violations (r8 greens in changed modules) --
-    "q_ann_kmeans_ivf",
-    "q_ann_recall_multiprobe",
-    "q_anomaly_zscore",
-    "q_bm25",
-    "q_bucketed_join",
-    "q_canonical_docs",
-    "q_cc_chain",
-    "q_consume_dlq",
-    "q_consume_pipeline",
-    "q_consume_since",
-    "q_count_min",
-    "q_dedup",
-    "q_dedup_apply",
-    "q_dedup_clusters",
-    "q_dedup_verify",
-    "q_edit_dedup",
-    "q_embedding_near_dup",
-    "q_fingerprint",
-    "q_format_roundtrip",
-    "q_gap_fill",
-    "q_groupmap_normalize",
-    "q_lang_id",
-    "q_multimodal",
-    "q_ngram_jaccard",
-    "q_oov_rate",
-    "q_pack_efficiency",
-    "q_pagerank",
-    "q_partition_prune",
-    "q_passjoin_dedup",
-    "q_quantile_sketch",
-    "q_shuffle_shards",
-    "q_stream_gap_fill",
-    "q_stream_mix_rebalance",
-    "q_stream_sliding",
-    "q_stream_tumbling",
-    "q_text_analysis",
-    "q_token_count",
-    "q_vocab",
-    # -- (b) new this round --
-    "q_ann_hnsw",         # NEW: HNSW-style layered ANN (similarity.py)
-    "q_ann_recall_hnsw",  # NEW: recall@10 audit, 1-probe vs layered
-    "q_ndcg_eval",        # NEW: graded nDCG@10 audit of the LSH family
-    "q_lsh_tuning",       # NEW: banding S-curve over measured Jaccards
-    "q_ann_index_stats",  # NEW: bucket-occupancy audit of the LSH index
-    "q_lsh_source_curve",  # NEW: the S-curve split per (coalesced) source
-    # -- (c) changed this round (fresh greens, but semantics moved) --
-    "q_pii_redact",    # broadened to the 4-class battery
-    "q_gram_blocked",  # layout-independent ragged-D guard
-    "q_tclose_audit",  # NULL-lang sentinel on both engines
-    # -- (d) the r6 rotation queued by the round-11 plan --
-    "q_skew_join_auto",
-    "q_skew_join_salted",
-    "q_bloom_join",
-    # -- Re-verify-next-round tail (round 13): q_merge_upsert + q_scd2
-    # (the r7 warehouse rotations displaced this round by the two late
-    # additions) go first, then the remaining r7 greens (q_exists_join
-    # q_having_scalar q_count_distribution q_group_filter_join in
-    # warehouse; q_range_join q_json_funcs in relational;
-    # q_embedding_quantize in profiling — all unchanged modules, not
-    # gate-forced), then whatever round 12 leaves stale in changed modules
-    # (similarity/dedup/pipelines/privacy/streamparity moved this round).
-    # Every non-slotted query stays value-proven by the local parity suite
-    # (tests/test_oracle_parity.py, every run).
+    # -- (a) the gate's 34 violations (r9 greens in changed modules) --
+    "q_active_intervals",
+    "q_assoc_rules",
+    "q_binary_ingest",
+    "q_bpe_pairs",
+    "q_cdc_chunk",
+    "q_dsir_weights",
+    "q_ewma",
+    "q_image_decode",
+    "q_kn_bigram",
+    "q_markov_transitions",
+    "q_ngram_novelty",
+    "q_pq_codebook",
+    "q_pq_search",
+    "q_rrf_fusion",
+    "q_semdedup",
+    "q_similarity_search",
+    "q_source_overlap",
+    "q_span_dedup",
+    "q_split_leakage",
+    "q_stream_anomaly_wm",
+    "q_stream_dedup_agg_wm",
+    "q_stream_dedup_wm",
+    "q_stream_ewma",
+    "q_stream_hll_wm",
+    "q_stream_interval_join_wm",
+    "q_stream_late_drop_wm",
+    "q_stream_topk_wm",
+    "q_token_pmi",
+    "q_train_manifest",
+    "q_triangle_count",
+    "q_triplet_mining",
+    "q_vocab_coverage",
+    "q_zipf_slope",
+    "q_zorder_cluster",
+    # -- (b) the nine rotations queued by the round-12 verdict --
+    "q_merge_upsert",
+    "q_scd2",
+    "q_exists_join",
+    "q_having_scalar",
+    "q_count_distribution",
+    "q_group_filter_join",
+    "q_range_join",
+    "q_json_funcs",
+    "q_embedding_quantize",
+    # -- (c) new this round --
+    "q_stream_incr_dedup",   # NEW: checkpointed streaming ingest dedup
+    "q_ann_index_merge",     # NEW: ANN segment merge + additivity audit
+    "q_ann_probe_planner",   # NEW: E[scan] per probe radius from occupancy
+    "q_minhash_merge",       # NEW: mergeable per-source sigs vs exact
+    "q_longest_repeat",      # NEW: arg-max duplicated span text per doc
+    "q_boilerplate_coverage",  # NEW: commodity-gram fraction per doc
+    "q_token_fertility",     # NEW: per-lang tokenizer fertility rollup
+    # -- Re-verify-next-round tail (round 14): whatever round 13 leaves
+    # stale in its changed modules (similarity.py, dedup.py, corpus.py,
+    # textops.py, streamparity.py moved this round — their r10 greens hit
+    # the 4-round staleness horizon at r14: q_column_profile(_approx),
+    # q_embedding_audit, q_decontaminate, q_lang_mismatch, q_mix_rebalance,
+    # q_incremental_dedup, the r10 stream block, etc. — run the gate at the
+    # r13 HEAD for the authoritative list), then the oldest unchanged-module
+    # greens (r8 relational block: q_hash_join q_broadcast_join
+    # q_outer_join q_semi_anti_join q_first_last q_minmax_by q_percentiles
+    # q_rollup_cube q_scalar_funcs q_set_ops q_array_map_funcs) as
+    # discretionary rotations. Every non-slotted query stays value-proven
+    # by the local parity suite (tests/test_oracle_parity.py, every run).
 ]
 
 assert len(_VERIFY_FIRST) == 50, len(_VERIFY_FIRST)
