@@ -2475,7 +2475,7 @@ ORACLE["q_ann_index_merge"] = f"""
             FROM e, planes pl
             GROUP BY vec_id
         )
-        SELECT bucket,
+        SELECT CAST(bucket AS BIGINT) AS bucket,
                CAST(sum(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
                    AS n_seg_a,
                CAST(sum(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)

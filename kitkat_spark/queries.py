@@ -106,7 +106,12 @@ for _m in _MODULES:
 # at the round-12 HEAD); (b) the nine rotations the round-12 verdict
 # queued — q_merge_upsert + q_scd2 (displaced last round) first, then the
 # remaining r7 greens in unchanged modules; (c) the seven queries NEW this
-# round — never driver-verified, always forced. 34 + 9 + 7 = 50.
+# round — never driver-verified, always forced; PLUS (a') the three
+# textops.py r9 greens the gate newly forces because round 13 itself
+# touched textops.py (q_token_fertility) — they displace the three
+# lowest-priority discretionary rotations (q_range_join, q_json_funcs,
+# q_embedding_quantize — unchanged modules, queued first for round 14).
+# 34 + 3 + 6 + 7 = 50.
 _VERIFY_FIRST = [
     # -- (a) the gate's 34 violations (r9 greens in changed modules) --
     "q_active_intervals",
@@ -143,16 +148,18 @@ _VERIFY_FIRST = [
     "q_vocab_coverage",
     "q_zipf_slope",
     "q_zorder_cluster",
-    # -- (b) the nine rotations queued by the round-12 verdict --
+    # -- (a') textops.py r9 greens, forced by this round's own change --
+    "q_chi2_tokens",
+    "q_doc_entropy",
+    "q_ks_drift",
+    # -- (b) rotations queued by the round-12 verdict (first six; the
+    #    displaced three go first next round) --
     "q_merge_upsert",
     "q_scd2",
     "q_exists_join",
     "q_having_scalar",
     "q_count_distribution",
     "q_group_filter_join",
-    "q_range_join",
-    "q_json_funcs",
-    "q_embedding_quantize",
     # -- (c) new this round --
     "q_stream_incr_dedup",   # NEW: checkpointed streaming ingest dedup
     "q_ann_index_merge",     # NEW: ANN segment merge + additivity audit
@@ -161,7 +168,9 @@ _VERIFY_FIRST = [
     "q_longest_repeat",      # NEW: arg-max duplicated span text per doc
     "q_boilerplate_coverage",  # NEW: commodity-gram fraction per doc
     "q_token_fertility",     # NEW: per-lang tokenizer fertility rollup
-    # -- Re-verify-next-round tail (round 14): whatever round 13 leaves
+    # -- Re-verify-next-round tail (round 14): FIRST the three displaced
+    # r7 rotations (q_range_join, q_json_funcs, q_embedding_quantize —
+    # unchanged modules, not gate-forced), then whatever round 13 leaves
     # stale in its changed modules (similarity.py, dedup.py, corpus.py,
     # textops.py, streamparity.py moved this round — their r10 greens hit
     # the 4-round staleness horizon at r14: q_column_profile(_approx),
