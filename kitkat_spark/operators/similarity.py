@@ -2446,10 +2446,16 @@ def q_ann_probe_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("r.probe_radius").alias("probe_radius"),
             F.col("r.n_buckets_probed").alias("n_buckets_probed"),
-            F.round(F.col("r.num") / F.col("n"), 4).alias("expected_candidates"),
-            F.round(F.col("r.num") / (F.col("n") * F.col("n")), 6).alias(
-                "expected_frac"
+            # integer micro-units, not round(x, k): engine round() diverges
+            # on ulp-below-boundary doubles (the q_minhash_merge lesson —
+            # hit here at sf0.1 on expected_frac 0.5005525)
+            (F.round(F.col("r.num") / F.col("n") * 10000).cast("long") / F.lit(10000.0)).alias(
+                "expected_candidates"
             ),
+            (
+                F.round(F.col("r.num") / (F.col("n") * F.col("n")) * 1000000).cast("long")
+                / F.lit(1000000.0)
+            ).alias("expected_frac"),
         )
     )
 
@@ -2525,12 +2531,14 @@ ORACLE["q_ann_probe_planner"] = f"""
             FROM occ o LEFT JOIN neigh nh USING (bucket)
         )
         SELECT 0 AS probe_radius, 1 AS n_buckets_probed,
-               round(num0 * 1.0 / n, 4) AS expected_candidates,
-               round(num0 * 1.0 / (n * n), 6) AS expected_frac
+               CAST(round(num0 * 1.0 / n * 10000) AS BIGINT) / 10000.0
+                   AS expected_candidates,
+               CAST(round(num0 * 1.0 / (n * n) * 1000000) AS BIGINT) / 1000000.0
+                   AS expected_frac
         FROM scans, tot
         UNION ALL
         SELECT 1, CAST((SELECT np FROM params) + 1 AS INT),
-               round(num1 * 1.0 / n, 4),
-               round(num1 * 1.0 / (n * n), 6)
+               CAST(round(num1 * 1.0 / n * 10000) AS BIGINT) / 10000.0,
+               CAST(round(num1 * 1.0 / (n * n) * 1000000) AS BIGINT) / 1000000.0
         FROM scans, tot
     """
