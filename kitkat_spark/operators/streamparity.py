@@ -1483,7 +1483,6 @@ ORACLE["q_stream_mix_rebalance"] = _corpus.ORACLE["q_mix_rebalance_rate"]
 
 
 INCR_BATCHES = 4  # ingest "days" replayed through the checkpointed pipeline
-_INCR_CACHE: dict[tuple[str, str], str] = {}  # (appId, sf_dir) -> sink path
 
 
 def q_stream_incr_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1517,10 +1516,11 @@ def q_stream_incr_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import shutil
 
-    key = (spark.sparkContext.applicationId, sf_dir)
-    cached = _INCR_CACHE.get(key)
-    if cached is not None:
-        return spark.read.parquet(cached).select("doc_id", "fp")
+    # Rebuilt from scratch on EVERY call (no result cache): a cached
+    # parquet read would make a second timed invocation measure the read,
+    # not the operator — the bench min-of-2 convention requires each call
+    # to pay the real streaming pipeline. rmtree also keeps re-invocation
+    # correct (the source dir is append-mode).
     base = os.path.join(
         "/tmp/kitkat_replay",
         spark.sparkContext.applicationId,
@@ -1570,7 +1570,6 @@ def q_stream_incr_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .start()
             )
             q.awaitTermination()
-    _INCR_CACHE[key] = out
     return spark.read.parquet(out).select("doc_id", "fp")
 
 
