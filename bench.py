@@ -441,8 +441,11 @@ def main() -> None:
                 continue  # never mix pools across scale factors
             pool_runs += 1
             for q, s in (doc.get("queries") or {}).items():
-                prev = pool_best.get(q)
-                pool_best[q] = s if prev is None else min(prev, s)
+                # fold ONLY the current run's query universe: a query
+                # removed from HEADLINE mid-round must not keep feeding a
+                # stale timing into the protocol number
+                if q in pool_best:
+                    pool_best[q] = min(pool_best[q], s)
     except Exception:
         pool_best, pool_runs = dict(timings), 1  # degraded: this run only
 

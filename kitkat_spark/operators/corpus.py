@@ -29,7 +29,11 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from kitkat_spark.functions.text import full_shingle_hashes, tokens
-from kitkat_spark.operators.dedup import PAIRS_SQL_CTES, jaccard_pairs
+from kitkat_spark.operators.dedup import (
+    PAIRS_SQL_CTES,
+    jaccard_pairs,
+    pairwise_set_counts,
+)
 from kitkat_spark.sources import load_table
 
 CHUNK_TOKENS = 32
@@ -721,24 +725,7 @@ def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source")
         .agg(F.count("*").alias("n_sh"))
     )
-    pair_structs = F.filter(
-        F.flatten(
-            F.transform(
-                F.col("srcs"),
-                lambda a: F.transform(
-                    F.col("srcs"),
-                    lambda b: F.struct(a.alias("a"), b.alias("b")),
-                ),
-            )
-        ),
-        lambda s: s["a"] < s["b"],
-    )
-    inter = (
-        sets.select(F.explode(pair_structs).alias("p"))
-        .select(F.col("p")["a"].alias("src_a"), F.col("p")["b"].alias("src_b"))
-        .groupBy("src_a", "src_b")
-        .agg(F.count("*").alias("n_common"))
-    )
+    inter = pairwise_set_counts(sets, "srcs")
     jac = (
         inter.join(
             F.broadcast(sizes.select(F.col("source").alias("src_a"), F.col("n_sh").alias("n_a"))),
@@ -1823,7 +1810,12 @@ def q_boilerplate_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "n_grams",
             "n_boiler",
-            F.round(F.col("n_boiler") / F.col("n_grams"), 4).alias("boiler_frac"),
+            # integer micro-units, not round(x, 4): engine round() diverges
+            # on ulp-below-boundary doubles (the q_minhash_merge lesson)
+            (
+                F.round(F.col("n_boiler") / F.col("n_grams") * 10000).cast("long")
+                / F.lit(10000.0)
+            ).alias("boiler_frac"),
         )
     )
 
@@ -1913,9 +1905,9 @@ ORACLE["q_boilerplate_coverage"] = f"""
                CAST(count(*) AS BIGINT) AS n_grams,
                CAST(sum(CASE WHEN df * 100 > n_docs * {BOILER_DF_PCT}
                              THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
-               round(sum(CASE WHEN df * 100 > n_docs * {BOILER_DF_PCT}
-                              THEN 1 ELSE 0 END) * 1.0 / count(*), 4)
-                   AS boiler_frac
+               CAST(round(sum(CASE WHEN df * 100 > n_docs * {BOILER_DF_PCT}
+                              THEN 1 ELSE 0 END) * 1.0 / count(*) * 10000)
+                    AS BIGINT) / 10000.0 AS boiler_frac
         FROM marked, nd
         GROUP BY doc_id
     """

@@ -442,8 +442,9 @@ def q_passjoin_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# (session id, sf_dir, with_source) -> (sig, cand); see the docstring below
-_SIG_CACHE: dict[tuple[int, str, bool], tuple[DataFrame, DataFrame]] = {}
+# (applicationId, sf_dir, with_source) -> (sig, cand); entries for other
+# applications are evicted on access — see the docstring below
+_SIG_CACHE: dict[tuple[str, str, bool], tuple[DataFrame, DataFrame]] = {}
 
 
 def lsh_signatures_and_candidates(
@@ -469,13 +470,20 @@ def lsh_signatures_and_candidates(
     through the signature table — the one extra byte that makes per-source
     attribution free downstream.
 
-    The built (sig, cand) pair is cached per (session, sf_dir, with_source)
-    — the fresh minhash UDF object per call would otherwise defeat Spark's
-    CacheManager plan-dedup and a session running the whole LSH family
-    would accumulate an independent persisted signature table per consumer
-    (round-12 ADVICE). The cached DataFrame holds its session reference, so
-    the id()-keyed entry can never alias a recycled session object."""
-    key = (id(spark), sf_dir, with_source)
+    The built (sig, cand) pair is cached per (applicationId, sf_dir,
+    with_source) — the fresh minhash UDF object per call would otherwise
+    defeat Spark's CacheManager plan-dedup and a session running the whole
+    LSH family would accumulate an independent persisted signature table
+    per consumer (round-12 ADVICE). Entries keyed to any OTHER application
+    are evicted on access: a cached DataFrame pins its session object, so
+    without eviction a multi-session host could never garbage-collect a
+    stopped session (round-13 review)."""
+    key = (spark.sparkContext.applicationId, sf_dir, with_source)
+    # evict other applications' entries: a cached DataFrame pins its
+    # (possibly stopped) session, so the cache must never outlive the
+    # session boundary (round-13 review)
+    for stale in [k for k in _SIG_CACHE if k[0] != key[0]]:
+        del _SIG_CACHE[stale]
     hit = _SIG_CACHE.get(key)
     if hit is not None:
         return hit
@@ -1160,6 +1168,32 @@ ORACLE["q_lsh_source_curve"] = f"""
     """
 
 
+def pairwise_set_counts(sets: DataFrame, col: str) -> DataFrame:
+    """Unique ordered (src_a, src_b) co-occurrence counts from a table of
+    sorted member-set arrays: nested-transform pair expansion (a < b keeps
+    each unordered pair once, bounded by C(|set|, 2) per row) into one
+    combinable aggregate — the q_source_overlap set-expansion, shared with
+    q_minhash_merge (round-13 review: one implementation, not two)."""
+    pair_structs = F.filter(
+        F.flatten(
+            F.transform(
+                F.col(col),
+                lambda a: F.transform(
+                    F.col(col),
+                    lambda b: F.struct(a.alias("a"), b.alias("b")),
+                ),
+            )
+        ),
+        lambda s: s["a"] < s["b"],
+    )
+    return (
+        sets.select(F.explode(pair_structs).alias("p"))
+        .select(F.col("p")["a"].alias("src_a"), F.col("p")["b"].alias("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+
+
 def q_minhash_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash MERGEABILITY — the distributed property the whole sketch
     family rides on, measured: sig(A UNION B) = elementwise_min(sig(A),
@@ -1197,24 +1231,7 @@ def q_minhash_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     ex = sig.select("src", F.explode("sh").alias("h")).distinct()
     sizes = ex.groupBy("src").agg(F.count("*").alias("n_sh"))
     sets = ex.groupBy("h").agg(F.sort_array(F.collect_set("src")).alias("ss"))
-    pair_structs = F.filter(
-        F.flatten(
-            F.transform(
-                F.col("ss"),
-                lambda a: F.transform(
-                    F.col("ss"),
-                    lambda b: F.struct(a.alias("a"), b.alias("b")),
-                ),
-            )
-        ),
-        lambda s: s["a"] < s["b"],
-    )
-    inter = (
-        sets.select(F.explode(pair_structs).alias("p"))
-        .select(F.col("p")["a"].alias("src_a"), F.col("p")["b"].alias("src_b"))
-        .groupBy("src_a", "src_b")
-        .agg(F.count("*").alias("n_common"))
-    )
+    inter = pairwise_set_counts(sets, "ss")
     # every source pair (est can be nonzero where exact is 0 — collisions)
     a = msig.select(
         F.col("src").alias("src_a"), F.col("msig").alias("sig_a")

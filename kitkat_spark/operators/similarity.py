@@ -2353,16 +2353,33 @@ def q_ann_index_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-segment corpus size would break exactly this — the reason
     _ann_planes sizes from the TOTAL corpus.
 
-    Plan: the persisted bucketed index feeds both segment filters (map
-    side), the merge is unionByName (no shuffle), and the audit is one
-    combinable groupBy(bucket) plus one bucket-keyed join against the
-    fresh-build occupancy — every aggregate an exact integer."""
-    emb, _ = _bucketed_index(spark, sf_dir)
-    seg_a = emb.filter(F.col("vec_id") % 2 == 0).withColumn(
-        "seg", F.lit("seg_a")
+    The segment builds are INDEPENDENT recomputations: each segment
+    re-buckets its vectors through the shared sign-signature UDF (the
+    compactor's actual ingest path — segments are bucketed at write time,
+    long before a merge), and only then is the merged occupancy compared
+    to the STORED full-build index's. Equality is guaranteed when the hash
+    family is frozen; the audit exists to catch the policies that break it
+    (per-segment plane sizing, nondeterministic bucketing) — reusing the
+    stored bucket column for the segments would make the check vacuous
+    (round-13 review).
+
+    Plan: two map-side segment filters + one UDF pass each over the
+    persisted vector columns, the merge is unionByName (no shuffle), and
+    the audit is one combinable groupBy(bucket) plus one bucket-keyed join
+    against the stored occupancy — every aggregate an exact integer."""
+    emb, n_planes = _bucketed_index(spark, sf_dir)
+    sig_udf = _make_sign_sig_udf(n_planes)  # the frozen hash family
+    seg_a = (
+        emb.filter(F.col("vec_id") % 2 == 0)
+        .select("vec_id", "v")
+        .withColumn("bucket", sig_udf(F.col("v")))  # independent build
+        .withColumn("seg", F.lit("seg_a"))
     )
-    seg_b = emb.filter(F.col("vec_id") % 2 == 1).withColumn(
-        "seg", F.lit("seg_b")
+    seg_b = (
+        emb.filter(F.col("vec_id") % 2 == 1)
+        .select("vec_id", "v")
+        .withColumn("bucket", sig_udf(F.col("v")))
+        .withColumn("seg", F.lit("seg_b"))
     )
     merged = seg_a.unionByName(seg_b)  # the merge: bucket-wise concat
     occ = merged.groupBy("bucket").agg(
@@ -2371,13 +2388,15 @@ def q_ann_index_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_merged"),
     )
     full = emb.groupBy("bucket").agg(F.count("*").alias("n_full"))
-    return occ.join(full, "bucket").select(
-        "bucket",
-        "n_seg_a",
-        "n_seg_b",
-        "n_merged",
-        "n_full",
-        (F.col("n_merged") == F.col("n_full")).alias("additive"),
+    return occ.join(full, "bucket", "full").select(
+        F.col("bucket").cast("long").alias("bucket"),
+        F.coalesce("n_seg_a", F.lit(0)).alias("n_seg_a"),
+        F.coalesce("n_seg_b", F.lit(0)).alias("n_seg_b"),
+        F.coalesce("n_merged", F.lit(0)).alias("n_merged"),
+        F.coalesce("n_full", F.lit(0)).alias("n_full"),
+        (
+            F.coalesce("n_merged", F.lit(0)) == F.coalesce("n_full", F.lit(0))
+        ).alias("additive"),
     )
 
 
@@ -2480,17 +2499,26 @@ ORACLE["q_ann_index_merge"] = f"""
                             THEN (1::BIGINT << pl.p) ELSE 0 END) AS bucket
             FROM e, planes pl
             GROUP BY vec_id
+        ), seg_occ AS (
+            SELECT CAST(bucket AS BIGINT) AS bucket,
+                   CAST(sum(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_seg_a,
+                   CAST(sum(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_seg_b,
+                   CAST(count(*) AS BIGINT) AS n_merged
+            FROM buckets GROUP BY bucket
+        ), full_occ AS (
+            SELECT CAST(bucket AS BIGINT) AS bucket,
+                   CAST(count(*) AS BIGINT) AS n_full
+            FROM buckets GROUP BY bucket
         )
-        SELECT CAST(bucket AS BIGINT) AS bucket,
-               CAST(sum(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
-                   AS n_seg_a,
-               CAST(sum(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
-                   AS n_seg_b,
-               CAST(count(*) AS BIGINT) AS n_merged,
-               CAST(count(*) AS BIGINT) AS n_full,
-               count(*) = count(*) AS additive
-        FROM buckets
-        GROUP BY bucket
+        SELECT bucket,
+               coalesce(s.n_seg_a, 0) AS n_seg_a,
+               coalesce(s.n_seg_b, 0) AS n_seg_b,
+               coalesce(s.n_merged, 0) AS n_merged,
+               coalesce(f.n_full, 0) AS n_full,
+               coalesce(s.n_merged, 0) = coalesce(f.n_full, 0) AS additive
+        FROM seg_occ s FULL OUTER JOIN full_occ f USING (bucket)
     """
 
 # The capacity model on the occupancy table: exact integer numerators

@@ -1570,7 +1570,10 @@ def q_stream_incr_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .start()
             )
             q.awaitTermination()
-    return spark.read.parquet(out).select("doc_id", "fp")
+    # explicit schema: a corpus whose incoming range is entirely duplicated
+    # commits zero data files, and a schemaless read of a metadata-only sink
+    # throws where the batch twin cleanly returns an empty frame
+    return spark.read.schema(batch0.schema).parquet(out).select("doc_id", "fp")
 
 
 # Byte-identical oracle: the streaming run must reproduce the batch answer.
