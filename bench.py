@@ -330,6 +330,36 @@ def _calibrate_spark(spark) -> float:
     return round(min(run() for _ in range(3)), 4)
 
 
+def _code_stamp() -> str:
+    """Hash of the ENGINE source (kitkat_spark/**/*.py + __spark_entry__.py):
+    the pool fold below only mins per-query timings across runs carrying the
+    SAME stamp, so a run recorded before a semantics/caching fix can never
+    deflate the protocol number (the round-13 failure that needed manual pool
+    invalidation twice — commits a69c130, eb7d8e8). Docs/bench-harness edits
+    deliberately do not invalidate: timings stay comparable across them."""
+    import glob as _glob
+    import hashlib
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    h = hashlib.sha256()
+    files = sorted(
+        _glob.glob(os.path.join(here, "kitkat_spark", "**", "*.py"), recursive=True)
+    ) + [os.path.join(here, "__spark_entry__.py")]
+    for f in files:
+        h.update(os.path.relpath(f, here).encode())
+        with open(f, "rb") as fh:
+            h.update(fh.read())
+    return h.hexdigest()[:16]
+
+
+def _is_streaming_lane(name: str) -> bool:
+    """Checkpointed Structured Streaming queries: their wall time is
+    dominated by state-store/checkpoint I/O (delta files, commit fsyncs),
+    which scatters run-to-run far more than compute-bound plans — they get
+    their own sub-total so cross-round raw ratios aren't hostage to it."""
+    return name.startswith("q_stream_") or name == "q_consume_dlq"
+
+
 def main() -> None:
     global _LOAD0
     idle_waited = _wait_for_idle()
@@ -359,12 +389,14 @@ def main() -> None:
             timings[name] = min(timings.get(name, dt), dt)
             _drop_persisted(spark)
 
+    code_stamp = _code_stamp()
     out = {
         "metric": "headline_query_wall_seconds",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
         "sf": float(sf),
+        "code_stamp": code_stamp,
         "conf": {
             "master": spark.sparkContext.master,
             "shuffle_partitions": spark.conf.get("spark.sql.shuffle.partitions"),
@@ -439,6 +471,11 @@ def main() -> None:
                 continue
             if doc.get("sf") != out["sf"]:
                 continue  # never mix pools across scale factors
+            if doc.get("code_stamp") != code_stamp:
+                # provenance gate: a run produced by DIFFERENT engine code
+                # (pre-fix semantics, removed caches) must not feed the
+                # fold — replaces the manual pool invalidation of r13
+                continue
             pool_runs += 1
             for q, s in (doc.get("queries") or {}).items():
                 # fold ONLY the current run's query universe: a query
@@ -457,21 +494,39 @@ def main() -> None:
     slowest = dict(
         sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:10]
     )
+
+    def _lane_totals(m: dict[str, float]) -> dict[str, float]:
+        return {
+            "batch": round(
+                sum(s for q, s in m.items() if not _is_streaming_lane(q)), 3
+            ),
+            "streaming": round(
+                sum(s for q, s in m.items() if _is_streaming_lane(q)), 3
+            ),
+        }
+
     compact = {
         "metric": out["metric"],
-        "value": out["value"],
+        # headline = the PROTOCOL number: per-query best over the round's
+        # stamp-matched run pool (round-13 verdict #7 — a single run's wall
+        # on a possibly-noisy box is demoted to single_run_value below)
+        "value": round(sum(pool_best.values()), 3),
         "unit": "sec",
         "queries": slowest,
         "sf": out["sf"],
         "n_queries": len(timings),
         "full_map": os.path.relpath(local, here) if local else None,
-        # the protocol number: per-query best over the round's run pool
-        # (this run included) — read THIS, not "value", for cross-round
-        # comparisons; "value" is one run's wall on a possibly-noisy box
+        "single_run_value": out["value"],
+        "code_stamp": code_stamp,
         "pool": {
             "runs": pool_runs,
             "best_value": round(sum(pool_best.values()), 3),
             "n_queries": len(pool_best),
+            # checkpoint-I/O-bound streaming lane vs compute-bound batch
+            # lane: compare rounds lane-by-lane — streaming variance must
+            # not dominate the cross-round raw ratio
+            "lanes": _lane_totals(pool_best),
+            "lanes_single_run": _lane_totals(timings),
         },
         "conf": {
             "runs_per_query": 2,

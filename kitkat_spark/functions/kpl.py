@@ -190,8 +190,10 @@ def deaggregate_blob(blob: bytes | None) -> list[dict]:
     """magic||proto||md5 -> list of {partition_key, data, tags}.
 
     Dictionary-decodes ``partition_key_table[r.partition_key_index]``
-    (consumer.go:186). Any decode failure -> [] (consumer.go:177-179); an
-    md5-mismatched payload is likewise rejected.
+    (consumer.go:186). Any decode failure -> [] (consumer.go:177-179). The
+    md5 comparison is STRICTER than the reference, which slices the digest
+    off without verifying it (consumer.go:174): here a mismatched trailer
+    rejects the blob, per the KPL aggregation wire-format spec's intent.
     """
     if not blob or not blob.startswith(KPL_MAGIC) or len(blob) < len(KPL_MAGIC) + 16:
         return []

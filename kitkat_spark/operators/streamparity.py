@@ -41,6 +41,21 @@ def _sink_suffix(path: str) -> int:
     return int(hashlib.md5(path.encode()).hexdigest()[:8], 16)
 
 
+def _scratch_dir(spark: SparkSession, root: str, variant: str, sf_dir: str) -> str:
+    """Per-(session, variant, sf_dir) scratch path for replay fixtures and
+    checkpoints. Keyed on a HASH of the fully-resolved sf_dir, not its
+    basename: two fixture dirs sharing a final component (`a/sf0.01` vs
+    `b/sf0.01`) must never map to the same checkpoint/source state. The
+    basename is kept as a human-readable prefix only."""
+    import os
+
+    resolved = os.path.abspath(os.path.normpath(sf_dir))
+    tag = "{}-{}".format(
+        os.path.basename(resolved), hashlib.md5(resolved.encode()).hexdigest()[:10]
+    )
+    return os.path.join(root, spark.sparkContext.applicationId, variant, tag)
+
+
 N_SHARD_BUCKETS = 16
 STREAM = "events-replay"
 
@@ -154,12 +169,7 @@ def _replay_info(spark: SparkSession, sf_dir: str, variant: str, df_fn) -> tuple
 
     key = (spark.sparkContext.applicationId, sf_dir, variant)
     if key not in _REPLAY_CACHE:
-        path = os.path.join(
-            "/tmp/kitkat_replay",
-            spark.sparkContext.applicationId,
-            variant,
-            os.path.basename(os.path.normpath(sf_dir)),
-        )
+        path = _scratch_dir(spark, "/tmp/kitkat_replay", variant, sf_dir)
         df = df_fn()
         df.write.mode("overwrite").parquet(path)
         _REPLAY_CACHE[key] = (path, df.count())
@@ -890,12 +900,7 @@ def q_stream_late_drop_wm(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select("event_id", "event_type", "ts")
     key = (spark.sparkContext.applicationId, sf_dir, "late_drop")
     if key not in _REPLAY_CACHE:
-        base = os.path.join(
-            "/tmp/kitkat_replay",
-            spark.sparkContext.applicationId,
-            "late_drop",
-            os.path.basename(os.path.normpath(sf_dir)),
-        )
+        base = _scratch_dir(spark, "/tmp/kitkat_replay", "late_drop", sf_dir)
         src = os.path.join(base, "src")
         sink = os.path.join(base, "sink")
         ckpt = os.path.join(base, "ckpt")
@@ -1008,11 +1013,7 @@ def q_consume_dlq(spark: SparkSession, sf_dir: str) -> DataFrame:
         build_plain_records(spark, sf_dir)
     )
     src, n_rows = _replay_info(spark, sf_dir, "dlq_mixed", lambda: mixed)
-    base = os.path.join(
-        "/tmp/kitkat_dlq",
-        spark.sparkContext.applicationId,
-        os.path.basename(os.path.normpath(sf_dir)),
-    )
+    base = _scratch_dir(spark, "/tmp/kitkat_dlq", "dlq", sf_dir)
     stream = spark.readStream.schema(mixed.schema).parquet(src)
     with _state_partitions(spark, n_rows):
         q = consume_with_dlq(
@@ -1484,6 +1485,14 @@ ORACLE["q_stream_mix_rebalance"] = _corpus.ORACLE["q_mix_rebalance_rate"]
 
 INCR_BATCHES = 4  # ingest "days" replayed through the checkpointed pipeline
 
+# per-call scratch nonces + the last finished dir per (app, sf_dir), so a
+# new call reclaims its predecessor's space without ever touching a path
+# another in-flight call could be using (itertools.count is GIL-atomic).
+import itertools as _itertools
+
+_INCR_DEDUP_NONCE = _itertools.count()
+_INCR_DEDUP_DIRS: dict[tuple[str, str], str] = {}
+
 
 def q_stream_incr_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING twin of q_incremental_dedup (round-12 verdict #4a): the
@@ -1519,15 +1528,23 @@ def q_stream_incr_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Rebuilt from scratch on EVERY call (no result cache): a cached
     # parquet read would make a second timed invocation measure the read,
     # not the operator — the bench min-of-2 convention requires each call
-    # to pay the real streaming pipeline. rmtree also keeps re-invocation
-    # correct (the source dir is append-mode).
-    base = os.path.join(
-        "/tmp/kitkat_replay",
-        spark.sparkContext.applicationId,
-        "incr_dedup",
-        os.path.basename(os.path.normpath(sf_dir)),
+    # to pay the real streaming pipeline. The path carries a per-call nonce
+    # so no invocation can ever rmtree another's IN-FLIGHT source/checkpoint
+    # state (concurrent calls in one application, or a caller still lazily
+    # reading a prior result); the previous call's dir for the same
+    # (app, sf_dir) key is reclaimed here instead, AFTER this call has
+    # claimed its own nonce — under the registry's serial contract that
+    # bounds the leak to one finished run's few MB of parquet + state.
+    key = (spark.sparkContext.applicationId, sf_dir)
+    nonce = next(_INCR_DEDUP_NONCE)
+    base = (
+        _scratch_dir(spark, "/tmp/kitkat_replay", "incr_dedup", sf_dir)
+        + f"-call{nonce}"
     )
-    shutil.rmtree(base, ignore_errors=True)  # partial prior run, if any
+    prior = _INCR_DEDUP_DIRS.pop(key, None)
+    if prior is not None:
+        shutil.rmtree(prior, ignore_errors=True)
+    _INCR_DEDUP_DIRS[key] = base
     src = os.path.join(base, "src")
     out = os.path.join(base, "out")
     ckpt = os.path.join(base, "ckpt")

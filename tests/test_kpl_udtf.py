@@ -40,8 +40,12 @@ def test_udtf_matches_explode_path(spark):
 
 
 def test_md5_digest_actually_checked():
-    """The reference rejects a KPL aggregate whose md5 trailer does not
-    match the protobuf body (consumer.go:173-191). Flipping a byte INSIDE
+    """The digest check follows the KPL aggregation wire format (the
+    envelope is magic ‖ protobuf ‖ md5(protobuf)) and is deliberately
+    STRICTER than the reference consumer, which only strips the trailing
+    md5.Size bytes and never compares them (consumer.go:174 slices the
+    digest off; nothing verifies it), so it would happily decode a
+    corrupted blob. Flipping a byte INSIDE
     a partition-key string keeps the blob structurally valid protobuf —
     magic, length, and field parsing all still succeed — so ONLY the
     digest comparison can reject it. This is the red-green discriminator:
