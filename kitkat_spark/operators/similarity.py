@@ -1514,6 +1514,57 @@ _ANN_PARAMS_SQL = f"""params AS (
 
 from kitkat_spark.operators.textops import BM25_SCORED_SQL  # noqa: E402
 
+# The SemDeDup replay (cell assignment -> within-cell threshold pairs ->
+# component labeling as a recursive CTE), shared verbatim between the
+# q_semdedup oracle and q_ann_index_delete's tombstone feed so the two
+# oracles can never drift on what "dedup-flagged" means.
+_SEMDEDUP_CTE_SQL = f"""e AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v,
+                   sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                       AS nrm
+            FROM embeddings WHERE len(embedding) > 0
+        ), params AS (
+            -- mirrors _semdedup_cells (uncapped); the flat argmax below is
+            -- the k <= SEMDEDUP_MAX_CELLS regime, which holds at every
+            -- driver SF — past it the Spark side switches to the two-level
+            -- quantizer and this oracle would no longer apply
+            SELECT greatest(2,
+                   CAST(ceil(count(*) * 1.0 / {SEMDEDUP_CELL_TARGET}) AS INT))
+                       AS k
+            FROM e
+        ), cents AS (
+            SELECT vec_id AS centroid_id, v AS cv, nrm AS cn
+            FROM e, params WHERE vec_id < params.k
+        ), assigned AS (
+            SELECT vec_id, centroid_id AS cell FROM (
+                SELECT e.vec_id, c.centroid_id,
+                       row_number() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY round(list_dot_product(e.v, c.cv)
+                                          / (e.nrm * c.cn), 6) DESC,
+                                    c.centroid_id) AS rk
+                FROM e CROSS JOIN cents c
+            ) WHERE rk = 1
+        ), pairs AS (
+            SELECT a.vec_id AS ua, b.vec_id AS ub
+            FROM assigned a
+            JOIN assigned b ON b.cell = a.cell AND a.vec_id < b.vec_id
+            JOIN e ea ON ea.vec_id = a.vec_id
+            JOIN e eb ON eb.vec_id = b.vec_id
+            WHERE round(list_dot_product(ea.v, eb.v) / (ea.nrm * eb.nrm), 6)
+                  >= {SEMDEDUP_COS}
+        ), edges AS (
+            SELECT ua AS u, ub AS v FROM pairs
+            UNION ALL
+            SELECT ub, ua FROM pairs
+        ), reach(u, r) AS (
+            SELECT DISTINCT u, u FROM edges
+            UNION
+            SELECT e2.u, reach.r FROM edges e2 JOIN reach ON e2.v = reach.u
+        ), comp AS (
+            SELECT u, min(r) AS cluster FROM reach GROUP BY u
+        )"""
+
 ORACLE: dict[str, str] = {
     # Identical micro-unit quantization (same IEEE product, integer
     # half-away rounding both engines), exact integer cell sums (HUGEINT
@@ -1582,52 +1633,7 @@ ORACLE: dict[str, str] = {
     # threshold pairs, and the component labeling as a recursive CTE (the
     # q_dedup_clusters pattern).
     "q_semdedup": f"""
-        WITH RECURSIVE e AS (
-            SELECT vec_id, embedding::DOUBLE[] AS v,
-                   sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
-                       AS nrm
-            FROM embeddings WHERE len(embedding) > 0
-        ), params AS (
-            -- mirrors _semdedup_cells (uncapped); the flat argmax below is
-            -- the k <= SEMDEDUP_MAX_CELLS regime, which holds at every
-            -- driver SF — past it the Spark side switches to the two-level
-            -- quantizer and this oracle would no longer apply
-            SELECT greatest(2,
-                   CAST(ceil(count(*) * 1.0 / {SEMDEDUP_CELL_TARGET}) AS INT))
-                       AS k
-            FROM e
-        ), cents AS (
-            SELECT vec_id AS centroid_id, v AS cv, nrm AS cn
-            FROM e, params WHERE vec_id < params.k
-        ), assigned AS (
-            SELECT vec_id, centroid_id AS cell FROM (
-                SELECT e.vec_id, c.centroid_id,
-                       row_number() OVER (
-                           PARTITION BY e.vec_id
-                           ORDER BY round(list_dot_product(e.v, c.cv)
-                                          / (e.nrm * c.cn), 6) DESC,
-                                    c.centroid_id) AS rk
-                FROM e CROSS JOIN cents c
-            ) WHERE rk = 1
-        ), pairs AS (
-            SELECT a.vec_id AS ua, b.vec_id AS ub
-            FROM assigned a
-            JOIN assigned b ON b.cell = a.cell AND a.vec_id < b.vec_id
-            JOIN e ea ON ea.vec_id = a.vec_id
-            JOIN e eb ON eb.vec_id = b.vec_id
-            WHERE round(list_dot_product(ea.v, eb.v) / (ea.nrm * eb.nrm), 6)
-                  >= {SEMDEDUP_COS}
-        ), edges AS (
-            SELECT ua AS u, ub AS v FROM pairs
-            UNION ALL
-            SELECT ub, ua FROM pairs
-        ), reach(u, r) AS (
-            SELECT DISTINCT u, u FROM edges
-            UNION
-            SELECT e2.u, reach.r FROM edges e2 JOIN reach ON e2.v = reach.u
-        ), comp AS (
-            SELECT u, min(r) AS cluster FROM reach GROUP BY u
-        )
+        WITH RECURSIVE {_SEMDEDUP_CTE_SQL}
         SELECT a.vec_id, a.cell,
                coalesce(c.cluster, a.vec_id) AS cluster_id,
                coalesce(c.cluster, a.vec_id) = a.vec_id AS is_kept
@@ -2569,4 +2575,130 @@ ORACLE["q_ann_probe_planner"] = f"""
                CAST(round(num1 * 1.0 / n * 10000) AS BIGINT) / 10000.0,
                CAST(round(num1 * 1.0 / (n * n) * 1000000) AS BIGINT) / 1000000.0
         FROM scans, tot
+    """
+
+
+def q_ann_index_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN index DELETE + COMPACT — the lifecycle op after build
+    (q_ann_ivf) and merge (q_ann_index_merge): a dedup wave tombstones a
+    subset of the indexed vectors, posting lists are rewritten without
+    them, and the compaction is audited for reclaimed space and for
+    serving-equivalence on the survivors.
+
+    The tombstone feed is the SEMANTIC-DEDUP drop set (q_semdedup's
+    is_kept = false rows — exactly the list a training-data pipeline
+    hands its vector index after a dedup pass; Abbas et al., SemDeDup,
+    arXiv 2023), not a synthetic sample, so this query is the
+    q_semdedup -> index-maintenance composition the round-13 verdict
+    queued. The oracle shares the SemDeDup CTE chain verbatim
+    (_SEMDEDUP_CTE_SQL) with q_semdedup's oracle, so "dedup-flagged"
+    can never drift between the two.
+
+    Audit semantics, all exact integers per bucket:
+      n_before     stored posting-list occupancy (the serving index)
+      n_tombstoned flagged rows in the bucket (reclaimed space)
+      n_live       survivors by FILTERING the stored index (the cheap
+                   partition-local rewrite a compactor actually runs)
+      n_rebuilt    survivors re-bucketed INDEPENDENTLY through the frozen
+                   hash family (a from-scratch build over survivors)
+      compacted    n_live == n_rebuilt — the invariant that makes the
+                   filter-rewrite legal: under a frozen hash family a
+                   survivor's bucket cannot change, so the rewritten
+                   index serves every query the rebuilt one would, which
+                   is also why recall on survivors is unchanged (identical
+                   candidate lists imply identical top-k). A full outer
+                   join keeps buckets that appear on only one side (a
+                   fully-reclaimed posting list, or a policy bug routing
+                   survivors to new buckets — the latter would hash-fail
+                   against the oracle loudly).
+      reclaimed_bucket  the posting list vanished entirely (file deleted,
+                   not rewritten, in an on-disk layout).
+
+    Plan shape at 100 TB: the drop list is corpus-fraction-small and
+    BROADCASTS into both the flag join and the anti join (a dedup wave
+    too large to broadcast falls back to a bucket-partitioned shuffle
+    join — still keyed, never all-pairs); the rewrite itself is
+    partition-local per bucket (zero vector shuffle, like the merge);
+    the audit aggregates are combinable integer sums over the occupancy
+    table."""
+    emb, n_planes = _bucketed_index(spark, sf_dir)
+    drops = (
+        q_semdedup(spark, sf_dir)
+        .filter(~F.col("is_kept"))
+        .select("vec_id")
+    )
+    flagged = emb.join(
+        F.broadcast(drops.withColumn("tomb", F.lit(True))), "vec_id", "left"
+    )
+    occ = flagged.groupBy("bucket").agg(
+        F.count("*").alias("n_before"),
+        F.sum(F.col("tomb").isNotNull().cast("long")).alias("n_tombstoned"),
+        F.sum(F.col("tomb").isNull().cast("long")).alias("n_live"),
+    )
+    sig_udf = _make_sign_sig_udf(n_planes)  # the frozen hash family
+    rebuilt = (
+        emb.join(F.broadcast(drops), "vec_id", "left_anti")
+        .select("vec_id", "v")
+        .withColumn("bucket", sig_udf(F.col("v")))  # independent rebuild
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_rebuilt"))
+    )
+    return occ.join(rebuilt, "bucket", "full").select(
+        F.col("bucket").cast("long").alias("bucket"),
+        F.coalesce("n_before", F.lit(0)).alias("n_before"),
+        F.coalesce("n_tombstoned", F.lit(0)).alias("n_tombstoned"),
+        F.coalesce("n_live", F.lit(0)).alias("n_live"),
+        F.coalesce("n_rebuilt", F.lit(0)).alias("n_rebuilt"),
+        (
+            F.coalesce("n_live", F.lit(0)) == F.coalesce("n_rebuilt", F.lit(0))
+        ).alias("compacted"),
+        (
+            (F.coalesce("n_tombstoned", F.lit(0)) > 0)
+            & (F.coalesce("n_live", F.lit(0)) == 0)
+        ).alias("reclaimed_bucket"),
+    )
+
+
+# Tombstone-compaction audit: the SemDeDup drop set (shared CTE chain) is
+# anti-joined out of the stored bucketed index; per-bucket occupancy before
+# / tombstoned / live are exact integer counts, and the expected outcome of
+# the Spark side's independent survivor rebuild is n_live (frozen hash
+# family => compacted is TRUE everywhere; a Spark-side divergence would
+# hash-fail here).
+ORACLE["q_ann_index_delete"] = f"""
+        WITH RECURSIVE {_SEMDEDUP_CTE_SQL}, drops AS (
+            SELECT u AS vec_id FROM comp WHERE cluster <> u
+        ), annp AS (
+            SELECT greatest({ANN_MIN_PLANES}, least({ANN_MAX_PLANES},
+                   CAST(ceil(log2(greatest(
+                       count(*) * 1.0 / {ANN_TARGET_BUCKET}, 1.0))) AS INT))) AS np
+            FROM embeddings WHERE len(embedding) > 0
+        ), dims AS (
+            SELECT max(len(embedding)) AS d FROM embeddings
+        ), planes AS (
+            SELECT p, list_transform(generate_series(0, (SELECT d - 1 FROM dims)),
+                   d -> ('0x' || substr(md5('plane_' || p || '_' || d), 1, 15))::BIGINT
+                        / 1152921504606846976.0 * 2 - 1) AS pv
+            FROM UNNEST(generate_series(0, (SELECT np FROM annp) - 1)) AS t(p)
+        ), bkts AS (
+            SELECT e.vec_id,
+                   sum(CASE WHEN list_dot_product(e.v, pl.pv) > 0
+                            THEN (1::BIGINT << pl.p) ELSE 0 END) AS bucket
+            FROM e, planes pl
+            GROUP BY e.vec_id
+        ), audit AS (
+            SELECT CAST(b.bucket AS BIGINT) AS bucket,
+                   CAST(count(*) AS BIGINT) AS n_before,
+                   CAST(sum(CASE WHEN d.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_tombstoned,
+                   CAST(sum(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_live
+            FROM bkts b LEFT JOIN drops d USING (vec_id)
+            GROUP BY b.bucket
+        )
+        SELECT bucket, n_before, n_tombstoned, n_live,
+               n_live AS n_rebuilt,
+               TRUE AS compacted,
+               (n_tombstoned > 0 AND n_live = 0) AS reclaimed_bucket
+        FROM audit
     """

@@ -1485,13 +1485,36 @@ ORACLE["q_stream_mix_rebalance"] = _corpus.ORACLE["q_mix_rebalance_rate"]
 
 INCR_BATCHES = 4  # ingest "days" replayed through the checkpointed pipeline
 
-# per-call scratch nonces + the last finished dir per (app, sf_dir), so a
-# new call reclaims its predecessor's space without ever touching a path
-# another in-flight call could be using (itertools.count is GIL-atomic).
+# per-call scratch nonces + the last finished dir per (app, variant,
+# sf_dir), so a new call reclaims its predecessor's space without ever
+# touching a path another in-flight call could be using (itertools.count
+# is GIL-atomic).
 import itertools as _itertools
 
-_INCR_DEDUP_NONCE = _itertools.count()
-_INCR_DEDUP_DIRS: dict[tuple[str, str], str] = {}
+_FRESH_NONCE = _itertools.count()
+_FRESH_DIRS: dict[tuple[str, str, str], str] = {}
+
+
+def _fresh_scratch(spark: SparkSession, variant: str, sf_dir: str) -> str:
+    """A NEVER-REUSED scratch base for streaming ops that must pay their
+    full pipeline on every invocation (no checkpoint carry-over — the
+    bench min-of-2 convention requires each call to run the real thing).
+    The path carries a per-call nonce so no invocation can rmtree
+    another's in-flight checkpoint; the previous call's dir for the same
+    key is reclaimed AFTER this call claims its own, bounding the leak to
+    one finished run under the registry's serial contract."""
+    import shutil
+
+    key = (spark.sparkContext.applicationId, variant, sf_dir)
+    base = (
+        _scratch_dir(spark, "/tmp/kitkat_replay", variant, sf_dir)
+        + f"-call{next(_FRESH_NONCE)}"
+    )
+    prior = _FRESH_DIRS.pop(key, None)
+    if prior is not None:
+        shutil.rmtree(prior, ignore_errors=True)
+    _FRESH_DIRS[key] = base
+    return base
 
 
 def q_stream_incr_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1523,28 +1546,11 @@ def q_stream_incr_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     cut/max collect is config-sized; everything corpus-sized stays
     distributed."""
     import os
-    import shutil
 
     # Rebuilt from scratch on EVERY call (no result cache): a cached
     # parquet read would make a second timed invocation measure the read,
-    # not the operator — the bench min-of-2 convention requires each call
-    # to pay the real streaming pipeline. The path carries a per-call nonce
-    # so no invocation can ever rmtree another's IN-FLIGHT source/checkpoint
-    # state (concurrent calls in one application, or a caller still lazily
-    # reading a prior result); the previous call's dir for the same
-    # (app, sf_dir) key is reclaimed here instead, AFTER this call has
-    # claimed its own nonce — under the registry's serial contract that
-    # bounds the leak to one finished run's few MB of parquet + state.
-    key = (spark.sparkContext.applicationId, sf_dir)
-    nonce = next(_INCR_DEDUP_NONCE)
-    base = (
-        _scratch_dir(spark, "/tmp/kitkat_replay", "incr_dedup", sf_dir)
-        + f"-call{nonce}"
-    )
-    prior = _INCR_DEDUP_DIRS.pop(key, None)
-    if prior is not None:
-        shutil.rmtree(prior, ignore_errors=True)
-    _INCR_DEDUP_DIRS[key] = base
+    # not the operator — see _fresh_scratch.
+    base = _fresh_scratch(spark, "incr_dedup", sf_dir)
     src = os.path.join(base, "src")
     out = os.path.join(base, "out")
     ckpt = os.path.join(base, "ckpt")
@@ -1595,3 +1601,170 @@ def q_stream_incr_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Byte-identical oracle: the streaming run must reproduce the batch answer.
 ORACLE["q_stream_incr_dedup"] = _corpus.ORACLE["q_incremental_dedup"]
+
+
+# synthetic ingest clock for the documents table (it carries no timestamp):
+# one document per minute from a fixed epoch. doc_id <-> event time is a
+# bijection, so watermark horizons translate to pure integer doc_id
+# arithmetic that a DuckDB oracle replays exactly (60 docs per 1-hour
+# window, sealed when window_end <= max(ts) - 10 minutes).
+DOC_TS_BASE_S = 1_704_067_200  # 2024-01-01 00:00:00 UTC
+DOC_TS_STEP_S = 60
+DOC_WM_MINUTES = 10
+
+
+def _doc_ingest_ts() -> "F.Column":
+    return F.timestamp_seconds(
+        F.lit(DOC_TS_BASE_S) + F.col("doc_id") * DOC_TS_STEP_S
+    )
+
+
+def q_stream_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of q_boilerplate_coverage (operators/corpus.py) —
+    commodity-gram document frequencies maintained in STREAMING STATE, the
+    ingest-time counterpart the round-13 verdict queued: documents arrive
+    on the synthetic 1-doc/min ingest clock, each contributes its DISTINCT
+    3-gram fingerprints, and a watermarked windowed count keeps per-(hour
+    window, gram) document frequencies in the state store — the
+    q_stream_hll_wm layout (state keyed on (window, hash-bucket)) applied
+    to the boilerplate dictionary. Sealed windows emit their (gram, df)
+    rows once in append mode; classification composes AT READ TIME over
+    the sealed dictionary, exactly like the HLL estimate composes over
+    sealed registers.
+
+    Read-time classification: the sealed dictionary is the per-gram df
+    summed over emitted windows (a doc lives in exactly one window, so
+    this equals document frequency over the sealed horizon); documents of
+    the emitted windows are then classified with the BATCH query's exact
+    roll-up — a gram is commodity when df * 100 > n_docs * BOILER_DF_PCT,
+    both sides exact integers. The oracle is q_boilerplate_coverage's SQL
+    filtered to the sealed horizon (window_end <= max ingest ts - 10 min,
+    i.e. (doc_id div 60 + 1) * 60 <= max(doc_id) - 10 on the token-bearing
+    docs), per the round-13 verdict's done-criterion. Joining the
+    classifier on the EMITTED window set (not a recomputed horizon) makes
+    the driver hash a real emission audit: a window Spark failed to seal,
+    or sealed early, diverges from the oracle loudly.
+
+    Scale: state is (live windows x distinct grams) — watermark-bounded,
+    independent of corpus size; the sealed dictionary is the structure a
+    100 TB ingest pipeline persists (the CCNet-style boilerplate list,
+    refreshed per window). The read-time classify shuffles on the gram fp
+    (keyed join, no all-pairs) and the doc-count is a 1-row broadcast."""
+    import os
+
+    from kitkat_spark.functions.text import tokens
+    from kitkat_spark.operators.corpus import BOILER_DF_PCT
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select("doc_id", tokens(F.col("text")).alias("w")).filter(
+        F.size("w") >= 3
+    )
+    pairs = d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("w") - 2),
+                    lambda p: F.md5(F.concat_ws(" ", F.slice("w", p, 3))),
+                )
+            )
+        ).alias("fp"),
+    )
+    feed = pairs.select("doc_id", "fp", _doc_ingest_ts().alias("ts"))
+    path, n_rows = _replay_info(spark, sf_dir, "boiler_grams", lambda: feed)
+    stream = (
+        spark.readStream.schema(feed.schema)
+        .parquet(path)
+        .withWatermark("ts", f"{DOC_WM_MINUTES} minutes")
+        .groupBy(F.window("ts", "1 hour").alias("wdw"), "fp")
+        .agg(F.count("*").alias("df_w"))
+        .select(F.col("wdw.end").alias("w_end"), "fp", "df_w")
+    )
+    # parquet sink, not memory: the sealed dictionary is corpus-vocabulary
+    # sized (hundreds of thousands of (window, gram) rows at sf0.1 alone)
+    # — a memory sink would collect it single-threaded onto the driver,
+    # and the read-time classify consumes it twice. The base is per-call
+    # (_fresh_scratch) so every invocation pays the real state-maintenance
+    # pipeline instead of riding a caught-up checkpoint.
+    base = _fresh_scratch(spark, "boiler_sink", sf_dir)
+    with _state_partitions(spark, n_rows):
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", os.path.join(base, "out"))
+            .option("checkpointLocation", os.path.join(base, "ckpt"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    sealed = spark.read.schema(
+        "w_end timestamp, fp string, df_w long"
+    ).parquet(os.path.join(base, "out"))
+    gram_df = sealed.groupBy("fp").agg(F.sum("df_w").alias("df"))
+    sealed_wins = sealed.select("w_end").distinct()
+    sealed_pairs = (
+        pairs.withColumn("wdw", F.window(_doc_ingest_ts(), "1 hour"))
+        .select("doc_id", "fp", F.col("wdw.end").alias("w_end"))
+        .join(F.broadcast(sealed_wins), "w_end")
+    )
+    n_docs = sealed_pairs.agg(F.countDistinct("doc_id").alias("n_docs"))
+    return (
+        sealed_pairs.join(gram_df, "fp")
+        .crossJoin(F.broadcast(n_docs))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(
+                (F.col("df") * 100 > F.col("n_docs") * BOILER_DF_PCT).cast(
+                    "long"
+                )
+            ).alias("n_boiler"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_boiler",
+            # integer micro-units, not round(x, 4) (the q_minhash_merge
+            # cross-engine rounding lesson)
+            (
+                F.round(F.col("n_boiler") / F.col("n_grams") * 10000).cast(
+                    "long"
+                )
+                / F.lit(10000.0)
+            ).alias("boiler_frac"),
+        )
+    )
+
+
+# The batch boilerplate audit filtered to the sealed horizon: the ingest
+# clock is doc_id minutes, so "window_end <= watermark" is exact integer
+# arithmetic on doc_id over the token-bearing docs.
+ORACLE["q_stream_boilerplate"] = f"""
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        ), d0 AS (
+            SELECT doc_id, w FROM toks WHERE len(w) >= 3
+        ), horizon AS (
+            SELECT max(doc_id) - {DOC_WM_MINUTES} AS wm FROM d0
+        ), d AS (
+            SELECT doc_id, w FROM d0, horizon
+            WHERE (doc_id // 60 + 1) * 60 <= horizon.wm
+        ), pairs AS (
+            SELECT DISTINCT doc_id,
+                   md5(array_to_string(list_slice(w, i, i + 2), ' ')) AS fp
+            FROM d, UNNEST(generate_series(1, len(w) - 2)) AS t(i)
+        ), nd AS (
+            SELECT count(*) AS n_docs FROM d
+        ), marked AS (
+            SELECT doc_id, count(*) OVER (PARTITION BY fp) AS df FROM pairs
+        )
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_grams,
+               CAST(sum(CASE WHEN df * 100 > n_docs * {_corpus.BOILER_DF_PCT}
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+               CAST(round(sum(CASE WHEN df * 100 > n_docs * {_corpus.BOILER_DF_PCT}
+                              THEN 1 ELSE 0 END) * 1.0 / count(*) * 10000)
+                    AS BIGINT) / 10000.0 AS boiler_frac
+        FROM marked, nd
+        GROUP BY doc_id
+    """
