@@ -310,6 +310,26 @@ def _pass_layout(length: F.Column, i: F.Column) -> tuple[F.Column, F.Column]:
     return seg_len, seg_start
 
 
+def passjoin_triples() -> list[tuple[int, int, int]]:
+    """The DOC-INDEPENDENT valid (delta, i, d) probe set for PassJoin at
+    k = PASSJOIN_K (~800 triples for k=12): delta = length difference in
+    [0, k], i = segment index, d = start shift inside the multi-match-aware
+    window of the EDBT 2011 paper. Precomputed driver-side and broadcast
+    (higher-order-function re-derivation per doc ran interpreted and was
+    60% of q_passjoin_dedup's wall time); shared with the incremental
+    streaming probe (operators/streamparity.py q_stream_passjoin)."""
+    return [
+        (delta, i, d)
+        for delta in range(PASSJOIN_K + 1)
+        for i in range(_PASS_M)
+        for d in range(-PASSJOIN_K, PASSJOIN_K + 1)
+        if abs(d) + abs(delta - d) <= PASSJOIN_K
+        and max(-i, delta - (PASSJOIN_K - i))
+        <= d
+        <= min(i, delta + (PASSJOIN_K - i))
+    ]
+
+
 def q_passjoin_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact edit-distance self-join via PassJoin partitioning (Li, Deng &
     Feng, EDBT 2011) — the cap-free scale path for what q_edit_dedup's
@@ -377,17 +397,7 @@ def q_passjoin_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # a constant key instead of being re-derived per doc with explode +
     # array-HOF filters: higher-order functions run interpreted (outside
     # whole-stage codegen) and were 60% of the query's wall time.
-    triples = [
-        (delta, i, d)
-        for delta in range(PASSJOIN_K + 1)
-        for i in range(_PASS_M)
-        for d in range(-PASSJOIN_K, PASSJOIN_K + 1)
-        if abs(d) + abs(delta - d) <= PASSJOIN_K
-        and max(-i, delta - (PASSJOIN_K - i))
-        <= d
-        <= min(i, delta + (PASSJOIN_K - i))
-    ]
-    tdf = spark.createDataFrame(triples, "delta int, i int, d int")
+    tdf = spark.createDataFrame(passjoin_triples(), "delta int, i int, d int")
     p_len, p_start = _pass_layout(F.col("len_s"), F.col("i"))
     probe = (
         docs.select(

@@ -1479,6 +1479,7 @@ ORACLE: dict[str, str] = {
 # the streamed keep-set is by construction the batch keep-set, so the
 # oracle is shared verbatim with q_mix_rebalance_rate
 from kitkat_spark.operators import corpus as _corpus  # noqa: E402
+from kitkat_spark.operators import dedup as _dedup  # noqa: E402
 
 ORACLE["q_stream_mix_rebalance"] = _corpus.ORACLE["q_mix_rebalance_rate"]
 
@@ -1767,4 +1768,257 @@ ORACLE["q_stream_boilerplate"] = f"""
                     AS BIGINT) / 10000.0 AS boiler_frac
         FROM marked, nd
         GROUP BY doc_id
+    """
+
+
+PASS_INCR_BATCHES = 2  # ingest waves replayed through the standing index
+
+
+def q_stream_passjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NEAR-DUP at ingest — q_stream_incr_dedup at
+    edit-distance granularity (round-13 verdict #5): the standing corpus
+    keeps its PassJoin structures, each ingest batch probes them with a
+    stream-static join on the segment hash, and the discovered pairs are
+    byte-equivalent to a batch PassJoin over corpus ∪ ingest restricted
+    to pairs that involve an ingested doc (corpus-internal pairs pre-date
+    the ingest — the batch op q_passjoin_dedup owns those).
+
+    PassJoin is ASYMMETRIC (shorter side indexed, longer side probes), so
+    an arriving doc must match standing partners in BOTH roles. The
+    standing state is therefore TWO inverted structures, exactly the
+    paper's substring inverted lists kept incremental (Li, Deng & Feng,
+    EDBT 2011, §Inc): the SEGMENT index (id, len, seg-id, xxhash64 of the
+    segment) probed by the new doc's shifted substrings, and the PROBE
+    index (the stored (partner_len, seg-id, substring-hash) keys of every
+    standing doc) joined by the new doc's own segments — the reverse
+    direction a one-sided index silently loses (an old LONGER partner
+    can never re-probe a new shorter doc). Each ingest wave appends its
+    own segments + probes BEFORE its run, so same-batch pairs resolve
+    through the same two joins; the threshold-capped levenshtein verifies
+    in-stream after a static text join-back, verified pairs append to the
+    checkpointed sink, and multi-segment / bidirectional re-discoveries
+    of a pair (exact duplicate rows — a pair is only ever discovered in
+    the wave of its LATER member, never across waves) collapse with one
+    distinct at read time, keeping every wave STATELESS: the op's real
+    state is the standing index dirs themselves, exactly as
+    q_stream_incr_dedup's is its fingerprint index.
+
+    Scale: both standing structures are keyed parquet a 100 TB deployment
+    partitions by (len_s, seg) — the per-batch joins shuffle ONLY on
+    content keys (never all-pairs), the probe expansion is the same
+    ~800x constant map-side fan-out as the batch op, and the probe store
+    is the known space trade of incremental similarity join (~60 rows
+    per standing doc vs recomputing the corpus expansion per wave).
+
+    The oracle is the brute-force length-prefiltered levenshtein over
+    ALL documents filtered to greatest(doc_a, doc_b) >= the ingest cut —
+    the driver hash proves the two-sided incremental machinery loses
+    nothing vs the from-scratch join."""
+    import os
+
+    from kitkat_spark.operators.dedup import (
+        _PASS_M,
+        PASSJOIN_K,
+        _pass_layout,
+        passjoin_triples,
+    )
+
+    base = _fresh_scratch(spark, "passjoin_incr", sf_dir)
+    src = os.path.join(base, "src")
+    ing_index = os.path.join(base, "index")
+    ing_probes = os.path.join(base, "probes")
+    out = os.path.join(base, "out")
+    ckpt = os.path.join(base, "ckpt")
+
+    par = spark.sparkContext.defaultParallelism
+    all_docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "n_chars"
+    )
+    cut, mx = all_docs.agg(
+        F.expr("(max(doc_id) + 1) * 4 div 5").alias("cut"),
+        F.max("doc_id").alias("mx"),
+    ).first()
+    # one scan + one fan-out shuffle, pinned: segments()/probes()/src all
+    # consume the doc set once per wave, and a lazy lineage would re-scan
+    # and re-shuffle the parquet for every one of those writes
+    docs = (
+        all_docs.filter(F.col("n_chars") >= _PASS_M)
+        .repartition(par)
+        .localCheckpoint(eager=True)
+    )
+    tdf = spark.createDataFrame(
+        passjoin_triples(), "delta int, i int, d int"
+    )
+
+    def segments(df: DataFrame) -> DataFrame:
+        i_col = F.explode(F.sequence(F.lit(0), F.lit(_PASS_M - 1))).alias("i")
+        seg_len, seg_start = _pass_layout(F.col("len_s"), F.col("i"))
+        return df.select(
+            F.col("doc_id").alias("id_s"),
+            F.col("n_chars").alias("len_s"),
+            "text",
+            i_col,
+        ).select(
+            "id_s",
+            "len_s",
+            "i",
+            F.xxhash64(
+                F.substring("text", seg_start + 1, seg_len)
+            ).alias("seg"),
+        )
+
+    def probes(df: DataFrame) -> DataFrame:
+        p_len, p_start = _pass_layout(F.col("len_s"), F.col("i"))
+        return (
+            df.select(
+                F.col("doc_id").alias("id_r"),
+                F.col("n_chars").alias("len_r"),
+                "text",
+                F.lit(1).alias("one"),
+            )
+            .join(F.broadcast(tdf.withColumn("one", F.lit(1))), "one")
+            .withColumn("len_s", F.col("len_r") - F.col("delta"))
+            .filter(F.col("len_s") >= _PASS_M)
+            .select(
+                "id_r", "len_r", "len_s", "text", "i",
+                p_len.alias("sl"), (p_start + F.col("d")).alias("q"),
+            )
+            .filter(
+                (F.col("q") >= 0) & (F.col("q") + F.col("sl") <= F.col("len_r"))
+            )
+            .select(
+                "id_r",
+                "len_r",
+                "len_s",
+                "i",
+                F.xxhash64(
+                    F.substring("text", F.col("q") + 1, F.col("sl"))
+                ).alias("seg"),
+            )
+        )
+
+    # The corpus-side standing structures are IMMUTABLE deployment state
+    # (built once when the corpus was indexed, long before any ingest
+    # wave), so like every replay fixture they are written once per
+    # (session, sf_dir) — a timed invocation measures the INGEST path, not
+    # a re-seed production never pays. Ingest-wave appends go to per-call
+    # dirs (the standing structures a call mutates must start pristine);
+    # each static read unions the two.
+    corpus = docs.filter(F.col("doc_id") < cut)
+    cp_index = _replay_path(
+        spark, sf_dir, "pj_index", lambda: segments(corpus)
+    )
+    cp_probes = _replay_path(
+        spark, sf_dir, "pj_probes", lambda: probes(corpus)
+    )
+    cp_texts = _replay_path(spark, sf_dir, "pj_texts", lambda: corpus)
+
+    span = int(mx) + 1 - int(cut)
+    bounds = [
+        int(cut) + (span * i) // PASS_INCR_BATCHES
+        for i in range(PASS_INCR_BATCHES + 1)
+    ]
+    seg_schema = "id_s long, len_s long, i int, seg long"
+    probe_schema = "id_r long, len_r long, len_s long, i int, seg long"
+    for lo, hi in zip(bounds, bounds[1:]):
+        batch = docs.filter(
+            (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+        )
+        # the wave lands in the standing structures first, so same-batch
+        # pairs resolve through the same two joins; src doubles as the
+        # ingest half of the text store (identical rows)
+        segments(batch).write.mode("append").parquet(ing_index)
+        probes(batch).write.mode("append").parquet(ing_probes)
+        batch.write.mode("append").parquet(src)
+
+        st_index = spark.read.schema(seg_schema).parquet(
+            cp_index, ing_index
+        )
+        st_probes = spark.read.schema(probe_schema).parquet(
+            cp_probes, ing_probes
+        )
+        st_texts = spark.read.schema(
+            "doc_id long, text string, n_chars long"
+        ).parquet(cp_texts, src)
+        stream = spark.readStream.schema(docs.schema).parquet(src)
+        # direction 1: the new doc as the LONGER side probes standing
+        # segments; direction 2: the new doc's own segments meet the
+        # standing docs' stored probe keys. The whole wave is STATELESS
+        # (the op's real state is the standing index dirs themselves, as
+        # in q_stream_incr_dedup): a same-batch pair discovered through
+        # both directions is collapsed at read time, so no per-wave state
+        # store has to spin up for a candidate-sized distinct.
+        d1 = probes(stream).join(st_index, ["len_s", "i", "seg"])
+        d2 = segments(stream).join(st_probes, ["len_s", "i", "seg"])
+        cols = ["id_s", "len_s", "id_r", "len_r"]
+        cand = (
+            d1.select(*cols)
+            .unionByName(d2.select(*cols))
+            .filter(
+                (F.col("len_s") < F.col("len_r"))
+                | (F.col("id_s") < F.col("id_r"))
+            )
+            .select(
+                F.least("id_s", "id_r").alias("doc_a"),
+                F.greatest("id_s", "id_r").alias("doc_b"),
+                F.greatest("len_s", "len_r").alias("mx"),
+            )
+        )
+        ta = st_texts.select(
+            F.col("doc_id").alias("doc_a"), F.col("text").alias("text_a")
+        )
+        tb = st_texts.select(
+            F.col("doc_id").alias("doc_b"), F.col("text").alias("text_b")
+        )
+        lev = F.levenshtein("text_a", "text_b", PASSJOIN_K)
+        verified = (
+            cand.join(ta, "doc_a")
+            .join(tb, "doc_b")
+            .select("doc_a", "doc_b", "mx", lev.alias("lev"))
+            .filter((F.col("lev") >= 0) & (F.col("lev") <= PASSJOIN_K))
+            .select(
+                "doc_a",
+                "doc_b",
+                "lev",
+                F.round(F.col("lev") * 1.0 / F.col("mx"), 4).alias(
+                    "rel_dist"
+                ),
+            )
+        )
+        q = (
+            verified.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    # collapse multi-segment / bidirectional re-discoveries of the same
+    # pair (exact duplicate rows by construction — lev and rel_dist are
+    # functions of the pair)
+    return (
+        spark.read.schema("doc_a long, doc_b long, lev int, rel_dist double")
+        .parquet(out)
+        .distinct()
+    )
+
+
+# Brute-force ground truth restricted to pairs that involve an ingested
+# doc: the incremental two-sided index must lose nothing vs from-scratch.
+ORACLE["q_stream_passjoin"] = f"""
+        WITH cutoff AS (
+            SELECT (max(doc_id) + 1) * 4 // 5 AS cut FROM documents
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(levenshtein(a.text, b.text) AS INT) AS lev,
+               round(levenshtein(a.text, b.text) * 1.0
+                     / greatest(a.n_chars, b.n_chars), 4) AS rel_dist
+        FROM documents a
+        JOIN documents b
+          ON a.doc_id < b.doc_id
+         AND abs(a.n_chars - b.n_chars) <= {_dedup.PASSJOIN_K}
+         AND a.n_chars >= {_dedup._PASS_M} AND b.n_chars >= {_dedup._PASS_M}
+        CROSS JOIN cutoff
+        WHERE levenshtein(a.text, b.text) <= {_dedup.PASSJOIN_K}
+          AND b.doc_id >= cutoff.cut
     """
