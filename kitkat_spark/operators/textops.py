@@ -837,3 +837,131 @@ ORACLE["q_token_fertility"] = """
         FROM documents
         GROUP BY 1
     """
+
+
+FERT_BUCKET_DOCS = 100  # ingest bucket = 100 docs (~100 min on the doc clock)
+FERT_DRIFT_PCT = 3  # flag when a ratio moves > 3% off the trailing window
+
+
+def q_fertility_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-SOURCE tokenizer-fertility drift over ingest time — the
+    early-warning q_token_fertility's per-language snapshot cannot give
+    (round-13 verdict #6): a source whose tokenization statistics creep
+    mid-ingest (a crawler that started hitting CJK pages, a format change
+    that shreds text into punctuation, a boilerplate injection that
+    shifts word lengths) blows the token budget long before the
+    corpus-level rollup moves. Pairs with q_ks_drift: that flags
+    distribution drift in document lengths, this flags drift in what the
+    TOKENIZER does to the bytes.
+
+    Each (source, ingest-bucket) cohort — doc_id div FERT_BUCKET_DOCS on
+    the synthetic 1-doc/min ingest clock (operators/streamparity.py) —
+    carries BOTH budget ratios: FERTILITY (regex tokens per whitespace
+    word — the script-shredding signal) and CHARS-PER-TOKEN (the
+    compression a token budget actually buys — the signal that moves on
+    this corpus, whose single-space word text keeps fertility pinned at
+    exactly 1.0). Each is compared against the TRAILING value over all of
+    that source's prior buckets (exact cumulative integer sums,
+    1-preceding window; a source's first bucket has no trailing, so its
+    trailing columns and flag are NULL in both engines), and the drift
+    flag fires when EITHER ratio diverges by more than FERT_DRIFT_PCT
+    percent. Every comparison runs on 1e-4 integer micro-units
+    (|m - t| * 100 > t * PCT) — no float boundary anywhere.
+
+    Plan: one map-side codegen'd projection (both tokenizations are
+    expressions on the scan, no UDF) into a combinable
+    groupBy(source, bucket) that shrinks the corpus to (sources x
+    ingest-buckets) rows BEFORE the per-source window — the cumulative
+    sums never see corpus-sized data, so the single-partition-per-source
+    window is config-sized at any corpus scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.select(
+        "source",
+        F.expr(f"doc_id div {FERT_BUCKET_DOCS}").alias("bucket"),
+        F.size(tokens(F.col("text"))).cast("long").alias("ws"),
+        F.size(
+            F.regexp_extract_all(F.col("text"), F.lit(TOKEN_RE), F.lit(0))
+        ).cast("long").alias("re_t"),
+        F.length("text").cast("long").alias("ch"),
+    )
+    agg = per.groupBy("source", "bucket").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("ws").alias("n_words"),
+        F.sum("re_t").alias("n_tokens"),
+        F.sum("ch").alias("n_chars"),
+    )
+    w = (
+        W.partitionBy("source")
+        .orderBy("bucket")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    fm = F.round(F.col("n_tokens") / F.col("n_words") * 10000).cast("long")
+    cm = F.round(F.col("n_chars") / F.col("n_tokens") * 10000).cast("long")
+    ft = F.round(
+        F.sum("n_tokens").over(w) / F.sum("n_words").over(w) * 10000
+    ).cast("long")
+    ct = F.round(
+        F.sum("n_chars").over(w) / F.sum("n_tokens").over(w) * 10000
+    ).cast("long")
+    pct = F.lit(FERT_DRIFT_PCT)
+    return agg.select(
+        "source",
+        F.col("bucket").cast("long").alias("bucket"),
+        "n_docs",
+        "n_words",
+        "n_tokens",
+        "n_chars",
+        (fm / F.lit(10000.0)).alias("fertility"),
+        (ft / F.lit(10000.0)).alias("trailing_fertility"),
+        (cm / F.lit(10000.0)).alias("chars_per_token"),
+        (ct / F.lit(10000.0)).alias("trailing_cpt"),
+        (
+            (F.abs(fm - ft) * 100 > ft * pct)
+            | (F.abs(cm - ct) * 100 > ct * pct)
+        ).alias("drift"),
+    )
+
+
+ORACLE["q_fertility_drift"] = f"""
+        WITH per AS (
+            SELECT source, doc_id // {FERT_BUCKET_DOCS} AS bucket,
+                   len(string_split(text, ' ')) AS ws,
+                   len(regexp_extract_all(text,
+                       '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) AS re_t,
+                   length(text) AS ch
+            FROM documents
+        ), agg AS (
+            SELECT source, bucket,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(ws) AS BIGINT) AS n_words,
+                   CAST(sum(re_t) AS BIGINT) AS n_tokens,
+                   CAST(sum(ch) AS BIGINT) AS n_chars
+            FROM per GROUP BY 1, 2
+        ), win AS (
+            SELECT *,
+                   CAST(sum(n_words) OVER wt AS BIGINT) AS cw,
+                   CAST(sum(n_tokens) OVER wt AS BIGINT) AS ctk,
+                   CAST(sum(n_chars) OVER wt AS BIGINT) AS cch
+            FROM agg
+            WINDOW wt AS (PARTITION BY source ORDER BY bucket
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        ), units AS (
+            SELECT source, bucket, n_docs, n_words, n_tokens, n_chars,
+                   CAST(round(n_tokens * 1.0 / n_words * 10000) AS BIGINT)
+                       AS fm,
+                   CAST(round(ctk * 1.0 / cw * 10000) AS BIGINT) AS ft,
+                   CAST(round(n_chars * 1.0 / n_tokens * 10000) AS BIGINT)
+                       AS cm,
+                   CAST(round(cch * 1.0 / ctk * 10000) AS BIGINT) AS ctr
+            FROM win
+        )
+        SELECT source, CAST(bucket AS BIGINT) AS bucket,
+               n_docs, n_words, n_tokens, n_chars,
+               fm / 10000.0 AS fertility,
+               ft / 10000.0 AS trailing_fertility,
+               cm / 10000.0 AS chars_per_token,
+               ctr / 10000.0 AS trailing_cpt,
+               (abs(fm - ft) * 100 > ft * {FERT_DRIFT_PCT}
+                OR abs(cm - ctr) * 100 > ctr * {FERT_DRIFT_PCT}) AS drift
+        FROM units
+    """
