@@ -1758,13 +1758,14 @@ ORACLE: dict[str, str] = {
 }
 
 
-BOILER_DF_PCT = 10  # a gram is corpus-commodity when df > this % of docs
+BOILER_DF_PERMILLE = 4  # a gram is corpus-commodity when df > this 0.1% of docs
 
 
 def q_boilerplate_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Boilerplate-coverage audit: for every document, the fraction of its
     DISTINCT 3-gram shingles that are corpus-commodity phrases (document
-    frequency above BOILER_DF_PCT% of the corpus) — the CCNet/RefinedWeb
+    frequency above BOILER_DF_PERMILLE per mille of the corpus — a rate
+    threshold, so the cut tracks corpus growth) — the CCNet/RefinedWeb
     governance signal that separates documents which are mostly template
     (navigation chrome, license headers, repeated disclaimers) from
     documents with substance. Order-free complement of q_ngram_novelty
@@ -1776,8 +1777,8 @@ def q_boilerplate_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     cardinality every shingle query already pays — then document frequency
     as a count window keyed on the fp (no self-join), then one per-doc
     roll-up; the corpus doc count broadcasts as a 1-row aggregate. The
-    threshold compares exact integers (df * 100 > n_docs * PCT — no float
-    boundary), and the one division per doc rounds at 4 dp."""
+    threshold compares exact integers (df * 1000 > n_docs * PERMILLE — no
+    float boundary), and the one division per doc rounds at 4 dp."""
     docs = load_table(spark, sf_dir, "documents")
     d = docs.select("doc_id", tokens(F.col("text")).alias("w")).filter(
         F.size("w") >= 3
@@ -1803,7 +1804,7 @@ def q_boilerplate_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_grams"),
             F.sum(
-                (F.col("df") * 100 > F.col("n_docs") * BOILER_DF_PCT).cast("long")
+                (F.col("df") * 1000 > F.col("n_docs") * BOILER_DF_PERMILLE).cast("long")
             ).alias("n_boiler"),
         )
         .select(
@@ -1903,9 +1904,9 @@ ORACLE["q_boilerplate_coverage"] = f"""
         )
         SELECT doc_id,
                CAST(count(*) AS BIGINT) AS n_grams,
-               CAST(sum(CASE WHEN df * 100 > n_docs * {BOILER_DF_PCT}
+               CAST(sum(CASE WHEN df * 1000 > n_docs * {BOILER_DF_PERMILLE}
                              THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
-               CAST(round(sum(CASE WHEN df * 100 > n_docs * {BOILER_DF_PCT}
+               CAST(round(sum(CASE WHEN df * 1000 > n_docs * {BOILER_DF_PERMILLE}
                               THEN 1 ELSE 0 END) * 1.0 / count(*) * 10000)
                     AS BIGINT) / 10000.0 AS boiler_frac
         FROM marked, nd

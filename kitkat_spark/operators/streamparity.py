@@ -1637,7 +1637,8 @@ def q_stream_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     summed over emitted windows (a doc lives in exactly one window, so
     this equals document frequency over the sealed horizon); documents of
     the emitted windows are then classified with the BATCH query's exact
-    roll-up — a gram is commodity when df * 100 > n_docs * BOILER_DF_PCT,
+    roll-up — a gram is commodity when df * 1000 > n_docs *
+    BOILER_DF_PERMILLE,
     both sides exact integers. The oracle is q_boilerplate_coverage's SQL
     filtered to the sealed horizon (window_end <= max ingest ts - 10 min,
     i.e. (doc_id div 60 + 1) * 60 <= max(doc_id) - 10 on the token-bearing
@@ -1654,7 +1655,7 @@ def q_stream_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
     from kitkat_spark.functions.text import tokens
-    from kitkat_spark.operators.corpus import BOILER_DF_PCT
+    from kitkat_spark.operators.corpus import BOILER_DF_PERMILLE
 
     docs = load_table(spark, sf_dir, "documents")
     d = docs.select("doc_id", tokens(F.col("text")).alias("w")).filter(
@@ -1716,7 +1717,7 @@ def q_stream_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_grams"),
             F.sum(
-                (F.col("df") * 100 > F.col("n_docs") * BOILER_DF_PCT).cast(
+                (F.col("df") * 1000 > F.col("n_docs") * BOILER_DF_PERMILLE).cast(
                     "long"
                 )
             ).alias("n_boiler"),
@@ -1761,9 +1762,9 @@ ORACLE["q_stream_boilerplate"] = f"""
         )
         SELECT doc_id,
                CAST(count(*) AS BIGINT) AS n_grams,
-               CAST(sum(CASE WHEN df * 100 > n_docs * {_corpus.BOILER_DF_PCT}
+               CAST(sum(CASE WHEN df * 1000 > n_docs * {_corpus.BOILER_DF_PERMILLE}
                              THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
-               CAST(round(sum(CASE WHEN df * 100 > n_docs * {_corpus.BOILER_DF_PCT}
+               CAST(round(sum(CASE WHEN df * 1000 > n_docs * {_corpus.BOILER_DF_PERMILLE}
                               THEN 1 ELSE 0 END) * 1.0 / count(*) * 10000)
                     AS BIGINT) / 10000.0 AS boiler_frac
         FROM marked, nd

@@ -99,89 +99,87 @@ for _m in _MODULES:
             _ALL[_name] = _cache_scoped(getattr(_m, _name))
     ORACLES.update(getattr(_m, "ORACLE", {}))
 
-# The 50 driver-verified slots this round (round 13). Blocks, per the
-# staleness gate (tests/test_driver_staleness.py) and the round-12 verdict:
-# (a) the gate's 34 violations — r9 greens whose host modules changed since
-# the r9 snapshot commit (the authoritative list is the gate's own output
-# at the round-12 HEAD); (b) the nine rotations the round-12 verdict
-# queued — q_merge_upsert + q_scd2 (displaced last round) first, then the
-# remaining r7 greens in unchanged modules; (c) the seven queries NEW this
-# round — never driver-verified, always forced; PLUS (a') the three
-# textops.py r9 greens the gate newly forces because round 13 itself
-# touched textops.py (q_token_fertility) — they displace the three
-# lowest-priority discretionary rotations (q_range_join, q_json_funcs,
-# q_embedding_quantize — unchanged modules, queued first for round 14).
-# 34 + 3 + 6 + 7 = 50.
+# The 50 driver-verified slots this round (round 14). Blocks, per the
+# staleness gate (tests/test_driver_staleness.py) and the round-13 verdict:
+# (a) the gate's 20 forced queries — r10 greens whose host modules changed
+# during round 13 (the gate's own output at the r13 HEAD, also listed
+# verbatim in VERDICT.md next-round #1); (b) the four queries NEW this
+# round — never driver-verified, always forced; (c) the three r7 rotations
+# displaced last round (queued first by both the r12 tail comment and the
+# r13 verdict); (d) the full r8 block (oldest unchanged-module greens);
+# (e) 10 of the 13 r9 greens — q_window_rank, q_trend_slope and
+# q_winsorize (unchanged modules, sibling queries slotted) wait for r15, which
+# must also budget for the r11 greens of similarity/streamparity/textops/
+# dedup hitting the 4-round horizon with this round's module changes.
+# 20 + 5 + 3 + 12 + 10 = 50.
 _VERIFY_FIRST = [
-    # -- (a) the gate's 34 violations (r9 greens in changed modules) --
-    "q_active_intervals",
-    "q_assoc_rules",
-    "q_binary_ingest",
-    "q_bpe_pairs",
-    "q_cdc_chunk",
-    "q_dsir_weights",
-    "q_ewma",
-    "q_image_decode",
-    "q_kn_bigram",
-    "q_markov_transitions",
-    "q_ngram_novelty",
-    "q_pq_codebook",
-    "q_pq_search",
-    "q_rrf_fusion",
-    "q_semdedup",
-    "q_similarity_search",
-    "q_source_overlap",
-    "q_span_dedup",
-    "q_split_leakage",
-    "q_stream_anomaly_wm",
-    "q_stream_dedup_agg_wm",
-    "q_stream_dedup_wm",
-    "q_stream_ewma",
-    "q_stream_hll_wm",
-    "q_stream_interval_join_wm",
-    "q_stream_late_drop_wm",
-    "q_stream_topk_wm",
-    "q_token_pmi",
-    "q_train_manifest",
-    "q_triangle_count",
-    "q_triplet_mining",
-    "q_vocab_coverage",
-    "q_zipf_slope",
-    "q_zorder_cluster",
-    # -- (a') textops.py r9 greens, forced by this round's own change --
-    "q_chi2_tokens",
-    "q_doc_entropy",
-    "q_ks_drift",
-    # -- (b) rotations queued by the round-12 verdict (first six; the
-    #    displaced three go first next round) --
-    "q_merge_upsert",
-    "q_scd2",
-    "q_exists_join",
-    "q_having_scalar",
-    "q_count_distribution",
-    "q_group_filter_join",
-    # -- (c) new this round --
-    "q_stream_incr_dedup",   # NEW: checkpointed streaming ingest dedup
-    "q_ann_index_merge",     # NEW: ANN segment merge + additivity audit
-    "q_ann_probe_planner",   # NEW: E[scan] per probe radius from occupancy
-    "q_minhash_merge",       # NEW: mergeable per-source sigs vs exact
-    "q_longest_repeat",      # NEW: arg-max duplicated span text per doc
-    "q_boilerplate_coverage",  # NEW: commodity-gram fraction per doc
-    "q_token_fertility",     # NEW: per-lang tokenizer fertility rollup
-    # -- Re-verify-next-round tail (round 14): FIRST the three displaced
-    # r7 rotations (q_range_join, q_json_funcs, q_embedding_quantize —
-    # unchanged modules, not gate-forced), then whatever round 13 leaves
-    # stale in its changed modules (similarity.py, dedup.py, corpus.py,
-    # textops.py, streamparity.py moved this round — their r10 greens hit
-    # the 4-round staleness horizon at r14: q_column_profile(_approx),
-    # q_embedding_audit, q_decontaminate, q_lang_mismatch, q_mix_rebalance,
-    # q_incremental_dedup, the r10 stream block, etc. — run the gate at the
-    # r13 HEAD for the authoritative list), then the oldest unchanged-module
-    # greens (r8 relational block: q_hash_join q_broadcast_join
-    # q_outer_join q_semi_anti_join q_first_last q_minmax_by q_percentiles
-    # q_rollup_cube q_scalar_funcs q_set_ops q_array_map_funcs) as
-    # discretionary rotations. Every non-slotted query stays value-proven
-    # by the local parity suite (tests/test_oracle_parity.py, every run).
+    # -- (a) the gate's 20 forced r10 greens (changed modules) --
+    "q_corpus_pipeline",
+    "q_dataset_card",
+    "q_decontaminate",
+    "q_dp_counts",
+    "q_gram_matrix",
+    "q_incremental_dedup",
+    "q_kanon_audit",
+    "q_kn_trigram",
+    "q_lang_mismatch",
+    "q_ldiv_audit",
+    "q_lm_score",
+    "q_mix_rebalance",
+    "q_normalize_window",
+    "q_simhash",
+    "q_stream_cms_wm",
+    "q_stream_session_wm",
+    "q_tfidf",
+    "q_unpivot",
+    "q_weighted_reservoir",
+    "q_winnow_fingerprint",
+    # -- (b) new this round, plus the one query whose SEMANTICS changed
+    #    this round (q_boilerplate_coverage: the commodity threshold moved
+    #    from a vacuous 10% to a 4-per-mille rate so the TRUE arm actually
+    #    fires at every SF; changed queries are always front-loaded) --
+    "q_ann_index_delete",    # NEW: tombstone + compact audit (lifecycle)
+    "q_stream_boilerplate",  # NEW: commodity-gram DF in streaming state
+    "q_stream_passjoin",     # NEW: incremental edit-distance near-dup
+    "q_fertility_drift",     # NEW: per-source tokenizer drift over ingest
+    "q_boilerplate_coverage",  # CHANGED: per-mille commodity threshold
+    # -- (c) the three displaced r7 rotations --
+    "q_range_join",
+    "q_json_funcs",
+    "q_embedding_quantize",
+    # -- (d) the r8 block (oldest unchanged greens) --
+    "q_array_map_funcs",
+    "q_broadcast_join",
+    "q_first_last",
+    "q_hash_join",
+    "q_kpl_deagg",
+    "q_minmax_by",
+    "q_outer_join",
+    "q_percentiles",
+    "q_rollup_cube",
+    "q_scalar_funcs",
+    "q_semi_anti_join",
+    "q_set_ops",
+    # -- (e) r9 greens (11 of 13) --
+    "q_anomaly_mad",
+    "q_big_orders",
+    "q_csv_roundtrip",
+    "q_hll_distinct",
+    "q_kmv_intersect",
+    "q_local_supplier_volume",
+    "q_orc_roundtrip",
+    "q_ship_priority",
+    "q_skyline",
+    "q_stats_agg",
+    # -- Re-verify-next-round tail (round 15): FIRST q_window_rank,
+    # q_trend_slope and q_winsorize (the three deferred r9 greens), then the r11 greens living
+    # in modules round 14 touched (similarity.py, streamparity.py,
+    # textops.py, dedup.py — run the gate at the r14 HEAD for the
+    # authoritative list), then the oldest unchanged-module r10 greens
+    # (q_column_profile(_approx), q_embedding_audit, q_conditional_funcs,
+    # the tpchx r10 block, ...). Every non-slotted query stays
+    # value-proven by the local parity suite (tests/test_oracle_parity.py,
+    # every run).
 ]
 
 assert len(_VERIFY_FIRST) == 50, len(_VERIFY_FIRST)
