@@ -491,9 +491,18 @@ def lsh_signatures_and_candidates(
     key = (spark.sparkContext.applicationId, sf_dir, with_source)
     # evict other applications' entries: a cached DataFrame pins its
     # (possibly stopped) session, so the cache must never outlive the
-    # session boundary (round-13 review)
+    # session boundary (round-13 review). Eviction also UNPERSISTS the
+    # stale signature table: if the other application is still alive
+    # (multi-session host), dropping only the dict reference would leak
+    # its materialized block — and the rebuild would register a second
+    # copy (round-13 verdict #8). A stopped session raises; that is the
+    # case where the JVM already reclaimed the blocks.
     for stale in [k for k in _SIG_CACHE if k[0] != key[0]]:
-        del _SIG_CACHE[stale]
+        stale_sig, _ = _SIG_CACHE.pop(stale)
+        try:
+            stale_sig.unpersist()
+        except Exception:
+            pass  # session already stopped; blocks died with it
     hit = _SIG_CACHE.get(key)
     if hit is not None:
         return hit
