@@ -350,3 +350,40 @@ def test_reservoir_sample_uses_window_group_limit(spark):
     assert "WindowGroupLimit" in plan, plan[:800]
     facts = plan_facts(df)
     assert facts["shuffles"] == 1, facts
+
+
+# ------------------------------------------------------ round-14 operators
+def test_fertility_drift_aggregates_before_window(spark):
+    """The per-source window must run AFTER the combinable groupBy: two
+    shuffles total (partial-agg exchange + window repartition), no joins,
+    no Python UDF — the corpus never reaches the window operator."""
+    df = QUERIES["q_fertility_drift"](spark, SF)
+    facts = plan_facts(df)
+    assert facts["shuffles"] <= 2, facts
+    assert facts["sortmerge_joins"] == 0 and facts["broadcast_joins"] == 0
+    assert facts["python_udf_nodes"] == 0, "tokenization must stay codegen'd"
+
+
+def test_ann_index_delete_drop_list_broadcasts(spark):
+    """The tombstone wave is corpus-fraction-small: both the flag join and
+    the survivor anti join must consume it as a broadcast, never a
+    corpus-side shuffle on vec_id."""
+    df = QUERIES["q_ann_index_delete"](spark, SF)
+    s = explain_str(df)
+    assert "BroadcastHashJoin" in s
+    import re
+
+    # every join keyed on vec_id (flag + anti) must be broadcast: no
+    # SortMergeJoin node may carry vec_id keys
+    for m in re.finditer(r"SortMergeJoin \[([^\]]*)\]", s):
+        assert "vec_id" not in m.group(1), m.group(0)
+
+
+def test_stream_passjoin_probe_expansion_is_constant(spark):
+    """The probe relation join must be a broadcast of the ~800 constant
+    (delta, i, d) triples — the per-doc expansion is map-side, with no
+    shuffle between the doc scan and the substring hashing."""
+    from kitkat_spark.operators.dedup import passjoin_triples
+
+    n = len(passjoin_triples())
+    assert 700 <= n <= 900, n  # k=12 multi-match-aware window
