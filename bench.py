@@ -260,6 +260,15 @@ HEADLINE = [
     "q_longest_repeat",
     "q_boilerplate_coverage",
     "q_token_fertility",
+    # round-14 additions
+    "q_ann_index_delete",
+    "q_stream_boilerplate",
+    "q_stream_passjoin",
+    "q_fertility_drift",
+    "q_ann_index_update",
+    "q_passjoin_delete",
+    "q_stream_fertility",
+    "q_boilerplate_sources",
     # Excluded on purpose (NOT a silent cap): q_cc_chain is the adversarial
     # deep-diameter CC verification query — it deliberately runs ~25 star
     # rounds on a path graph, so its wall time is per-round scheduler

@@ -1955,3 +1955,130 @@ ORACLE["q_longest_repeat"] = f"""
         FROM winner w JOIN d USING (doc_id)
         WHERE w.rk = 1
     """
+
+
+def q_boilerplate_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-SOURCE boilerplate attribution — whose templates pollute the
+    pool (round-14 survey worklist): q_boilerplate_coverage scores each
+    DOCUMENT's commodity-gram fraction; this rolls the same dictionary up
+    by source and adds the governance column the per-doc view cannot give
+    — how many commodity grams each source DOMINATES (contributes a strict
+    majority of the gram's document frequency). A source with a high
+    boiler_frac merely REUSES common templates; a source with many
+    dominated grams is the one INJECTING its own boilerplate into the
+    corpus — the crawler/format bug the mix planner should throttle first
+    (CCNet-style governance, Wenzek et al. 2020).
+
+    Semantics (exact integers end-to-end): over the same DISTINCT
+    (doc, 3-gram-fp) incidence q_boilerplate_coverage builds, a gram is
+    corpus-commodity when df * 1000 > n_docs * BOILER_DF_PERMILLE; per
+    source,
+      n_docs          token-bearing docs from the source
+      n_hits          its (doc, gram) incidences
+      n_boiler_hits   incidences on commodity grams
+      boiler_frac     n_boiler_hits / n_hits, 1e-4 integer micro-units
+      n_dominated     commodity grams where 2 * df_src > df (a strict
+                      majority cannot be shared, so dominance is unique
+                      per gram and sums to <= the commodity-gram count)
+
+    Plan, 100 TB discipline: the distinct incidence pass is the same
+    cardinality every shingle query pays; df and per-(fp, source) counts
+    are combinable aggregates keyed on the gram fp (no self-join, no
+    all-pairs); the corpus doc count is a 1-row broadcast; the final frame
+    is config-sized (one row per source). The dominance join shuffles on
+    fp — keyed and pre-aggregated, so candidates ~ vocabulary, not corpus
+    size."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select("doc_id", "source", tokens(F.col("text")).alias("w")).filter(
+        F.size("w") >= 3
+    )
+    pairs = d.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("w") - 2),
+                    lambda p: F.md5(F.concat_ws(" ", F.slice("w", p, 3))),
+                )
+            )
+        ).alias("fp"),
+    ).persist()
+    n_docs = d.agg(F.count("*").alias("n_docs_corpus"))
+    # per-(gram, source) counts roll up to the gram's df: one combinable
+    # aggregate feeds both the commodity cut and the dominance test
+    src_df = pairs.groupBy("fp", "source").agg(F.count("*").alias("df_src"))
+    gram_df = src_df.groupBy("fp").agg(F.sum("df_src").alias("df"))
+    commodity = (
+        gram_df.crossJoin(F.broadcast(n_docs))
+        .filter(F.col("df") * 1000 > F.col("n_docs_corpus") * BOILER_DF_PERMILLE)
+        .select("fp", "df")
+    )
+    hits = (
+        pairs.join(commodity.select("fp", F.lit(True).alias("boiler")), "fp", "left")
+        .groupBy("source")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count("*").alias("n_hits"),
+            F.sum(F.col("boiler").isNotNull().cast("long")).alias("n_boiler_hits"),
+        )
+    )
+    dominated = (
+        src_df.join(commodity, "fp")
+        .filter(F.col("df_src") * 2 > F.col("df"))
+        .groupBy("source")
+        .agg(F.count("*").alias("n_dominated"))
+    )
+    return hits.join(dominated, "source", "left").select(
+        "source",
+        "n_docs",
+        "n_hits",
+        "n_boiler_hits",
+        (
+            F.round(F.col("n_boiler_hits") / F.col("n_hits") * 10000).cast("long")
+            / F.lit(10000.0)
+        ).alias("boiler_frac"),
+        F.coalesce("n_dominated", F.lit(0)).alias("n_dominated"),
+    )
+
+
+ORACLE["q_boilerplate_sources"] = f"""
+        WITH toks AS (
+            SELECT doc_id, source, string_split(text, ' ') AS w FROM documents
+        ), d AS (
+            SELECT doc_id, source, w FROM toks WHERE len(w) >= 3
+        ), pairs AS (
+            SELECT DISTINCT doc_id, source,
+                   md5(array_to_string(list_slice(w, i, i + 2), ' ')) AS fp
+            FROM d, UNNEST(generate_series(1, len(w) - 2)) AS t(i)
+        ), nd AS (
+            SELECT count(*) AS n_docs_corpus FROM d
+        ), src_df AS (
+            SELECT fp, source, CAST(count(*) AS BIGINT) AS df_src
+            FROM pairs GROUP BY fp, source
+        ), gram_df AS (
+            SELECT fp, CAST(sum(df_src) AS BIGINT) AS df
+            FROM src_df GROUP BY fp
+        ), commodity AS (
+            SELECT fp, df FROM gram_df, nd
+            WHERE df * 1000 > n_docs_corpus * {BOILER_DF_PERMILLE}
+        ), hits AS (
+            SELECT p.source,
+                   CAST(count(DISTINCT p.doc_id) AS BIGINT) AS n_docs,
+                   CAST(count(*) AS BIGINT) AS n_hits,
+                   CAST(sum(CASE WHEN c.fp IS NOT NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_boiler_hits
+            FROM pairs p LEFT JOIN commodity c USING (fp)
+            GROUP BY p.source
+        ), dom AS (
+            SELECT s.source, CAST(count(*) AS BIGINT) AS n_dominated
+            FROM src_df s JOIN commodity c USING (fp)
+            WHERE s.df_src * 2 > c.df
+            GROUP BY s.source
+        )
+        SELECT h.source, h.n_docs, h.n_hits, h.n_boiler_hits,
+               CAST(round(h.n_boiler_hits * 1.0 / h.n_hits * 10000) AS BIGINT)
+                   / 10000.0 AS boiler_frac,
+               coalesce(dom.n_dominated, 0) AS n_dominated
+        FROM hits h LEFT JOIN dom USING (source)
+    """

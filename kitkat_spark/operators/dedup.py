@@ -1339,3 +1339,180 @@ ORACLE["q_minhash_merge"] = f"""
         JOIN sig nb ON na.src < nb.src
         LEFT JOIN common c ON c.src_a = na.src AND c.src_b = nb.src
     """
+
+
+PASS_DEL_MOD = 10  # deterministic retire wave: doc_id % MOD == RESIDUE
+PASS_DEL_RESIDUE = 3
+
+
+def q_passjoin_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PassJoin index DELETE-wave — retire documents from the STANDING
+    two-sided incremental index (round-14 survey worklist, pairing
+    q_stream_passjoin's ingest path with q_ann_index_delete's compaction
+    semantics): a dedup/retention wave removes every PASS_DEL_MOD-th doc,
+    and both standing structures — the SEGMENT index probed by arriving
+    longer partners and the PROBE store that re-probes arriving shorter
+    partners (operators/streamparity.py q_stream_passjoin) — must drop the
+    retired ids without a from-scratch re-expansion of the surviving
+    corpus.
+
+    Audit semantics, exact integers per posting-list key (structure,
+    len_s, i) — the partition key a 100 TB deployment stores these
+    structures under, one row per indexed partner-length x segment:
+      n_before   stored rows (the serving structures)
+      n_retired  rows owned by retired docs (reclaimed space)
+      n_live     survivors by FILTERING the stored rows — the cheap
+                 partition-local rewrite a compactor actually runs
+      n_rebuilt  survivors RE-EXPANDED from the surviving documents
+                 through the same layout/probe enumeration — the
+                 from-scratch build
+      compacted  n_live == n_rebuilt — legal because index rows are pure
+                 per-doc functions (segment layout and probe triples
+                 depend only on the doc's own text and length), so
+                 deleting a doc can never change any other doc's rows;
+                 the same-keyed filter-rewrite therefore serves every
+                 probe the rebuilt structure would, preserving PassJoin's
+                 recall-1.0 theorem on survivor pairs
+      reclaimed  the posting list vanished entirely (file deleted, not
+                 rewritten, in an on-disk layout)
+
+    Occupancy aggregates key on (len_s, i) — the hash component of the
+    stored key partitions WITHIN a posting list and cannot move rows
+    across lists, so per-list counts are hash-free and the DuckDB twin
+    replays them with pure integer layout arithmetic (_pass_layout and
+    the multi-match-aware (delta, i, d) window, cell for cell).
+
+    Plan shape at 100 TB: the retire set is a broadcast-join flag (a
+    wave too large to broadcast degrades to a keyed shuffle join on
+    doc_id — never all-pairs); the segment expansion is the 13x map-side
+    explode and the probe expansion the ~800x constant-triple broadcast
+    join both batch ops already pay; every aggregate is a combinable
+    integer sum keyed on (structure, len_s, i)."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "n_chars")
+        .filter(F.col("n_chars") >= _PASS_M)
+        .withColumn(
+            "retired", F.col("doc_id") % PASS_DEL_MOD == PASS_DEL_RESIDUE
+        )
+    )
+    tdf = spark.createDataFrame(passjoin_triples(), "delta int, i int, d int")
+
+    def seg_rows(df: DataFrame) -> DataFrame:
+        return df.select(
+            "retired",
+            F.col("n_chars").alias("len_s"),
+            F.explode(F.sequence(F.lit(0), F.lit(_PASS_M - 1))).alias("i"),
+        ).select(F.lit("segments").alias("structure"), "len_s", "i", "retired")
+
+    def probe_rows(df: DataFrame) -> DataFrame:
+        p_len, p_start = _pass_layout(F.col("len_s"), F.col("i"))
+        return (
+            df.select(
+                "retired",
+                F.col("n_chars").alias("len_r"),
+                F.lit(1).alias("one"),
+            )
+            .join(F.broadcast(tdf.withColumn("one", F.lit(1))), "one")
+            .withColumn("len_s", F.col("len_r") - F.col("delta"))
+            .filter(F.col("len_s") >= _PASS_M)
+            .select(
+                "retired",
+                "len_r",
+                "len_s",
+                "i",
+                p_len.alias("sl"),
+                (p_start + F.col("d")).alias("q"),
+            )
+            .filter(
+                (F.col("q") >= 0) & (F.col("q") + F.col("sl") <= F.col("len_r"))
+            )
+            .select(F.lit("probes").alias("structure"), "len_s", "i", "retired")
+        )
+
+    stored = seg_rows(docs).unionByName(probe_rows(docs))
+    audit = stored.groupBy("structure", "len_s", "i").agg(
+        F.count("*").alias("n_before"),
+        F.sum(F.col("retired").cast("long")).alias("n_retired"),
+        F.sum((~F.col("retired")).cast("long")).alias("n_live"),
+    )
+    survivors = docs.filter(~F.col("retired"))
+    rebuilt = (
+        seg_rows(survivors)
+        .unionByName(probe_rows(survivors))  # independent re-expansion
+        .groupBy("structure", "len_s", "i")
+        .agg(F.count("*").alias("n_rebuilt"))
+    )
+    return audit.join(rebuilt, ["structure", "len_s", "i"], "full").select(
+        "structure",
+        F.col("len_s").cast("long").alias("len_s"),
+        F.col("i").cast("int").alias("i"),
+        F.coalesce("n_before", F.lit(0)).alias("n_before"),
+        F.coalesce("n_retired", F.lit(0)).alias("n_retired"),
+        F.coalesce("n_live", F.lit(0)).alias("n_live"),
+        F.coalesce("n_rebuilt", F.lit(0)).alias("n_rebuilt"),
+        (
+            F.coalesce("n_live", F.lit(0)) == F.coalesce("n_rebuilt", F.lit(0))
+        ).alias("compacted"),
+        (
+            (F.coalesce("n_retired", F.lit(0)) > 0)
+            & (F.coalesce("n_live", F.lit(0)) == 0)
+        ).alias("reclaimed"),
+    )
+
+
+# Pure-integer replay of both standing structures' posting-list occupancy:
+# segment layout (a = len // m, b = len % m) and the multi-match-aware
+# (delta, i, d) probe window, keyed per (structure, len_s, i); index rows
+# are per-doc functions, so the oracle's n_rebuilt is n_live and a Spark
+# divergence (a filter-rewrite that loses or invents rows) hash-fails.
+ORACLE["q_passjoin_delete"] = f"""
+        WITH d AS (
+            SELECT doc_id, n_chars,
+                   doc_id % {PASS_DEL_MOD} = {PASS_DEL_RESIDUE} AS retired
+            FROM documents WHERE n_chars >= {_PASS_M}
+        ), tri AS (
+            SELECT t1.delta, t2.i, t3.dd
+            FROM UNNEST(generate_series(0, {PASSJOIN_K})) AS t1(delta),
+                 UNNEST(generate_series(0, {_PASS_M - 1})) AS t2(i),
+                 UNNEST(generate_series(-{PASSJOIN_K}, {PASSJOIN_K})) AS t3(dd)
+            WHERE abs(t3.dd) + abs(t1.delta - t3.dd) <= {PASSJOIN_K}
+              AND t3.dd >= greatest(-t2.i, t1.delta - ({PASSJOIN_K} - t2.i))
+              AND t3.dd <= least(t2.i, t1.delta + ({PASSJOIN_K} - t2.i))
+        ), seg AS (
+            SELECT 'segments' AS structure, d.n_chars AS len_s, t.i, d.retired
+            FROM d, UNNEST(generate_series(0, {_PASS_M - 1})) AS t(i)
+        ), prb0 AS (
+            SELECT d.retired, d.n_chars AS len_r,
+                   d.n_chars - tri.delta AS len_s, tri.i,
+                   (d.n_chars - tri.delta) // {_PASS_M} AS a,
+                   (d.n_chars - tri.delta) % {_PASS_M} AS b,
+                   tri.dd
+            FROM d JOIN tri ON d.n_chars - tri.delta >= {_PASS_M}
+        ), prb AS (
+            SELECT 'probes' AS structure, len_s, i, retired
+            FROM (
+                SELECT structure, len_s, i, retired,
+                       a + (CASE WHEN i >= {_PASS_M} - b THEN 1 ELSE 0 END) AS sl,
+                       i * a + greatest(0, i - ({_PASS_M} - b)) + dd AS q,
+                       len_r
+                FROM (SELECT 'probes' AS structure, * FROM prb0)
+            )
+            WHERE q >= 0 AND q + sl <= len_r
+        ), stored AS (
+            SELECT * FROM seg UNION ALL SELECT * FROM prb
+        ), audit AS (
+            SELECT structure, CAST(len_s AS BIGINT) AS len_s, CAST(i AS INT) AS i,
+                   CAST(count(*) AS BIGINT) AS n_before,
+                   CAST(sum(CASE WHEN retired THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_retired,
+                   CAST(sum(CASE WHEN retired THEN 0 ELSE 1 END) AS BIGINT)
+                       AS n_live
+            FROM stored GROUP BY 1, 2, 3
+        )
+        SELECT structure, len_s, i, n_before, n_retired, n_live,
+               n_live AS n_rebuilt,
+               TRUE AS compacted,
+               (n_retired > 0 AND n_live = 0) AS reclaimed
+        FROM audit
+    """

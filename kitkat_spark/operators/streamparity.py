@@ -2023,3 +2023,174 @@ ORACLE["q_stream_passjoin"] = f"""
         WHERE levenshtein(a.text, b.text) <= {_dedup.PASSJOIN_K}
           AND b.doc_id >= cutoff.cut
     """
+
+
+FERT_STREAM_DRIFT_PCT = 3  # same cut as the batch op (textops.FERT_DRIFT_PCT)
+
+
+def q_stream_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of q_fertility_drift (operators/textops.py) — the
+    per-source tokenizer-budget early-warning maintained at INGEST time
+    (round-14 survey worklist): documents arrive on the synthetic
+    1-doc/min ingest clock, each contributes its whitespace-word / regex-
+    token / char counts, and a watermarked 1-hour windowed aggregate keeps
+    per-(window, source) token sums in the state store. Sealed windows
+    emit their cohort rows once in append mode; the DRIFT CLASSIFICATION
+    composes at read time over the sealed history — each sealed cohort's
+    fertility (regex tokens per word) and chars-per-token are compared to
+    the TRAILING cumulative over that source's earlier sealed windows, and
+    the flag fires when either ratio moves more than FERT_STREAM_DRIFT_PCT
+    percent (1e-4 integer micro-units on both sides of every compare; a
+    source's first sealed window has no trailing, so its trailing columns
+    and flag are NULL in both engines).
+
+    The batch op cohorts by 100-doc ingest buckets; the streaming cohort
+    is the 60-doc hour the ingest clock defines — the oracle replays
+    exactly that (bucket = doc_id div 60) over the sealed horizon
+    (window_end <= max ingest ts - watermark, i.e. (doc_id div 60 + 1) *
+    60 <= max(doc_id) - DOC_WM_MINUTES in doc-minutes), so the driver hash
+    proves the state-store path seals exactly the windows the clock says
+    it must — a window sealed early or late diverges loudly.
+
+    Scale: state is (live windows x sources) rows of FOUR long sums —
+    watermark-bounded, corpus-size-free; the per-doc projection is
+    codegen'd expressions on the scan (no UDF); the read-time window
+    function runs on the config-sized sealed table (sources x hours), so
+    the single-partition-per-source window never sees corpus-sized
+    data."""
+    import os
+
+    from pyspark.sql import Window as W
+
+    from kitkat_spark.operators.textops import TOKEN_RE
+
+    docs = load_table(spark, sf_dir, "documents")
+    feed = docs.select(
+        "source",
+        F.size(F.split("text", " ")).cast("long").alias("ws"),
+        F.size(
+            F.regexp_extract_all(F.col("text"), F.lit(TOKEN_RE), F.lit(0))
+        ).cast("long").alias("re_t"),
+        F.length("text").cast("long").alias("ch"),
+        _doc_ingest_ts().alias("ts"),
+    )
+    path, n_rows = _replay_info(spark, sf_dir, "fert_feed", lambda: feed)
+    stream = (
+        spark.readStream.schema(feed.schema)
+        .parquet(path)
+        .withWatermark("ts", f"{DOC_WM_MINUTES} minutes")
+        .groupBy(F.window("ts", "1 hour").alias("wdw"), "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("ws").alias("n_words"),
+            F.sum("re_t").alias("n_tokens"),
+            F.sum("ch").alias("n_chars"),
+        )
+        .select(F.col("wdw.end").alias("w_end"), "source", "n_docs",
+                "n_words", "n_tokens", "n_chars")
+    )
+    base = _fresh_scratch(spark, "fert_sink", sf_dir)
+    with _state_partitions(spark, n_rows):
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", os.path.join(base, "out"))
+            .option("checkpointLocation", os.path.join(base, "ckpt"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    sealed = spark.read.schema(
+        "w_end timestamp, source string, n_docs long, n_words long, "
+        "n_tokens long, n_chars long"
+    ).parquet(os.path.join(base, "out"))
+    w = (
+        W.partitionBy("source")
+        .orderBy("bucket")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    cohorts = sealed.select(
+        "source",
+        (
+            (F.unix_timestamp("w_end") - F.lit(DOC_TS_BASE_S)) / 3600 - 1
+        ).cast("long").alias("bucket"),
+        "n_docs",
+        "n_words",
+        "n_tokens",
+        "n_chars",
+    )
+    fm = F.round(F.col("n_tokens") / F.col("n_words") * 10000).cast("long")
+    cm = F.round(F.col("n_chars") / F.col("n_tokens") * 10000).cast("long")
+    ft = F.round(
+        F.sum("n_tokens").over(w) / F.sum("n_words").over(w) * 10000
+    ).cast("long")
+    ct = F.round(
+        F.sum("n_chars").over(w) / F.sum("n_tokens").over(w) * 10000
+    ).cast("long")
+    pct = F.lit(FERT_STREAM_DRIFT_PCT)
+    return cohorts.select(
+        "source",
+        "bucket",
+        "n_docs",
+        "n_words",
+        "n_tokens",
+        "n_chars",
+        (fm / F.lit(10000.0)).alias("fertility"),
+        (ft / F.lit(10000.0)).alias("trailing_fertility"),
+        (cm / F.lit(10000.0)).alias("chars_per_token"),
+        (ct / F.lit(10000.0)).alias("trailing_cpt"),
+        (
+            (F.abs(fm - ft) * 100 > ft * pct)
+            | (F.abs(cm - ct) * 100 > ct * pct)
+        ).alias("drift"),
+    )
+
+
+# The batch fertility-drift computation on the ingest clock's 60-doc hour
+# cohorts, filtered to the sealed horizon — pure integer doc_id arithmetic.
+ORACLE["q_stream_fertility"] = f"""
+        WITH horizon AS (
+            SELECT max(doc_id) - {DOC_WM_MINUTES} AS wm FROM documents
+        ), per AS (
+            SELECT source, doc_id // 60 AS bucket,
+                   len(string_split(text, ' ')) AS ws,
+                   len(regexp_extract_all(text,
+                       '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) AS re_t,
+                   length(text) AS ch
+            FROM documents, horizon
+            WHERE (doc_id // 60 + 1) * 60 <= horizon.wm
+        ), agg AS (
+            SELECT source, bucket,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(ws) AS BIGINT) AS n_words,
+                   CAST(sum(re_t) AS BIGINT) AS n_tokens,
+                   CAST(sum(ch) AS BIGINT) AS n_chars
+            FROM per GROUP BY 1, 2
+        ), win AS (
+            SELECT *,
+                   CAST(sum(n_words) OVER wt AS BIGINT) AS cw,
+                   CAST(sum(n_tokens) OVER wt AS BIGINT) AS ctk,
+                   CAST(sum(n_chars) OVER wt AS BIGINT) AS cch
+            FROM agg
+            WINDOW wt AS (PARTITION BY source ORDER BY bucket
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        ), units AS (
+            SELECT source, bucket, n_docs, n_words, n_tokens, n_chars,
+                   CAST(round(n_tokens * 1.0 / n_words * 10000) AS BIGINT)
+                       AS fm,
+                   CAST(round(ctk * 1.0 / cw * 10000) AS BIGINT) AS ft,
+                   CAST(round(n_chars * 1.0 / n_tokens * 10000) AS BIGINT)
+                       AS cm,
+                   CAST(round(cch * 1.0 / ctk * 10000) AS BIGINT) AS ctr
+            FROM win
+        )
+        SELECT source, CAST(bucket AS BIGINT) AS bucket,
+               n_docs, n_words, n_tokens, n_chars,
+               fm / 10000.0 AS fertility,
+               ft / 10000.0 AS trailing_fertility,
+               cm / 10000.0 AS chars_per_token,
+               ctr / 10000.0 AS trailing_cpt,
+               (abs(fm - ft) * 100 > ft * {FERT_STREAM_DRIFT_PCT}
+                OR abs(cm - ctr) * 100 > ctr * {FERT_STREAM_DRIFT_PCT}) AS drift
+        FROM units
+    """

@@ -107,11 +107,13 @@ for _m in _MODULES:
 # round — never driver-verified, always forced; (c) the three r7 rotations
 # displaced last round (queued first by both the r12 tail comment and the
 # r13 verdict); (d) the full r8 block (oldest unchanged-module greens);
-# (e) 10 of the 13 r9 greens — q_window_rank, q_trend_slope and
-# q_winsorize (unchanged modules, sibling queries slotted) wait for r15, which
+# (e) 6 of the 13 r9 greens — q_window_rank, q_trend_slope, q_winsorize,
+# and (displaced by the second wave of round-14 operators)
+# q_local_supplier_volume, q_ship_priority, q_skyline, q_stats_agg
+# (unchanged modules, sibling queries slotted) wait for r15, which
 # must also budget for the r11 greens of similarity/streamparity/textops/
 # dedup hitting the 4-round horizon with this round's module changes.
-# 20 + 5 + 3 + 12 + 10 = 50.
+# 20 + 9 + 3 + 12 + 6 = 50.
 _VERIFY_FIRST = [
     # -- (a) the gate's 20 forced r10 greens (changed modules) --
     "q_corpus_pipeline",
@@ -142,6 +144,10 @@ _VERIFY_FIRST = [
     "q_stream_boilerplate",  # NEW: commodity-gram DF in streaming state
     "q_stream_passjoin",     # NEW: incremental edit-distance near-dup
     "q_fertility_drift",     # NEW: per-source tokenizer drift over ingest
+    "q_ann_index_update",    # NEW: re-embed wave moved between posting lists
+    "q_passjoin_delete",     # NEW: retire wave on the standing PassJoin index
+    "q_stream_fertility",    # NEW: fertility drift in streaming state
+    "q_boilerplate_sources", # NEW: per-source boilerplate attribution
     "q_boilerplate_coverage",  # CHANGED: per-mille commodity threshold
     # -- (c) the three displaced r7 rotations --
     "q_range_join",
@@ -166,13 +172,10 @@ _VERIFY_FIRST = [
     "q_csv_roundtrip",
     "q_hll_distinct",
     "q_kmv_intersect",
-    "q_local_supplier_volume",
     "q_orc_roundtrip",
-    "q_ship_priority",
-    "q_skyline",
-    "q_stats_agg",
     # -- Re-verify-next-round tail (round 15): FIRST q_window_rank,
-    # q_trend_slope and q_winsorize (the three deferred r9 greens), then the r11 greens living
+    # q_trend_slope, q_winsorize, q_local_supplier_volume, q_ship_priority,
+    # q_skyline and q_stats_agg (the seven deferred r9 greens), then the r11 greens living
     # in modules round 14 touched (similarity.py, streamparity.py,
     # textops.py, dedup.py — run the gate at the r14 HEAD for the
     # authoritative list), then the oldest unchanged-module r10 greens

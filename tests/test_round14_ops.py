@@ -196,3 +196,126 @@ def test_fertility_drift_trailing_is_cumulative(spark):
             cw += r.n_words
             ct += r.n_tokens
             cc += r.n_chars
+
+
+# ------------------------------------------- ANN index update-in-place
+def test_index_update_conserves_and_balances(spark):
+    """An update wave only MOVES vectors: total occupancy is conserved
+    (sum n_before == sum n_after == sum n_rebuilt), the delete half and
+    insert half of the move are the same set (sum n_out == sum n_in ==
+    bucket-changing drifted vectors), and the incremental n_after agrees
+    with the from-scratch post-update rebuild everywhere (updated)."""
+    from kitkat_spark.operators.similarity import (
+        ANN_UPD_MOD,
+        _bucketed_index,
+        _make_sign_sig_udf,
+        q_ann_index_update,
+    )
+
+    rows = q_ann_index_update(spark, SF).collect()
+    assert rows, "empty update audit"
+    for r in rows:
+        assert r.n_after == r.n_before - r.n_out + r.n_in, r
+        assert r.updated and r.n_after == r.n_rebuilt, r
+    assert sum(r.n_before for r in rows) == sum(r.n_after for r in rows)
+    assert sum(r.n_out for r in rows) == sum(r.n_in for r in rows)
+    emb, n_planes = _bucketed_index(spark, SF)
+    sig = _make_sign_sig_udf(n_planes)
+    n_moved = (
+        emb.filter(F.col("vec_id") % ANN_UPD_MOD == 0)
+        .withColumn("nb", sig(F.reverse("v")))
+        .filter(F.col("nb") != F.col("bucket"))
+        .count()
+    )
+    assert n_moved > 0, "fixture wave must move at least one vector"
+    assert sum(r.n_out for r in rows) == n_moved
+
+
+# --------------------------------------------- PassJoin index delete-wave
+def test_passjoin_delete_balances_and_compacts(spark):
+    """Per posting-list key: before = retired + live, the filter-rewrite
+    equals the from-scratch re-expansion (compacted — index rows are pure
+    per-doc functions), and the segment structure's totals are exactly
+    13 rows per indexed doc / per retired doc."""
+    from kitkat_spark.operators.dedup import (
+        _PASS_M,
+        PASS_DEL_MOD,
+        PASS_DEL_RESIDUE,
+        q_passjoin_delete,
+    )
+    from kitkat_spark.sources import load_table
+
+    rows = q_passjoin_delete(spark, SF).collect()
+    assert rows, "empty delete audit"
+    for r in rows:
+        assert r.n_before == r.n_retired + r.n_live, r
+        assert r.compacted and r.n_live == r.n_rebuilt, r
+        assert r.reclaimed == (r.n_retired > 0 and r.n_live == 0), r
+    d = load_table(spark, SF, "documents").filter(F.col("n_chars") >= _PASS_M)
+    n_docs = d.count()
+    n_ret = d.filter(
+        F.col("doc_id") % PASS_DEL_MOD == PASS_DEL_RESIDUE
+    ).count()
+    assert n_ret > 0, "fixture wave must retire at least one doc"
+    seg = [r for r in rows if r.structure == "segments"]
+    assert sum(r.n_before for r in seg) == _PASS_M * n_docs
+    assert sum(r.n_retired for r in seg) == _PASS_M * n_ret
+
+
+# --------------------------------------------- streaming fertility drift
+def test_stream_fertility_seals_exactly_the_horizon(spark):
+    """Every emitted cohort must be a SEALED window ((bucket + 1) * 60 <=
+    max doc_id - watermark), the sealed doc counts must cover exactly the
+    sealed docs, and each source's first cohort has NULL trailing columns
+    and NULL drift while every later cohort has both populated."""
+    from kitkat_spark.operators.streamparity import (
+        DOC_WM_MINUTES,
+        q_stream_fertility,
+    )
+    from kitkat_spark.sources import load_table
+
+    rows = q_stream_fertility(spark, SF).collect()
+    assert rows, "no sealed cohorts"
+    docs = load_table(spark, SF, "documents")
+    mx = docs.agg(F.max("doc_id")).first()[0]
+    n_sealed_docs = docs.filter(
+        (F.expr("doc_id div 60") + 1) * 60 <= mx - DOC_WM_MINUTES
+    ).count()
+    for r in rows:
+        assert (r.bucket + 1) * 60 <= mx - DOC_WM_MINUTES, r
+    assert sum(r.n_docs for r in rows) == n_sealed_docs
+    first = {}
+    for r in sorted(rows, key=lambda r: (r.source, r.bucket)):
+        if r.source not in first:
+            first[r.source] = r.bucket
+            assert r.trailing_fertility is None and r.drift is None, r
+        else:
+            assert r.trailing_fertility is not None and r.drift is not None, r
+
+
+# ------------------------------------------ per-source boilerplate blame
+def test_boilerplate_sources_rolls_up_coverage(spark):
+    """The per-source attribution must be the exact roll-up of the per-doc
+    audit: hit and boiler-hit totals match q_boilerplate_coverage summed
+    over docs, per-source doc counts partition the token-bearing corpus,
+    and dominance is unique per gram (a strict majority can't be shared),
+    so the dominated totals sum to at most the commodity-gram count."""
+    from kitkat_spark.operators.corpus import (
+        q_boilerplate_coverage,
+        q_boilerplate_sources,
+    )
+
+    per_doc = q_boilerplate_coverage(spark, SF).collect()
+    per_src = q_boilerplate_sources(spark, SF).collect()
+    assert per_src, "no sources"
+    assert sum(r.n_hits for r in per_src) == sum(r.n_grams for r in per_doc)
+    assert sum(r.n_boiler_hits for r in per_src) == sum(
+        r.n_boiler for r in per_doc
+    )
+    assert sum(r.n_docs for r in per_src) == len(per_doc)
+    assert any(r.n_boiler_hits > 0 for r in per_src), (
+        "per-mille threshold should fire at every SF (round-14 fix)"
+    )
+    for r in per_src:
+        # a source can only dominate grams it actually hits
+        assert 0 <= r.n_dominated <= r.n_boiler_hits, r
