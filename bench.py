@@ -269,6 +269,7 @@ HEADLINE = [
     "q_passjoin_delete",
     "q_stream_fertility",
     "q_boilerplate_sources",
+    "q_dedup_ttl",
     # Excluded on purpose (NOT a silent cap): q_cc_chain is the adversarial
     # deep-diameter CC verification query — it deliberately runs ~25 star
     # rounds on a path graph, so its wall time is per-round scheduler

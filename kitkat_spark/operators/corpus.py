@@ -2082,3 +2082,68 @@ ORACLE["q_boilerplate_sources"] = f"""
                coalesce(dom.n_dominated, 0) AS n_dominated
         FROM hits h LEFT JOIN dom USING (source)
     """
+
+
+DEDUP_TTL_DOCS = 200  # retention horizon of the fingerprint index, in doc-clock minutes
+
+
+def q_dedup_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TTL/retention sweep over the fingerprint index — the aging policy
+    that makes q_incremental_dedup's state DEPLOYABLE at 100 TB/day
+    (round-14 survey worklist): an unbounded fingerprint index grows
+    forever, so production dedup keeps each fingerprint only for a
+    retention horizon and accepts RE-ADMISSIONS (an expired duplicate
+    re-enters the corpus) as the price of bounded state. This query runs
+    the refresh-on-arrival policy — every arrival of a fingerprint
+    refreshes its index entry, so a duplicate is dropped iff the SAME
+    fingerprint arrived within the trailing DEDUP_TTL_DOCS window of the
+    ingest clock (doc_id minutes; the TTL-cache policy, refreshed on
+    access) — and MEASURES what the horizon costs: per document, the gap
+    to the previous same-fingerprint arrival, whether it is kept, and
+    whether it is a re-admission (kept despite an earlier expired copy —
+    rows a horizonless index would have dropped). The companion
+    first-arrival-eviction policy (state pinned to the first arrival,
+    NOT refreshed by dropped duplicates) is exactly Spark's
+    dropDuplicatesWithinWatermark and is exercised by q_stream_dedup_wm
+    (operators/streamparity.py); refresh-on-arrival is its lag-expressible
+    batch complement, and the two bound the real policy space.
+
+    Plan, 100 TB discipline: one fingerprint projection on the scan
+    (codegen'd regexp+md5, no UDF), ONE shuffle keyed on fp, and a lag
+    window per fingerprint group (groups are duplicate-family-sized —
+    bounded by content repetition, never corpus-scaled); every comparison
+    is exact integer doc_id arithmetic, so the DuckDB twin replays it
+    cell-for-cell."""
+    par = spark.sparkContext.defaultParallelism
+    docs = load_table(spark, sf_dir, "documents").repartition(par)
+    fp = F.md5(F.substring(F.lower(F.regexp_replace("text", r"\s+", " ")), 1, 200))
+    d = docs.select("doc_id", fp.alias("fp"))
+    w = W.partitionBy("fp").orderBy("doc_id")
+    gap = F.col("doc_id") - F.lag("doc_id").over(w)
+    return d.select(
+        "doc_id",
+        "fp",
+        gap.alias("prev_gap"),
+        (gap.isNull() | (gap > DEDUP_TTL_DOCS)).alias("kept"),
+        (gap.isNotNull() & (gap > DEDUP_TTL_DOCS)).alias("readmitted"),
+    )
+
+
+ORACLE["q_dedup_ttl"] = f"""
+        WITH d AS (
+            SELECT doc_id,
+                   md5(substr(lower(regexp_replace(text, '\\s+', ' ', 'g')),
+                       1, 200)) AS fp
+            FROM documents
+        ), g AS (
+            SELECT doc_id, fp,
+                   doc_id - lag(doc_id) OVER (PARTITION BY fp ORDER BY doc_id)
+                       AS prev_gap
+            FROM d
+        )
+        SELECT doc_id, fp, CAST(prev_gap AS BIGINT) AS prev_gap,
+               (prev_gap IS NULL OR prev_gap > {DEDUP_TTL_DOCS}) AS kept,
+               (prev_gap IS NOT NULL AND prev_gap > {DEDUP_TTL_DOCS})
+                   AS readmitted
+        FROM g
+    """

@@ -107,13 +107,13 @@ for _m in _MODULES:
 # round — never driver-verified, always forced; (c) the three r7 rotations
 # displaced last round (queued first by both the r12 tail comment and the
 # r13 verdict); (d) the full r8 block (oldest unchanged-module greens);
-# (e) 6 of the 13 r9 greens — q_window_rank, q_trend_slope, q_winsorize,
+# (e) 5 of the 13 r9 greens — q_window_rank, q_trend_slope, q_winsorize,
 # and (displaced by the second wave of round-14 operators)
-# q_local_supplier_volume, q_ship_priority, q_skyline, q_stats_agg
-# (unchanged modules, sibling queries slotted) wait for r15, which
-# must also budget for the r11 greens of similarity/streamparity/textops/
-# dedup hitting the 4-round horizon with this round's module changes.
-# 20 + 9 + 3 + 12 + 6 = 50.
+# q_local_supplier_volume, q_ship_priority, q_skyline, q_stats_agg,
+# q_big_orders (unchanged modules, sibling queries slotted) wait for r15,
+# which must also budget for the r11 greens of similarity/streamparity/
+# textops/dedup hitting the 4-round horizon with this round's changes.
+# 20 + 10 + 3 + 12 + 5 = 50.
 _VERIFY_FIRST = [
     # -- (a) the gate's 20 forced r10 greens (changed modules) --
     "q_corpus_pipeline",
@@ -148,6 +148,7 @@ _VERIFY_FIRST = [
     "q_passjoin_delete",     # NEW: retire wave on the standing PassJoin index
     "q_stream_fertility",    # NEW: fertility drift in streaming state
     "q_boilerplate_sources", # NEW: per-source boilerplate attribution
+    "q_dedup_ttl",           # NEW: TTL sweep over the fingerprint index
     "q_boilerplate_coverage",  # CHANGED: per-mille commodity threshold
     # -- (c) the three displaced r7 rotations --
     "q_range_join",
@@ -168,14 +169,14 @@ _VERIFY_FIRST = [
     "q_set_ops",
     # -- (e) r9 greens (11 of 13) --
     "q_anomaly_mad",
-    "q_big_orders",
     "q_csv_roundtrip",
     "q_hll_distinct",
     "q_kmv_intersect",
     "q_orc_roundtrip",
     # -- Re-verify-next-round tail (round 15): FIRST q_window_rank,
     # q_trend_slope, q_winsorize, q_local_supplier_volume, q_ship_priority,
-    # q_skyline and q_stats_agg (the seven deferred r9 greens), then the r11 greens living
+    # q_skyline, q_stats_agg and q_big_orders (the eight deferred r9
+    # greens), then the r11 greens living
     # in modules round 14 touched (similarity.py, streamparity.py,
     # textops.py, dedup.py — run the gate at the r14 HEAD for the
     # authoritative list), then the oldest unchanged-module r10 greens

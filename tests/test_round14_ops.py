@@ -319,3 +319,26 @@ def test_boilerplate_sources_rolls_up_coverage(spark):
     for r in per_src:
         # a source can only dominate grams it actually hits
         assert 0 <= r.n_dominated <= r.n_boiler_hits, r
+
+
+# ----------------------------------------------- fingerprint-index TTL
+def test_dedup_ttl_bounds_the_horizonless_answer(spark):
+    """The TTL policy must (a) keep every doc the horizonless dedup keeps
+    (first arrivals), (b) additionally keep exactly the re-admissions, and
+    (c) drop a duplicate iff its gap is within the horizon — with both
+    arms non-empty on the fixture so the threshold is live."""
+    from kitkat_spark.operators.corpus import DEDUP_TTL_DOCS, q_dedup_ttl
+
+    rows = q_dedup_ttl(spark, SF).collect()
+    assert rows
+    firsts = [r for r in rows if r.prev_gap is None]
+    dups = [r for r in rows if r.prev_gap is not None]
+    assert all(r.kept and not r.readmitted for r in firsts)
+    for r in dups:
+        assert r.kept == (r.prev_gap > DEDUP_TTL_DOCS), r
+        assert r.readmitted == r.kept, r
+    assert any(not r.kept for r in dups), "no duplicate inside the horizon"
+    assert any(r.readmitted for r in dups), "no re-admission past the horizon"
+    # horizonless kept-set = one doc per fp = the firsts
+    fps = {r.fp for r in rows}
+    assert len(firsts) == len(fps)
