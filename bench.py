@@ -270,6 +270,10 @@ HEADLINE = [
     "q_stream_fertility",
     "q_boilerplate_sources",
     "q_dedup_ttl",
+    "q_ann_rebalance",
+    "q_span_overlap",
+    "q_stream_dedup_ttl",
+    "q_stream_boiler_sources",
     # Excluded on purpose (NOT a silent cap): q_cc_chain is the adversarial
     # deep-diameter CC verification query — it deliberately runs ~25 star
     # rounds on a path graph, so its wall time is per-round scheduler

@@ -2129,6 +2129,142 @@ def q_dedup_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_span_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPAN-granularity cross-source overlap — q_source_overlap at
+    LCP_GRAM-token exact-substring width (round-14 survey worklist): the
+    3-gram shingle Jaccard finds topical/template similarity but DILUTES
+    verbatim plagiarism (a wholesale copied paragraph contributes the same
+    per-gram weight as scattered stock phrases); width-LCP_GRAM spans are
+    the q_lcp_dedup match unit, so a cross-source span hit means an exact
+    8-token substring shared verbatim — the mirror-site / scraped-re-post
+    signal (Lee et al., ACL 2022 exact-substring dedup applied ACROSS
+    sources). Adds the column the symmetric Jaccard cannot express:
+    CONTAINMENT (n_common / min(|A|, |B|)) — the plagiarism-detection
+    metric that stays high when a small source is wholly embedded in a
+    large one while Jaccard vanishes (Broder 1997's two resemblance
+    measures). Output: top-OVERLAP_TOP_K source pairs by containment.
+
+    Scale shape, identical to q_source_overlap (shared fan-out bound):
+    ONE corpus-sized shuffle keyed on the 8-byte span hash to
+    collect_set(source) (set bounded by |sources|, combines map-side);
+    pair expansion is the shared pairwise_set_counts map-side transform
+    (<= C(|sources|, 2) per span); sizes broadcast. Ratios are exact
+    int/int divisions quantized to 1e-6 integer micro-units in the same
+    order in both engines (the q_minhash_merge rounding rule)."""
+    par = spark.sparkContext.defaultParallelism
+    docs = load_table(spark, sf_dir, "documents").repartition(par)
+    sets = (
+        docs.select(
+            "source",
+            F.explode(
+                full_shingle_hashes(tokens(F.col("text")), LCP_GRAM)
+            ).alias("s"),
+        )
+        .groupBy("s")
+        .agg(F.sort_array(F.collect_set("source")).alias("srcs"))
+        .localCheckpoint(eager=True)
+    )
+    sizes = (
+        sets.select(F.explode("srcs").alias("source"))
+        .groupBy("source")
+        .agg(F.count("*").alias("n_sp"))
+    )
+    inter = pairwise_set_counts(sets, "srcs")
+    scored = (
+        inter.join(
+            F.broadcast(
+                sizes.select(F.col("source").alias("src_a"), F.col("n_sp").alias("n_a"))
+            ),
+            "src_a",
+        )
+        .join(
+            F.broadcast(
+                sizes.select(F.col("source").alias("src_b"), F.col("n_sp").alias("n_b"))
+            ),
+            "src_b",
+        )
+        .withColumn(
+            "containment",
+            F.round(
+                F.col("n_common")
+                / F.least("n_a", "n_b")
+                * 1000000
+            ).cast("long")
+            / F.lit(1000000.0),
+        )
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+                * 1000000
+            ).cast("long")
+            / F.lit(1000000.0),
+        )
+    )
+    order = [
+        F.col("containment").desc(),
+        F.col("jaccard").desc(),
+        F.col("src_a"),
+        F.col("src_b"),
+    ]
+    top = scored.orderBy(*order).limit(OVERLAP_TOP_K)
+    w_r = W.orderBy(*order)
+    return top.select(
+        F.row_number().over(w_r).alias("rank"),
+        "src_a",
+        "src_b",
+        "n_common",
+        "n_a",
+        "n_b",
+        "containment",
+        "jaccard",
+    )
+
+
+# Span sets replayed on the raw 8-token substring (hash VALUES never
+# surface, so DuckDB dedups on the string itself, exactly like the
+# q_source_overlap oracle); containment/jaccard are int/int divisions
+# quantized to micro-units in the same order.
+ORACLE["q_span_overlap"] = f"""
+        WITH toks AS (
+            SELECT source, string_split(text, ' ') AS w FROM documents
+        ), sh AS (
+            SELECT DISTINCT source,
+                   array_to_string(w[i:i+{LCP_GRAM - 1}], ' ') AS s
+            FROM toks, UNNEST(generate_series(1, len(w) - {LCP_GRAM - 1}))
+                 AS t(i)
+            WHERE len(w) >= {LCP_GRAM}
+        ), sizes AS (
+            SELECT source, CAST(count(*) AS BIGINT) AS n_sp
+            FROM sh GROUP BY source
+        ), inter AS (
+            SELECT a.source AS src_a, b.source AS src_b,
+                   CAST(count(*) AS BIGINT) AS n_common
+            FROM sh a JOIN sh b ON a.s = b.s AND a.source < b.source
+            GROUP BY 1, 2
+        ), scored AS (
+            SELECT src_a, src_b, n_common, sa.n_sp AS n_a, sb.n_sp AS n_b,
+                   CAST(round(n_common * 1.0 / least(sa.n_sp, sb.n_sp)
+                              * 1000000) AS BIGINT) / 1000000.0
+                       AS containment,
+                   CAST(round(n_common * 1.0
+                              / (sa.n_sp + sb.n_sp - n_common)
+                              * 1000000) AS BIGINT) / 1000000.0 AS jaccard
+            FROM inter
+            JOIN sizes sa ON src_a = sa.source
+            JOIN sizes sb ON src_b = sb.source
+        )
+        SELECT CAST(row_number() OVER (
+                   ORDER BY containment DESC, jaccard DESC, src_a, src_b)
+                   AS INT) AS rank,
+               src_a, src_b, n_common, n_a, n_b, containment, jaccard
+        FROM scored
+        ORDER BY containment DESC, jaccard DESC, src_a, src_b
+        LIMIT {OVERLAP_TOP_K}
+    """
+
+
 ORACLE["q_dedup_ttl"] = f"""
         WITH d AS (
             SELECT doc_id,

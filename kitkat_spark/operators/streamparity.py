@@ -2194,3 +2194,294 @@ ORACLE["q_stream_fertility"] = f"""
                 OR abs(cm - ctr) * 100 > ctr * {FERT_STREAM_DRIFT_PCT}) AS drift
         FROM units
     """
+
+
+TTL_WAVES = 3  # ingest waves replayed through the TTL'd fingerprint state
+
+
+def q_stream_dedup_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of q_dedup_ttl (operators/corpus.py) — the
+    REFRESH-ON-ARRIVAL TTL policy maintained in CUSTOM streaming state
+    (round-14 survey worklist): Spark's own
+    ``dropDuplicatesWithinWatermark`` pins a key's state to its FIRST
+    arrival (the q_stream_dedup_wm policy), so a fingerprint that keeps
+    re-arriving eventually expires and re-admits even while duplicates are
+    still flowing — refresh-on-arrival (every arrival, kept or dropped,
+    renews the entry; the TTL-cache policy) is inexpressible with the
+    built-in operator and needs flatMapGroupsWithState-style custom state:
+    ``applyInPandasWithState`` keyed on the fingerprint, state = the last
+    arrival's ingest-clock position (ONE long per distinct fingerprint).
+
+    Each micro-batch sorts its per-key arrivals by ingest position
+    (doc_id minutes — the same clock every streaming twin here uses),
+    chains the gap computation from the carried state, emits the audit
+    row (prev_gap / kept / readmitted, exactly the batch op's columns),
+    and leaves the LAST arrival in state. The corpus is replayed as
+    TTL_WAVES ascending ingest waves, each a separate availableNow run
+    against the SAME checkpoint — a genuine stop/restart per wave, so the
+    refresh-on-arrival state provably survives recovery (the
+    q_stream_incr_dedup discipline applied to custom state). The oracle
+    is byte-identical to the batch op's: the streaming run must reproduce
+    q_dedup_ttl's per-document decisions exactly.
+
+    The audit variant deliberately RETAINS expired entries: prev_gap and
+    the readmitted flag are measurements OF expiry, so the state must
+    remember what a production policy would evict (an evicted entry and
+    an expired one produce the same kept decision — eviction only loses
+    the re-admission telemetry, which is the point of this audit). The
+    production deployment evicts at TTL via the same state handle
+    (state.remove() on timeout), bounding state to the live horizon.
+
+    Scale: state is one long per distinct fingerprint seen in the
+    retention window (the persisted index q_stream_incr_dedup already
+    argues for); the per-batch shuffle is keyed on fp (never all-pairs);
+    the pandas stage is Arrow-batched per group with groups bounded by
+    content repetition, not corpus size. Wave files land whole into one
+    micro-batch each (availableNow with no file-rate limit), so per-key
+    arrival order is the ingest order the sort reconstructs."""
+    import os
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from kitkat_spark.operators.corpus import DEDUP_TTL_DOCS
+
+    base = _fresh_scratch(spark, "dedup_ttl", sf_dir)
+    src = os.path.join(base, "src")
+    out = os.path.join(base, "out")
+    ckpt = os.path.join(base, "ckpt")
+
+    par = spark.sparkContext.defaultParallelism
+    docs = load_table(spark, sf_dir, "documents").repartition(par)
+    fp = F.md5(
+        F.substring(F.lower(F.regexp_replace("text", r"\s+", " ")), 1, 200)
+    )
+    d = docs.select("doc_id", fp.alias("fp"))
+    mn, mx = d.agg(F.min("doc_id"), F.max("doc_id")).first()
+    span = int(mx) + 1 - int(mn)
+    bounds = [int(mn) + (span * i) // TTL_WAVES for i in range(TTL_WAVES + 1)]
+
+    out_schema = (
+        "doc_id long, fp string, prev_gap long, kept boolean, "
+        "readmitted boolean"
+    )
+
+    def ttl_fn(key, pdfs, state: GroupState):
+        rows = pd.concat(list(pdfs), ignore_index=True).sort_values("doc_id")
+        ids = rows["doc_id"].astype("int64")
+        prev = ids.shift(1)
+        if state.exists:
+            prev.iloc[0] = float(state.get[0])
+        gap = ids - prev  # float64: NaN marks the first-ever arrival
+        expired = gap > DEDUP_TTL_DOCS
+        state.update((int(ids.iloc[-1]),))  # refresh-on-arrival
+        yield pd.DataFrame(
+            {
+                "doc_id": ids,
+                "fp": key[0],
+                "prev_gap": gap.astype("Int64"),
+                "kept": (gap.isna() | expired),
+                "readmitted": (gap.notna() & expired),
+            }
+        )
+
+    with _state_partitions(spark, span):
+        for lo, hi in zip(bounds, bounds[1:]):
+            d.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi)).write.mode(
+                "append"
+            ).parquet(src)
+            stream = spark.readStream.schema("doc_id long, fp string").parquet(
+                src
+            )
+            audited = stream.groupBy("fp").applyInPandasWithState(
+                ttl_fn,
+                out_schema,
+                "last_id long",
+                "append",
+                GroupStateTimeout.NoTimeout,
+            )
+            q = (
+                audited.writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+    return spark.read.schema(out_schema).parquet(out)
+
+
+# Byte-identical oracle: the custom-state streaming run must reproduce the
+# batch TTL sweep's per-document decisions.
+ORACLE["q_stream_dedup_ttl"] = _corpus.ORACLE["q_dedup_ttl"]
+
+
+def q_stream_boiler_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of q_boilerplate_sources (operators/corpus.py) —
+    per-SOURCE commodity-gram attribution maintained at INGEST time
+    (round-14 survey worklist): the q_stream_boilerplate layout with the
+    SOURCE in the state key — documents arrive on the 1-doc/min ingest
+    clock, each contributes its distinct 3-gram fingerprints, and the
+    watermarked windowed count keeps per-(hour window, gram, source)
+    document frequencies in the state store. Sealed windows emit once in
+    append mode; the GOVERNANCE roll-up (who reuses boilerplate vs who
+    INJECTS it — the dominance column) composes at read time over the
+    sealed dictionary with the batch query's exact integer semantics:
+    per-(gram, source) df rolls up to the gram's corpus df (a doc lives
+    in exactly one window, so window sums are document frequencies over
+    the sealed horizon), a gram is commodity when df * 1000 > n_docs *
+    BOILER_DF_PERMILLE, and a source dominates a commodity gram when
+    2 * df_src > df. The oracle is the batch q_boilerplate_sources SQL
+    filtered to the sealed horizon — a window sealed early or late, or a
+    state row lost across the (window, gram, source) key, diverges
+    loudly.
+
+    Scale: state is (live windows x distinct grams x sources-per-gram) —
+    watermark-bounded and corpus-size-free (a gram's source set is
+    bounded by |sources|); the sealed dictionary is what a 100 TB ingest
+    pipeline persists per window for mix governance; read-time shuffles
+    are keyed on the gram fp (pre-aggregated, candidates ~ vocabulary)
+    and the doc count is a 1-row broadcast."""
+    import os
+
+    from kitkat_spark.functions.text import tokens
+    from kitkat_spark.operators.corpus import BOILER_DF_PERMILLE
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id", "source", tokens(F.col("text")).alias("w")
+    ).filter(F.size("w") >= 3)
+    pairs = d.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("w") - 2),
+                    lambda p: F.md5(F.concat_ws(" ", F.slice("w", p, 3))),
+                )
+            )
+        ).alias("fp"),
+    )
+    feed = pairs.select("doc_id", "source", "fp", _doc_ingest_ts().alias("ts"))
+    path, n_rows = _replay_info(spark, sf_dir, "boiler_src_grams", lambda: feed)
+    stream = (
+        spark.readStream.schema(feed.schema)
+        .parquet(path)
+        .withWatermark("ts", f"{DOC_WM_MINUTES} minutes")
+        .groupBy(F.window("ts", "1 hour").alias("wdw"), "fp", "source")
+        .agg(F.count("*").alias("df_ws"))
+        .select(F.col("wdw.end").alias("w_end"), "fp", "source", "df_ws")
+    )
+    base = _fresh_scratch(spark, "boiler_src_sink", sf_dir)
+    with _state_partitions(spark, n_rows):
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", os.path.join(base, "out"))
+            .option("checkpointLocation", os.path.join(base, "ckpt"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    sealed = spark.read.schema(
+        "w_end timestamp, fp string, source string, df_ws long"
+    ).parquet(os.path.join(base, "out"))
+    src_df = sealed.groupBy("fp", "source").agg(F.sum("df_ws").alias("df_src"))
+    gram_df = src_df.groupBy("fp").agg(F.sum("df_src").alias("df"))
+    sealed_wins = sealed.select("w_end").distinct()
+    sealed_pairs = (
+        pairs.withColumn("wdw", F.window(_doc_ingest_ts(), "1 hour"))
+        .select("doc_id", "source", "fp", F.col("wdw.end").alias("w_end"))
+        .join(F.broadcast(sealed_wins), "w_end")
+    )
+    n_docs = sealed_pairs.agg(
+        F.countDistinct("doc_id").alias("n_docs_corpus")
+    )
+    commodity = (
+        gram_df.crossJoin(F.broadcast(n_docs))
+        .filter(F.col("df") * 1000 > F.col("n_docs_corpus") * BOILER_DF_PERMILLE)
+        .select("fp", "df")
+    )
+    hits = (
+        sealed_pairs.join(
+            commodity.select("fp", F.lit(True).alias("boiler")), "fp", "left"
+        )
+        .groupBy("source")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count("*").alias("n_hits"),
+            F.sum(F.col("boiler").isNotNull().cast("long")).alias(
+                "n_boiler_hits"
+            ),
+        )
+    )
+    dominated = (
+        src_df.join(commodity, "fp")
+        .filter(F.col("df_src") * 2 > F.col("df"))
+        .groupBy("source")
+        .agg(F.count("*").alias("n_dominated"))
+    )
+    return hits.join(dominated, "source", "left").select(
+        "source",
+        "n_docs",
+        "n_hits",
+        "n_boiler_hits",
+        (
+            F.round(F.col("n_boiler_hits") / F.col("n_hits") * 10000).cast(
+                "long"
+            )
+            / F.lit(10000.0)
+        ).alias("boiler_frac"),
+        F.coalesce("n_dominated", F.lit(0)).alias("n_dominated"),
+    )
+
+
+# The batch per-source attribution filtered to the sealed horizon (the
+# q_stream_boilerplate horizon arithmetic applied to the
+# q_boilerplate_sources roll-up).
+ORACLE["q_stream_boiler_sources"] = f"""
+        WITH toks AS (
+            SELECT doc_id, source, string_split(text, ' ') AS w FROM documents
+        ), d0 AS (
+            SELECT doc_id, source, w FROM toks WHERE len(w) >= 3
+        ), horizon AS (
+            SELECT max(doc_id) - {DOC_WM_MINUTES} AS wm FROM d0
+        ), d AS (
+            SELECT doc_id, source, w FROM d0, horizon
+            WHERE (doc_id // 60 + 1) * 60 <= horizon.wm
+        ), pairs AS (
+            SELECT DISTINCT doc_id, source,
+                   md5(array_to_string(list_slice(w, i, i + 2), ' ')) AS fp
+            FROM d, UNNEST(generate_series(1, len(w) - 2)) AS t(i)
+        ), nd AS (
+            SELECT count(*) AS n_docs_corpus FROM d
+        ), src_df AS (
+            SELECT fp, source, CAST(count(*) AS BIGINT) AS df_src
+            FROM pairs GROUP BY fp, source
+        ), gram_df AS (
+            SELECT fp, CAST(sum(df_src) AS BIGINT) AS df
+            FROM src_df GROUP BY fp
+        ), commodity AS (
+            SELECT fp, df FROM gram_df, nd
+            WHERE df * 1000 > n_docs_corpus * {_corpus.BOILER_DF_PERMILLE}
+        ), hits AS (
+            SELECT p.source,
+                   CAST(count(DISTINCT p.doc_id) AS BIGINT) AS n_docs,
+                   CAST(count(*) AS BIGINT) AS n_hits,
+                   CAST(sum(CASE WHEN c.fp IS NOT NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_boiler_hits
+            FROM pairs p LEFT JOIN commodity c USING (fp)
+            GROUP BY p.source
+        ), dom AS (
+            SELECT s.source, CAST(count(*) AS BIGINT) AS n_dominated
+            FROM src_df s JOIN commodity c USING (fp)
+            WHERE s.df_src * 2 > c.df
+            GROUP BY s.source
+        )
+        SELECT h.source, h.n_docs, h.n_hits, h.n_boiler_hits,
+               CAST(round(h.n_boiler_hits * 1.0 / h.n_hits * 10000) AS BIGINT)
+                   / 10000.0 AS boiler_frac,
+               coalesce(dom.n_dominated, 0) AS n_dominated
+        FROM hits h LEFT JOIN dom USING (source)
+    """

@@ -107,13 +107,14 @@ for _m in _MODULES:
 # round — never driver-verified, always forced; (c) the three r7 rotations
 # displaced last round (queued first by both the r12 tail comment and the
 # r13 verdict); (d) the full r8 block (oldest unchanged-module greens);
-# (e) 5 of the 13 r9 greens — q_window_rank, q_trend_slope, q_winsorize,
-# and (displaced by the second wave of round-14 operators)
+# (e) 1 of the 13 r9 greens — the second and third round-14 operator waves
+# displaced q_window_rank, q_trend_slope, q_winsorize,
 # q_local_supplier_volume, q_ship_priority, q_skyline, q_stats_agg,
-# q_big_orders (unchanged modules, sibling queries slotted) wait for r15,
+# q_big_orders, q_csv_roundtrip, q_hll_distinct, q_kmv_intersect,
+# q_orc_roundtrip (unchanged modules, sibling queries slotted) to r15,
 # which must also budget for the r11 greens of similarity/streamparity/
-# textops/dedup hitting the 4-round horizon with this round's changes.
-# 20 + 10 + 3 + 12 + 5 = 50.
+# textops/dedup/corpus hitting the 4-round horizon with this round's
+# changes. 20 + 14 + 3 + 12 + 1 = 50.
 _VERIFY_FIRST = [
     # -- (a) the gate's 20 forced r10 greens (changed modules) --
     "q_corpus_pipeline",
@@ -149,6 +150,10 @@ _VERIFY_FIRST = [
     "q_stream_fertility",    # NEW: fertility drift in streaming state
     "q_boilerplate_sources", # NEW: per-source boilerplate attribution
     "q_dedup_ttl",           # NEW: TTL sweep over the fingerprint index
+    "q_ann_rebalance",       # NEW: versioned-generation plane re-training
+    "q_span_overlap",        # NEW: span-granularity cross-source overlap
+    "q_stream_dedup_ttl",    # NEW: refresh-on-arrival TTL in custom state
+    "q_stream_boiler_sources",  # NEW: per-source commodity state at ingest
     "q_boilerplate_coverage",  # CHANGED: per-mille commodity threshold
     # -- (c) the three displaced r7 rotations --
     "q_range_join",
@@ -167,13 +172,14 @@ _VERIFY_FIRST = [
     "q_scalar_funcs",
     "q_semi_anti_join",
     "q_set_ops",
-    # -- (e) r9 greens (11 of 13) --
+    # -- (e) r9 greens (1 of 13; the third round-14 operator wave displaced
+    #    q_csv_roundtrip / q_hll_distinct / q_kmv_intersect /
+    #    q_orc_roundtrip — sketches.py / interchange.py unchanged since
+    #    their r9 green, so the displacement is gate-safe) --
     "q_anomaly_mad",
-    "q_csv_roundtrip",
-    "q_hll_distinct",
-    "q_kmv_intersect",
-    "q_orc_roundtrip",
-    # -- Re-verify-next-round tail (round 15): FIRST q_window_rank,
+    # -- Re-verify-next-round tail (round 15): FIRST q_csv_roundtrip,
+    # q_hll_distinct, q_kmv_intersect, q_orc_roundtrip (displaced this
+    # round), then q_window_rank,
     # q_trend_slope, q_winsorize, q_local_supplier_volume, q_ship_priority,
     # q_skyline, q_stats_agg and q_big_orders (the eight deferred r9
     # greens), then the r11 greens living

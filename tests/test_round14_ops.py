@@ -342,3 +342,137 @@ def test_dedup_ttl_bounds_the_horizonless_answer(spark):
     # horizonless kept-set = one doc per fp = the firsts
     fps = {r.fp for r in rows}
     assert len(firsts) == len(fps)
+
+
+# ------------------------------------------ ANN generation rebalance
+def test_ann_rebalance_policy_is_sound(spark):
+    """Exactly one generation serves; the budget comparison must agree
+    with the reported skew_ratio on each row; and on the fixture BOTH
+    policy arms are live: generation 0 exceeds the budget, generation 1
+    does not, and the cutover picks generation 1 (strictly lower
+    expected scan)."""
+    from kitkat_spark.operators.similarity import q_ann_rebalance
+
+    rows = {r.generation: r for r in q_ann_rebalance(spark, SF).collect()}
+    assert set(rows) == {0, 1}
+    g0, g1 = rows[0], rows[1]
+    assert g0.serving != g1.serving, "exactly one generation must serve"
+    assert g0.exceeds_budget and not g1.exceeds_budget, (
+        "fixture must exercise both budget arms (never-fires lesson)"
+    )
+    assert g1.serving and not g0.serving
+    assert g1.expected_candidates < g0.expected_candidates
+    for r in rows.values():
+        assert r.skew_ratio >= 1.0 - 1e-6, r  # sum c^2 / n >= n / cells
+        assert r.max_occupancy >= 1 and r.n_buckets_used >= 1
+
+
+def test_ann_rebalance_never_mutates_generation_zero(spark):
+    """Generation 0's reported stats must equal the STORED index's
+    occupancy (rebalance is a new generation, not an in-place rewrite),
+    and both generations index the same corpus (same n via sum of
+    occupancy implied by expected_candidates denominators: checked
+    through bucket totals)."""
+    from kitkat_spark.operators.similarity import (
+        _bucketed_index,
+        q_ann_rebalance,
+    )
+    from pyspark.sql import functions as F
+
+    rows = {r.generation: r for r in q_ann_rebalance(spark, SF).collect()}
+    emb, _ = _bucketed_index(spark, SF)
+    occ = emb.groupBy("bucket").agg(F.count("*").alias("c")).collect()
+    assert rows[0].n_buckets_used == len(occ)
+    assert rows[0].max_occupancy == max(r.c for r in occ)
+
+
+# ------------------------------------------ span-granularity overlap
+def test_span_overlap_containment_dominates_jaccard(spark):
+    """Containment >= Jaccard for every pair (min(|A|,|B|) <= union), both
+    within [0, 1], counts consistent (n_common <= min), and ranks are
+    1..k dense in containment order."""
+    from kitkat_spark.operators.corpus import q_span_overlap
+
+    rows = q_span_overlap(spark, SF).collect()
+    assert rows, "fixture must contain cross-source verbatim spans"
+    assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+    prev = None
+    for r in rows:
+        assert 0 < r.n_common <= min(r.n_a, r.n_b)
+        assert 0.0 < r.jaccard <= r.containment <= 1.0, r
+        if prev is not None:
+            assert (prev.containment, prev.jaccard) >= (
+                r.containment,
+                r.jaccard,
+            ), "rank order must follow (containment, jaccard) desc"
+        prev = r
+
+
+def test_span_overlap_is_sharper_than_shingle_overlap(spark):
+    """The 8-token span unit must be strictly more selective than the
+    3-gram shingle unit: every span pair's shared-span count is at most
+    the same pair's shared-3-gram count (an 8-token match implies six
+    3-gram matches inside it), so the span matrix never invents overlap
+    the shingle matrix misses."""
+    from kitkat_spark.operators.corpus import q_source_overlap, q_span_overlap
+
+    spans = {(r.src_a, r.src_b): r.n_common for r in q_span_overlap(spark, SF).collect()}
+    shingles = {
+        (r.src_a, r.src_b): r.n_common for r in q_source_overlap(spark, SF).collect()
+    }
+    common = set(spans) & set(shingles)
+    assert common, "expected at least one pair ranked by both units"
+    for pair in common:
+        assert spans[pair] <= shingles[pair], pair
+
+
+# ------------------------------------- refresh-on-arrival TTL in state
+def test_stream_dedup_ttl_equals_batch_policy(spark):
+    """The custom-state streaming run must reproduce the batch TTL sweep
+    row-for-row (the defining byte-equivalence; the driver hashes it
+    against DuckDB), including across wave boundaries — a fingerprint
+    whose arrivals span waves must chain gaps through the carried
+    state."""
+    from kitkat_spark.operators.corpus import q_dedup_ttl
+    from kitkat_spark.operators.streamparity import (
+        TTL_WAVES,
+        q_stream_dedup_ttl,
+    )
+
+    batch = {r.doc_id: tuple(r) for r in q_dedup_ttl(spark, SF).collect()}
+    stream = {
+        r.doc_id: tuple(r) for r in q_stream_dedup_ttl(spark, SF).collect()
+    }
+    assert stream == batch
+    # the state must actually have chained across waves: at least one
+    # non-first arrival's predecessor lives in an EARLIER wave
+    ids = sorted(batch)
+    span = ids[-1] + 1 - ids[0]
+    bounds = [ids[0] + (span * i) // TTL_WAVES for i in range(TTL_WAVES + 1)]
+    wave = lambda i: next(k for k in range(TTL_WAVES) if bounds[k] <= i < bounds[k + 1])
+    crossers = [
+        d for d, row in batch.items()
+        if row[2] is not None and wave(d) != wave(d - row[2])
+    ]
+    assert crossers, "fixture must exercise cross-wave state carry"
+
+
+# ------------------------------------ per-source commodity state twin
+def test_stream_boiler_sources_seals_subset_of_batch(spark):
+    """The sealed-horizon attribution must be consistent with the batch
+    per-source audit: per-source sealed doc counts never exceed the batch
+    counts, hit totals roll up to the sealed per-doc classification, and
+    the commodity threshold fires in the sealed world too."""
+    from kitkat_spark.operators.corpus import q_boilerplate_sources
+    from kitkat_spark.operators.streamparity import q_stream_boiler_sources
+
+    sealed = {r.source: r for r in q_stream_boiler_sources(spark, SF).collect()}
+    batch = {r.source: r for r in q_boilerplate_sources(spark, SF).collect()}
+    assert sealed and set(sealed) <= set(batch)
+    for src, r in sealed.items():
+        assert r.n_docs <= batch[src].n_docs, src
+        assert r.n_hits <= batch[src].n_hits, src
+        assert 0 <= r.n_dominated <= r.n_boiler_hits, src
+    assert any(r.n_boiler_hits > 0 for r in sealed.values()), (
+        "per-mille threshold must fire on the sealed horizon"
+    )
