@@ -274,6 +274,9 @@ HEADLINE = [
     "q_span_overlap",
     "q_stream_dedup_ttl",
     "q_stream_boiler_sources",
+    "q_span_attribution",
+    "q_passjoin_planner",
+    "q_stream_ttl_evict",
     # Excluded on purpose (NOT a silent cap): q_cc_chain is the adversarial
     # deep-diameter CC verification query — it deliberately runs ~25 star
     # rounds on a path graph, so its wall time is per-round scheduler

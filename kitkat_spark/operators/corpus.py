@@ -2283,3 +2283,146 @@ ORACLE["q_dedup_ttl"] = f"""
                    AS readmitted
         FROM g
     """
+
+
+SPAN_PAIR_TOP = 3  # source pairs drilled into (by span containment rank)
+SPAN_TOP = 5  # shared spans reported per pair
+
+
+def q_span_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-overlap DRILL-DOWN — the evidence view behind q_span_overlap's
+    ranking (round-14 survey worklist): for the top-SPAN_PAIR_TOP source
+    pairs by span containment, the SPAN_TOP most widely shared verbatim
+    LCP_GRAM-token spans, with per-side document attribution (how many
+    docs of each source carry the span). q_span_overlap says WHICH pairs
+    leak; this says WHAT text leaks and how broadly — the row a governance
+    reviewer actually reads before throttling a source (the shared spans
+    are usually one template or one syndicated article, and doc counts
+    separate boilerplate from a single mirrored page).
+
+    Feeds from q_span_overlap itself (rank <= SPAN_PAIR_TOP), so
+    "top pair" can never drift between the two queries — the
+    q_ann_index_delete composition discipline.
+
+    Scale: the (doc, source, span) incidence is the same distinct
+    fan-out every span query pays, aggregated ONCE keyed on the span
+    fingerprint (per-(fp, source) doc counts are combinable; the span
+    TEXT rides along as min() — fp is md5 of the text, so min = the
+    text); the pair filter is a broadcast of a <= SPAN_PAIR_TOP-row
+    frame; the per-pair window runs on pair-filtered rows (shared spans
+    only — bounded by the overlap the top pairs actually have). Output
+    is config-sized: <= SPAN_PAIR_TOP x SPAN_TOP rows."""
+    par = spark.sparkContext.defaultParallelism
+    docs = load_table(spark, sf_dir, "documents").repartition(par)
+    w = tokens(F.col("text"))
+    spans = F.array_distinct(
+        F.when(
+            F.size(w) >= LCP_GRAM,
+            F.transform(
+                F.sequence(F.lit(1), F.size(w) - (LCP_GRAM - 1)),
+                lambda p: F.concat_ws(" ", F.slice(w, p, LCP_GRAM)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+    )
+    inc = docs.select(
+        "doc_id", "source", F.explode(spans).alias("sp")
+    ).select("source", F.md5("sp").alias("fp"), "sp")
+    per_src = inc.groupBy("fp", "source").agg(
+        F.count("*").alias("n_docs"), F.min("sp").alias("span")
+    )
+    pairs = (
+        q_span_overlap(spark, sf_dir)
+        .filter(F.col("rank") <= SPAN_PAIR_TOP)
+        .select(F.col("rank").alias("pair_rank"), "src_a", "src_b")
+    )
+    pa = per_src.select(
+        "fp",
+        F.col("source").alias("src_a"),
+        F.col("n_docs").alias("n_docs_a"),
+        "span",
+    )
+    pb = per_src.select(
+        "fp", F.col("source").alias("src_b"), F.col("n_docs").alias("n_docs_b")
+    )
+    shared = pa.join(pb, "fp").join(F.broadcast(pairs), ["src_a", "src_b"])
+    w_p = W.partitionBy("pair_rank").orderBy(
+        (F.col("n_docs_a") + F.col("n_docs_b")).desc(), "span"
+    )
+    return (
+        shared.withColumn("span_rank", F.row_number().over(w_p))
+        .filter(F.col("span_rank") <= SPAN_TOP)
+        .select(
+            "pair_rank",
+            "src_a",
+            "src_b",
+            "span_rank",
+            "span",
+            "n_docs_a",
+            "n_docs_b",
+        )
+    )
+
+
+# Replays the q_span_overlap ranking (same CTE chain) to pick the top
+# pairs, then attributes shared spans on the raw span text — doc counts
+# are exact integers; ordering ties break on the span string itself.
+ORACLE["q_span_attribution"] = f"""
+        WITH toks AS (
+            SELECT doc_id, source, string_split(text, ' ') AS w
+            FROM documents
+        ), sh AS (
+            SELECT DISTINCT doc_id, source,
+                   array_to_string(w[i:i+{LCP_GRAM - 1}], ' ') AS s
+            FROM toks, UNNEST(generate_series(1, len(w) - {LCP_GRAM - 1}))
+                 AS t(i)
+            WHERE len(w) >= {LCP_GRAM}
+        ), src_sh AS (
+            SELECT DISTINCT source, s FROM sh
+        ), sizes AS (
+            SELECT source, CAST(count(*) AS BIGINT) AS n_sp
+            FROM src_sh GROUP BY source
+        ), inter AS (
+            SELECT a.source AS src_a, b.source AS src_b,
+                   CAST(count(*) AS BIGINT) AS n_common
+            FROM src_sh a JOIN src_sh b ON a.s = b.s AND a.source < b.source
+            GROUP BY 1, 2
+        ), scored AS (
+            SELECT src_a, src_b,
+                   CAST(round(n_common * 1.0 / least(sa.n_sp, sb.n_sp)
+                              * 1000000) AS BIGINT) / 1000000.0
+                       AS containment,
+                   CAST(round(n_common * 1.0
+                              / (sa.n_sp + sb.n_sp - n_common)
+                              * 1000000) AS BIGINT) / 1000000.0 AS jaccard
+            FROM inter
+            JOIN sizes sa ON src_a = sa.source
+            JOIN sizes sb ON src_b = sb.source
+        ), top_pairs AS (
+            SELECT CAST(row_number() OVER (
+                       ORDER BY containment DESC, jaccard DESC, src_a,
+                                src_b) AS INT) AS pair_rank,
+                   src_a, src_b
+            FROM scored
+            ORDER BY containment DESC, jaccard DESC, src_a, src_b
+            LIMIT {SPAN_PAIR_TOP}
+        ), per_src AS (
+            SELECT source, s, CAST(count(*) AS BIGINT) AS n_docs
+            FROM sh GROUP BY source, s
+        ), shared AS (
+            SELECT tp.pair_rank, tp.src_a, tp.src_b, a.s AS span,
+                   a.n_docs AS n_docs_a, b.n_docs AS n_docs_b
+            FROM top_pairs tp
+            JOIN per_src a ON a.source = tp.src_a
+            JOIN per_src b ON b.source = tp.src_b AND b.s = a.s
+        ), ranked AS (
+            SELECT pair_rank, src_a, src_b,
+                   CAST(row_number() OVER (
+                       PARTITION BY pair_rank
+                       ORDER BY n_docs_a + n_docs_b DESC, span) AS INT)
+                       AS span_rank,
+                   span, n_docs_a, n_docs_b
+            FROM shared
+        )
+        SELECT pair_rank, src_a, src_b, span_rank, span, n_docs_a, n_docs_b
+        FROM ranked WHERE span_rank <= {SPAN_TOP}
+    """

@@ -330,6 +330,70 @@ def passjoin_triples() -> list[tuple[int, int, int]]:
     ]
 
 
+def passjoin_index(docs: DataFrame) -> DataFrame:
+    """Segment INDEX side of PassJoin over a (doc_id, text, n_chars)
+    frame: every doc split into _PASS_M even segments (the pigeonhole
+    partitions), keyed (len_s, i, xxhash64(segment)). Segments join as
+    xxhash64 of the content: collisions can only ADD candidates (the
+    levenshtein verify discards them), never lose one, and a long key
+    hashes/compares far cheaper than a ~30-char string. Shared by
+    q_passjoin_dedup and q_passjoin_planner — one implementation."""
+    i_col = F.explode(F.sequence(F.lit(0), F.lit(_PASS_M - 1))).alias("i")
+    seg_len, seg_start = _pass_layout(F.col("len_s"), F.col("i"))
+    return docs.select(
+        F.col("doc_id").alias("id_s"),
+        F.col("n_chars").alias("len_s"),
+        "text",
+        i_col,
+    ).select(
+        "id_s",
+        "len_s",
+        "i",
+        F.xxhash64(F.substring("text", seg_start + 1, seg_len)).alias("seg"),
+    )
+
+
+def passjoin_probe(spark: SparkSession, docs: DataFrame) -> DataFrame:
+    """PROBE side of PassJoin: delta = len_r - len_s in [0, k] (the
+    shorter side is indexed); shifts restricted to the multi-match-aware
+    window of the PassJoin paper, d in [max(-i, delta-(k-i)),
+    min(i, delta+(k-i))] — roughly halves the probe volume vs the plain
+    |d| + |delta-d| <= k budget (kept as an intersection; the hypothesis
+    property suite pins the recall-1.0 guarantee of exactly this
+    enumeration, and tests/test_passjoin_property.py verifies it
+    exhaustively at small k). The valid (delta, i, d) set is
+    DOC-INDEPENDENT — ~800 triples for k=12 — so it is precomputed
+    driver-side and broadcast-hash-joined on a constant key instead of
+    being re-derived per doc with explode + array-HOF filters:
+    higher-order functions run interpreted (outside whole-stage codegen)
+    and were 60% of q_passjoin_dedup's wall time."""
+    tdf = spark.createDataFrame(passjoin_triples(), "delta int, i int, d int")
+    p_len, p_start = _pass_layout(F.col("len_s"), F.col("i"))
+    return (
+        docs.select(
+            F.col("doc_id").alias("id_r"),
+            F.col("n_chars").alias("len_r"),
+            "text",
+            F.lit(1).alias("one"),
+        )
+        .join(F.broadcast(tdf.withColumn("one", F.lit(1))), "one")
+        .withColumn("len_s", F.col("len_r") - F.col("delta"))
+        .filter(F.col("len_s") >= _PASS_M)
+        .select("id_r", "len_r", "len_s", "text", "i",
+                p_len.alias("sl"), (p_start + F.col("d")).alias("q"))
+        .filter((F.col("q") >= 0) & (F.col("q") + F.col("sl") <= F.col("len_r")))
+        .select(
+            "id_r",
+            "len_r",
+            "len_s",
+            "i",
+            F.xxhash64(
+                F.substring("text", F.col("q") + 1, F.col("sl"))
+            ).alias("seg"),
+        )
+    )
+
+
 def q_passjoin_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact edit-distance self-join via PassJoin partitioning (Li, Deng &
     Feng, EDBT 2011) — the cap-free scale path for what q_edit_dedup's
@@ -366,62 +430,10 @@ def q_passjoin_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(spark.sparkContext.defaultParallelism)
         .persist()
     )
-    i_col = F.explode(F.sequence(F.lit(0), F.lit(_PASS_M - 1))).alias("i")
-    seg_len, seg_start = _pass_layout(F.col("len_s"), F.col("i"))
-    # segments join as xxhash64 of the content: collisions can only ADD
-    # candidates (the levenshtein verify discards them), never lose one,
-    # and a long key hashes/compares far cheaper than a ~30-char string
-    index = (
-        docs.select(
-            F.col("doc_id").alias("id_s"),
-            F.col("n_chars").alias("len_s"),
-            "text",
-            i_col,
-        )
-        .select(
-            "id_s",
-            "len_s",
-            "i",
-            F.xxhash64(F.substring("text", seg_start + 1, seg_len)).alias("seg"),
-        )
-    )
-    # probe: delta = len_r - len_s in [0, k] (the shorter side is indexed);
-    # shifts restricted to the multi-match-aware window of the PassJoin
-    # paper, d in [max(-i, delta-(k-i)), min(i, delta+(k-i))] — roughly
-    # halves the probe volume vs the plain |d| + |delta-d| <= k budget
-    # (kept as an intersection; the hypothesis property suite pins the
-    # recall-1.0 guarantee of exactly this enumeration, and
-    # tests/test_passjoin_property.py verifies it exhaustively at small k).
-    # The valid (delta, i, d) set is DOC-INDEPENDENT — ~800 triples for
-    # k=12 — so it is precomputed driver-side and broadcast-hash-joined on
-    # a constant key instead of being re-derived per doc with explode +
-    # array-HOF filters: higher-order functions run interpreted (outside
-    # whole-stage codegen) and were 60% of the query's wall time.
-    tdf = spark.createDataFrame(passjoin_triples(), "delta int, i int, d int")
-    p_len, p_start = _pass_layout(F.col("len_s"), F.col("i"))
-    probe = (
-        docs.select(
-            F.col("doc_id").alias("id_r"),
-            F.col("n_chars").alias("len_r"),
-            "text",
-            F.lit(1).alias("one"),
-        )
-        .join(F.broadcast(tdf.withColumn("one", F.lit(1))), "one")
-        .withColumn("len_s", F.col("len_r") - F.col("delta"))
-        .filter(F.col("len_s") >= _PASS_M)
-        .select("id_r", "len_r", "len_s", "text", "i",
-                p_len.alias("sl"), (p_start + F.col("d")).alias("q"))
-        .filter((F.col("q") >= 0) & (F.col("q") + F.col("sl") <= F.col("len_r")))
-        .select(
-            "id_r",
-            "len_r",
-            "len_s",
-            "i",
-            F.xxhash64(
-                F.substring("text", F.col("q") + 1, F.col("sl"))
-            ).alias("seg"),
-        )
-    )
+    # segment index + multi-match-aware probe expansion: the shared
+    # builders above (one implementation with q_passjoin_planner)
+    index = passjoin_index(docs)
+    probe = passjoin_probe(spark, docs)
     cand = (
         index.join(probe, ["len_s", "i", "seg"])
         .filter(
@@ -1515,4 +1527,163 @@ ORACLE["q_passjoin_delete"] = f"""
                TRUE AS compacted,
                (n_retired > 0 AND n_live = 0) AS reclaimed
         FROM audit
+    """
+
+
+def q_passjoin_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PassJoin probe-cost PLANNER — q_ann_probe_planner's capacity model
+    applied to the edit-distance segment index (round-14 survey worklist):
+    from the standing index's occupancy layout alone, the candidate volume
+    each segment ordinal contributes BEFORE any verify runs — the planning
+    table that tells an incremental near-dup deployment (q_stream_passjoin)
+    which ordinals dominate probe cost, how skewed the posting lists are,
+    and what a new ingest batch will pay per probe.
+
+    Per segment ordinal i (config-sized output: _PASS_M rows), all exact
+    integers:
+      n_keys          distinct (len_s, i, segment) index keys
+      n_postings      stored segment entries (= indexed docs, every doc
+                      emits one segment per ordinal)
+      max_postings    hottest posting list — the skew signal (hot keys
+                      exist only where near-identical text repeats, which
+                      is exactly the candidate set; a cap-style detector
+                      would LOSE those, PassJoin pays them as candidates)
+      n_probes        probe substrings enumerated at this ordinal (the
+                      multi-match-aware window's budget, data-dependent
+                      through the corpus length distribution)
+      n_candidates    join size at this ordinal = sum over keys of
+                      postings x probes — the exact shuffle-output volume
+                      the candidate join pays (raw, before the pair
+                      ordering filter and cross-ordinal dedup)
+      cand_per_probe  n_candidates / n_probes, 1e-4 micro-units — the
+                      E[scan | probe] figure a batch-size planner uses
+
+    Plan: rides the same one fan-out shuffle as the join itself but stops
+    at two combinable groupBys (key-level counts, then per-ordinal sums) —
+    the corpus is never joined back to text, so the planner costs the
+    enumeration, not the verify. The oracle replays the full even-
+    partition layout and multi-match-aware window on raw substrings (no
+    hash), so the driver hash also re-proves the enumeration arithmetic
+    (layout, shift window, boundary filters) cell-for-cell — the
+    machinery the brute-force oracle of q_passjoin_dedup deliberately
+    bypasses."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text", "n_chars")
+        .filter(F.col("n_chars") >= _PASS_M)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .persist()
+    )
+    keys = ["len_s", "i", "seg"]
+    ic = passjoin_index(docs).groupBy(*keys).agg(F.count("*").alias("n_s"))
+    pc = passjoin_probe(spark, docs).groupBy(*keys).agg(
+        F.count("*").alias("n_r")
+    )
+    key_stats = ic.groupBy("i").agg(
+        F.count("*").alias("n_keys"),
+        F.sum("n_s").alias("n_postings"),
+        F.max("n_s").alias("max_postings"),
+    )
+    probe_stats = pc.groupBy("i").agg(F.sum("n_r").alias("n_probes"))
+    cand_stats = (
+        ic.join(pc, keys)
+        .groupBy("i")
+        .agg(F.sum(F.col("n_s") * F.col("n_r")).alias("n_candidates"))
+    )
+    return (
+        key_stats.join(probe_stats, "i", "full")
+        .join(cand_stats, "i", "full")
+        .select(
+            "i",
+            F.coalesce("n_keys", F.lit(0)).alias("n_keys"),
+            F.coalesce("n_postings", F.lit(0)).alias("n_postings"),
+            F.coalesce("max_postings", F.lit(0)).alias("max_postings"),
+            F.coalesce("n_probes", F.lit(0)).alias("n_probes"),
+            F.coalesce("n_candidates", F.lit(0)).alias("n_candidates"),
+            (
+                F.round(
+                    F.coalesce("n_candidates", F.lit(0))
+                    / F.coalesce("n_probes", F.lit(0))
+                    * 10000
+                ).cast("long")
+                / F.lit(10000.0)
+            ).alias("cand_per_probe"),
+        )
+    )
+
+
+# Replays the even-partition layout and the multi-match-aware probe window
+# on RAW substrings (hash-free), then counts key-level postings x probes —
+# every aggregate an exact integer, one division quantized to micro-units.
+ORACLE["q_passjoin_planner"] = f"""
+        WITH docs AS (
+            SELECT doc_id, text, n_chars FROM documents
+            WHERE n_chars >= {_PASS_M}
+        ), idx AS (
+            SELECT n_chars AS len_s, CAST(t.i AS INT) AS i,
+                   substr(text,
+                          CAST(t.i * (n_chars // {_PASS_M})
+                               + greatest(0, t.i - ({_PASS_M} - n_chars % {_PASS_M}))
+                               AS INT) + 1,
+                          CAST(n_chars // {_PASS_M}
+                               + CASE WHEN t.i >= {_PASS_M} - n_chars % {_PASS_M}
+                                      THEN 1 ELSE 0 END AS INT)) AS seg
+            FROM docs, UNNEST(generate_series(0, {_PASS_M - 1})) AS t(i)
+        ), triples AS (
+            SELECT t1.delta, CAST(t2.i AS INT) AS i, t3.d
+            FROM UNNEST(generate_series(0, {PASSJOIN_K})) AS t1(delta),
+                 UNNEST(generate_series(0, {_PASS_M - 1})) AS t2(i),
+                 UNNEST(generate_series(-{PASSJOIN_K}, {PASSJOIN_K})) AS t3(d)
+            WHERE abs(t3.d) + abs(t1.delta - t3.d) <= {PASSJOIN_K}
+              AND t3.d >= greatest(-t2.i, t1.delta - ({PASSJOIN_K} - t2.i))
+              AND t3.d <= least(t2.i, t1.delta + ({PASSJOIN_K} - t2.i))
+        ), probe0 AS (
+            SELECT d0.n_chars AS len_r, d0.n_chars - t.delta AS len_s, t.i,
+                   d0.text,
+                   t.i * ((d0.n_chars - t.delta) // {_PASS_M})
+                       + greatest(0, t.i - ({_PASS_M}
+                             - (d0.n_chars - t.delta) % {_PASS_M}))
+                       + t.d AS q,
+                   (d0.n_chars - t.delta) // {_PASS_M}
+                       + CASE WHEN t.i >= {_PASS_M}
+                                   - (d0.n_chars - t.delta) % {_PASS_M}
+                              THEN 1 ELSE 0 END AS sl
+            FROM docs d0, triples t
+            WHERE d0.n_chars - t.delta >= {_PASS_M}
+        ), probe AS (
+            SELECT len_s, i, substr(text, CAST(q AS INT) + 1,
+                                    CAST(sl AS INT)) AS seg
+            FROM probe0
+            WHERE q >= 0 AND q + sl <= len_r
+        ), ic AS (
+            SELECT len_s, i, seg, CAST(count(*) AS BIGINT) AS n_s
+            FROM idx GROUP BY len_s, i, seg
+        ), pc AS (
+            SELECT len_s, i, seg, CAST(count(*) AS BIGINT) AS n_r
+            FROM probe GROUP BY len_s, i, seg
+        ), key_stats AS (
+            SELECT i, CAST(count(*) AS BIGINT) AS n_keys,
+                   CAST(sum(n_s) AS BIGINT) AS n_postings,
+                   CAST(max(n_s) AS BIGINT) AS max_postings
+            FROM ic GROUP BY i
+        ), probe_stats AS (
+            SELECT i, CAST(sum(n_r) AS BIGINT) AS n_probes
+            FROM pc GROUP BY i
+        ), cand_stats AS (
+            SELECT ic.i, CAST(sum(ic.n_s * pc.n_r) AS BIGINT) AS n_candidates
+            FROM ic JOIN pc USING (len_s, i, seg)
+            GROUP BY ic.i
+        )
+        SELECT k.i,
+               coalesce(k.n_keys, 0) AS n_keys,
+               coalesce(k.n_postings, 0) AS n_postings,
+               coalesce(k.max_postings, 0) AS max_postings,
+               coalesce(p.n_probes, 0) AS n_probes,
+               coalesce(c.n_candidates, 0) AS n_candidates,
+               CAST(round(coalesce(c.n_candidates, 0) * 1.0
+                          / coalesce(p.n_probes, 0) * 10000) AS BIGINT)
+                   / 10000.0 AS cand_per_probe
+        FROM key_stats k
+        FULL OUTER JOIN probe_stats p USING (i)
+        FULL OUTER JOIN cand_stats c USING (i)
     """

@@ -2256,7 +2256,9 @@ def q_stream_dedup_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
     fp = F.md5(
         F.substring(F.lower(F.regexp_replace("text", r"\s+", " ")), 1, 200)
     )
-    d = docs.select("doc_id", fp.alias("fp"))
+    # one scan + one fingerprint pass, pinned: every wave's write consumes
+    # this projection, and a lazy lineage would re-scan and re-md5 per wave
+    d = docs.select("doc_id", fp.alias("fp")).localCheckpoint(eager=True)
     mn, mx = d.agg(F.min("doc_id"), F.max("doc_id")).first()
     span = int(mx) + 1 - int(mn)
     bounds = [int(mn) + (span * i) // TTL_WAVES for i in range(TTL_WAVES + 1)]
@@ -2484,4 +2486,162 @@ ORACLE["q_stream_boiler_sources"] = f"""
                    / 10000.0 AS boiler_frac,
                coalesce(dom.n_dominated, 0) AS n_dominated
         FROM hits h LEFT JOIN dom USING (source)
+    """
+
+
+# final state-store row count per (applicationId, sf_dir) observed by the
+# last q_stream_ttl_evict run — the bounded-state evidence the semantic
+# test asserts (the query's DataFrame output is eviction-timing-invariant
+# by design, so eviction is observable only through state metrics)
+_TTL_EVICT_STATE_ROWS: dict[tuple[str, str], int] = {}
+
+
+def q_stream_ttl_evict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION arm of q_stream_dedup_ttl: refresh-on-arrival TTL
+    dedup with ACTUAL state eviction via event-time timeout (round-14
+    survey worklist — the state.remove() policy the audit twin's docstring
+    argues for). Same custom applyInPandasWithState pipeline, but the
+    handler registers a timeout at last_arrival + TTL; when the watermark
+    passes it with no refresh, the timed-out group's state is REMOVED —
+    so state is bounded by the live horizon (fingerprints seen within
+    TTL of the watermark), not by the all-time distinct count the audit
+    twin deliberately retains.
+
+    The output is the per-document KEEP DECISION only — and that is
+    eviction-timing-INVARIANT by construction, which is precisely why
+    production can evict: eviction requires watermark > last + TTL, and
+    every later arrival t of that fingerprint satisfies t > watermark +
+    wm_delay (ascending ingest waves), so its gap t - last > TTL — the
+    decision for a missing-state arrival (kept, first-arrival rule) equals
+    the decision the batch policy makes for its true gap. Timeout firing
+    a wave late (watermark only advances per batch) changes nothing: a
+    not-yet-evicted expired entry still fails the gap test. The oracle is
+    therefore the batch q_dedup_ttl projection to (doc_id, fp, kept) —
+    exact equality, no tolerance for eviction jitter needed. What eviction
+    DOES change — state size — is recorded in _TTL_EVICT_STATE_ROWS from
+    the final run's progress metrics and asserted by the semantic test
+    (bounded below the all-time distinct-fp count).
+
+    The waves run as ONE availableNow query over pre-written per-wave
+    files with maxFilesPerTrigger=1 — three micro-batches in one run, so
+    the watermark genuinely advances between waves and timeouts genuinely
+    fire mid-stream, at one streaming-query start instead of three (the
+    3-query form measured 36.7 s at sf0.1, ~2/3 of it fixed per-start
+    cost). The stop/RESTART recovery property is deliberately NOT re-
+    proven here — that is the audit twin's job (q_stream_dedup_ttl keeps
+    its three checkpointed restarts); the two arms split the evidence.
+    The per-wave single-file write is replay-fixture scaffolding
+    (production reads a real source whose batches the trigger paces).
+
+    Scale: state is one long per LIVE fingerprint (the horizon-bounded
+    index a 100 TB/day ingest actually persists — the audit twin's
+    unbounded variant is its telemetry mode); everything else matches
+    q_stream_dedup_ttl (fp-keyed shuffle, Arrow-batched groups)."""
+    import os
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from kitkat_spark.operators.corpus import DEDUP_TTL_DOCS
+
+    base = _fresh_scratch(spark, "ttl_evict", sf_dir)
+    src = os.path.join(base, "src")
+    out = os.path.join(base, "out")
+    ckpt = os.path.join(base, "ckpt")
+
+    par = spark.sparkContext.defaultParallelism
+    docs = load_table(spark, sf_dir, "documents").repartition(par)
+    fp = F.md5(
+        F.substring(F.lower(F.regexp_replace("text", r"\s+", " ")), 1, 200)
+    )
+    # pinned for the same reason as the audit twin's projection: three
+    # wave writes consume it
+    d = docs.select(
+        "doc_id", fp.alias("fp"), _doc_ingest_ts().alias("ts")
+    ).localCheckpoint(eager=True)
+    mn, mx = d.agg(F.min("doc_id"), F.max("doc_id")).first()
+    span = int(mx) + 1 - int(mn)
+    bounds = [int(mn) + (span * i) // TTL_WAVES for i in range(TTL_WAVES + 1)]
+
+    out_schema = "doc_id long, fp string, kept boolean"
+
+    def evict_fn(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()  # the eviction: expired entry leaves the store
+            return  # no output rows; skip building an empty Arrow frame
+        rows = pd.concat(list(pdfs), ignore_index=True).sort_values("doc_id")
+        ids = rows["doc_id"].astype("int64")
+        prev = ids.shift(1)
+        if state.exists:
+            prev.iloc[0] = float(state.get[0])
+        gap = ids - prev  # NaN: no state (first arrival OR evicted entry)
+        state.update((int(ids.iloc[-1]),))  # refresh-on-arrival
+        state.setTimeoutTimestamp(
+            (DOC_TS_BASE_S + (int(ids.iloc[-1]) + DEDUP_TTL_DOCS) * 60) * 1000
+        )
+        yield pd.DataFrame(
+            {
+                "doc_id": ids,
+                "fp": key[0],
+                "kept": (gap.isna() | (gap > DEDUP_TTL_DOCS)),
+            }
+        )
+
+    # one file per wave, written in wave order: the file source's
+    # oldest-first mtime ordering + maxFilesPerTrigger=1 turns them into
+    # three in-order micro-batches of a single availableNow run
+    for lo, hi in zip(bounds, bounds[1:]):
+        d.filter(
+            (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+        ).coalesce(1).write.mode("append").parquet(src)
+    last_rows = 0
+    with _state_partitions(spark, span):
+        stream = (
+            spark.readStream.schema("doc_id long, fp string, ts timestamp")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .withWatermark("ts", f"{DOC_WM_MINUTES} minutes")
+        )
+        decided = stream.groupBy("fp").applyInPandasWithState(
+            evict_fn,
+            out_schema,
+            "last_id long",
+            "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+        q = (
+            decided.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        prog = q.lastProgress
+        if prog and prog.get("stateOperators"):
+            last_rows = prog["stateOperators"][0].get("numRowsTotal", 0)
+    _TTL_EVICT_STATE_ROWS[
+        (spark.sparkContext.applicationId, sf_dir)
+    ] = int(last_rows)
+    return spark.read.schema(out_schema).parquet(out)
+
+
+# The batch TTL policy projected to the keep decision — the only output a
+# state-evicting deployment can (and needs to) reproduce exactly.
+ORACLE["q_stream_ttl_evict"] = f"""
+        WITH d AS (
+            SELECT doc_id,
+                   md5(substr(lower(regexp_replace(text, '\\s+', ' ', 'g')),
+                       1, 200)) AS fp
+            FROM documents
+        ), g AS (
+            SELECT doc_id, fp,
+                   doc_id - lag(doc_id) OVER (PARTITION BY fp ORDER BY doc_id)
+                       AS prev_gap
+            FROM d
+        )
+        SELECT doc_id, fp,
+               (prev_gap IS NULL OR prev_gap > {_corpus.DEDUP_TTL_DOCS})
+                   AS kept
+        FROM g
     """

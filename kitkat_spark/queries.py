@@ -114,7 +114,7 @@ for _m in _MODULES:
 # q_orc_roundtrip (unchanged modules, sibling queries slotted) to r15,
 # which must also budget for the r11 greens of similarity/streamparity/
 # textops/dedup/corpus hitting the 4-round horizon with this round's
-# changes. 20 + 14 + 3 + 12 + 1 = 50.
+# changes. 20 + 17 + 3 + 9 + 1 = 50.
 _VERIFY_FIRST = [
     # -- (a) the gate's 20 forced r10 greens (changed modules) --
     "q_corpus_pipeline",
@@ -154,12 +154,17 @@ _VERIFY_FIRST = [
     "q_span_overlap",        # NEW: span-granularity cross-source overlap
     "q_stream_dedup_ttl",    # NEW: refresh-on-arrival TTL in custom state
     "q_stream_boiler_sources",  # NEW: per-source commodity state at ingest
+    "q_span_attribution",    # NEW: top shared spans behind the overlap rank
+    "q_passjoin_planner",    # NEW: segment-index probe-cost capacity model
+    "q_stream_ttl_evict",    # NEW: TTL with event-time-timeout eviction
     "q_boilerplate_coverage",  # CHANGED: per-mille commodity threshold
     # -- (c) the three displaced r7 rotations --
     "q_range_join",
     "q_json_funcs",
     "q_embedding_quantize",
-    # -- (d) the r8 block (oldest unchanged greens) --
+    # -- (d) the r8 block (9 of 12; the fourth round-14 wave displaced
+    #    q_scalar_funcs / q_semi_anti_join / q_set_ops — relational.py
+    #    unchanged since their r8 green, gate-safe) --
     "q_array_map_funcs",
     "q_broadcast_join",
     "q_first_last",
@@ -169,16 +174,14 @@ _VERIFY_FIRST = [
     "q_outer_join",
     "q_percentiles",
     "q_rollup_cube",
-    "q_scalar_funcs",
-    "q_semi_anti_join",
-    "q_set_ops",
     # -- (e) r9 greens (1 of 13; the third round-14 operator wave displaced
     #    q_csv_roundtrip / q_hll_distinct / q_kmv_intersect /
     #    q_orc_roundtrip — sketches.py / interchange.py unchanged since
     #    their r9 green, so the displacement is gate-safe) --
     "q_anomaly_mad",
     # -- Re-verify-next-round tail (round 15): FIRST q_csv_roundtrip,
-    # q_hll_distinct, q_kmv_intersect, q_orc_roundtrip (displaced this
+    # q_hll_distinct, q_kmv_intersect, q_orc_roundtrip, q_scalar_funcs,
+    # q_semi_anti_join, q_set_ops (displaced this
     # round), then q_window_rank,
     # q_trend_slope, q_winsorize, q_local_supplier_volume, q_ship_priority,
     # q_skyline, q_stats_agg and q_big_orders (the eight deferred r9

@@ -476,3 +476,105 @@ def test_stream_boiler_sources_seals_subset_of_batch(spark):
     assert any(r.n_boiler_hits > 0 for r in sealed.values()), (
         "per-mille threshold must fire on the sealed horizon"
     )
+
+
+# --------------------------------------------- span-overlap drill-down
+def test_span_attribution_agrees_with_overlap_rank(spark):
+    """The drill-down's pairs must be exactly q_span_overlap's top
+    SPAN_PAIR_TOP pairs; per-pair span ranks are dense from 1; a reported
+    span's doc counts are positive on both sides; and every reported span
+    is LCP_GRAM tokens wide."""
+    from kitkat_spark.operators.corpus import (
+        LCP_GRAM,
+        SPAN_PAIR_TOP,
+        SPAN_TOP,
+        q_span_attribution,
+        q_span_overlap,
+    )
+
+    rows = q_span_attribution(spark, SF).collect()
+    assert rows
+    top = {
+        (r.rank, r.src_a, r.src_b)
+        for r in q_span_overlap(spark, SF).collect()
+        if r.rank <= SPAN_PAIR_TOP
+    }
+    got_pairs = {(r.pair_rank, r.src_a, r.src_b) for r in rows}
+    assert got_pairs <= top
+    by_pair = {}
+    for r in rows:
+        by_pair.setdefault(r.pair_rank, []).append(r)
+        assert r.n_docs_a >= 1 and r.n_docs_b >= 1
+        assert len(r.span.split(" ")) == LCP_GRAM
+    for pr, grp in by_pair.items():
+        ranks = sorted(x.span_rank for x in grp)
+        assert ranks == list(range(1, len(grp) + 1))
+        assert len(grp) <= SPAN_TOP
+
+
+# ------------------------------------------- PassJoin capacity planner
+def test_passjoin_planner_candidates_cover_the_real_join(spark):
+    """The planner's per-ordinal candidate volume must sum to the REAL
+    candidate-join output size (raw, before pair dedup) — the number the
+    capacity model exists to predict — and per-ordinal postings must
+    account for every indexed doc."""
+    from pyspark.sql import functions as F
+
+    from kitkat_spark.operators.dedup import (
+        _PASS_M,
+        passjoin_index,
+        passjoin_probe,
+        q_passjoin_planner,
+    )
+    from kitkat_spark.sources import load_table
+
+    rows = q_passjoin_planner(spark, SF).collect()
+    assert len(rows) == _PASS_M
+    docs = (
+        load_table(spark, SF, "documents")
+        .select("doc_id", "text", "n_chars")
+        .filter(F.col("n_chars") >= _PASS_M)
+        .persist()
+    )
+    n_docs = docs.count()
+    real_join = (
+        passjoin_index(docs)
+        .join(passjoin_probe(spark, docs), ["len_s", "i", "seg"])
+        .count()
+    )
+    assert sum(r.n_candidates for r in rows) == real_join
+    for r in rows:
+        assert r.n_postings == n_docs, r  # one segment per doc per ordinal
+        assert r.n_keys <= r.n_postings
+        assert r.max_postings >= 1
+    assert any(r.max_postings > 1 for r in rows), (
+        "fixture has near-dups, so some posting list must be shared"
+    )
+
+
+# --------------------------------------- TTL with real state eviction
+def test_stream_ttl_evict_decisions_match_and_state_is_bounded(spark):
+    """The eviction arm must reproduce the audit twin's keep decisions
+    exactly (decisions are eviction-timing-invariant by construction) while
+    carrying STRICTLY fewer state rows than the all-time distinct
+    fingerprint count — the bounded-state property that is the entire point
+    of eviction."""
+    from kitkat_spark.operators.streamparity import (
+        _TTL_EVICT_STATE_ROWS,
+        q_stream_dedup_ttl,
+        q_stream_ttl_evict,
+    )
+
+    evict = {(r.doc_id, r.fp): r.kept for r in q_stream_ttl_evict(spark, SF).collect()}
+    audit = {
+        (r.doc_id, r.fp): r.kept for r in q_stream_dedup_ttl(spark, SF).collect()
+    }
+    assert evict == audit
+    state_rows = _TTL_EVICT_STATE_ROWS[
+        (spark.sparkContext.applicationId, SF)
+    ]
+    n_fps = len({fp for (_, fp) in audit})
+    assert 0 < state_rows < n_fps, (
+        f"eviction must bound state below the all-time distinct count "
+        f"({state_rows} vs {n_fps})"
+    )
