@@ -2426,3 +2426,212 @@ ORACLE["q_span_attribution"] = f"""
         SELECT pair_rank, src_a, src_b, span_rank, span, n_docs_a, n_docs_b
         FROM ranked WHERE span_rank <= {SPAN_TOP}
     """
+
+
+# temperature-smoothed token-budget allocation (UniMax-style):
+# budget = UNIMAX_BUDGET_NUM/DEN x available tokens, per-source repetition
+# capped at UNIMAX_MAX_EPOCHS. 39/20 (=1.95x) with cap 2 puts the budget
+# strictly inside the band where smoothing direction decides cappedness,
+# so BOTH arms are live at every SF (measured: 8/7/2 of 20 sources capped
+# at sf0.001/0.01/0.1) — the never-fires lesson applied at birth.
+UNIMAX_BUDGET_NUM = 39
+UNIMAX_BUDGET_DEN = 20
+UNIMAX_MAX_EPOCHS = 2
+
+
+def unimax_allocate(per: DataFrame) -> DataFrame:
+    """The closed-form UniMax waterfilling over a per-source census frame
+    (source, n_docs, n_tokens) — shared by q_token_budget and its
+    streaming twin q_stream_token_budget (one implementation). See
+    q_token_budget's docstring for the full derivation; everything here
+    runs on the config-sized per-source frame."""
+    w_all = W.partitionBy()
+    per = per.withColumn("tot", F.sum("n_tokens").over(w_all)).withColumn(
+        "w",
+        F.round(F.sqrt(F.col("n_tokens") / F.col("tot")) * 1000000).cast(
+            "long"
+        ),
+    )
+    per = (
+        per.withColumn("wt", F.sum("w").over(w_all))
+        .withColumn(
+            "budget",
+            F.expr(
+                f"CAST({UNIMAX_BUDGET_NUM} * tot div {UNIMAX_BUDGET_DEN}"
+                " AS BIGINT)"
+            ),
+        )
+        .withColumn("cap", F.lit(UNIMAX_MAX_EPOCHS) * F.col("n_tokens"))
+    )
+    w_ord = w_all.orderBy((F.col("cap") / F.col("w")).asc(), "source")
+    prev = w_ord.rowsBetween(W.unboundedPreceding, -1)
+    per = per.withColumn(
+        "cumc_prev", F.coalesce(F.sum("cap").over(prev), F.lit(0))
+    ).withColumn("cumw_prev", F.coalesce(F.sum("w").over(prev), F.lit(0)))
+    per = per.withColumn(
+        "capped",
+        F.col("cap") * (F.col("wt") - F.col("cumw_prev"))
+        <= (F.col("budget") - F.col("cumc_prev")) * F.col("w"),
+    )
+    per = per.withColumn(
+        "cumc_m",
+        F.coalesce(
+            F.sum(F.when(F.col("capped"), F.col("cap"))).over(w_all), F.lit(0)
+        ),
+    ).withColumn(
+        "cumw_m",
+        F.coalesce(
+            F.sum(F.when(F.col("capped"), F.col("w"))).over(w_all), F.lit(0)
+        ),
+    )
+    lam = F.when(
+        F.col("wt") > F.col("cumw_m"),
+        (F.col("budget") - F.col("cumc_m")) / (F.col("wt") - F.col("cumw_m")),
+    ).otherwise(F.lit(0.0))
+    alloc = F.when(F.col("capped"), F.col("cap")).otherwise(
+        F.round(lam * F.col("w")).cast("long")
+    )
+    return per.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        (F.col("w") / F.lit(1000000.0)).alias("weight"),
+        F.round(F.col("budget") / F.col("wt") * F.col("w"))
+        .cast("long")
+        .alias("naive_tokens"),
+        F.col("cap").alias("cap_tokens"),
+        "capped",
+        alloc.alias("alloc_tokens"),
+        (
+            F.round(alloc / F.col("n_tokens") * 10000).cast("long")
+            / F.lit(10000.0)
+        ).alias("epochs"),
+    )
+
+
+def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-smoothed TOKEN-BUDGET allocation with repetition caps —
+    the planning table a training-mix recipe actually ships (round-14
+    survey worklist): given a token budget B (a fixed multiple of the
+    corpus's available tokens, so the query is scale-free), allocate it
+    across sources by temperature-smoothed token share, but cap every
+    source at UNIMAX_MAX_EPOCHS repetitions of its real data and
+    REDISTRIBUTE the excess to uncapped sources — the UniMax allocation
+    (Chung et al., "UniMax: Fairer and More Effective Language Sampling
+    for Large-Scale Multilingual Pretraining", ICLR 2023; temperature
+    smoothing per mT5, Xue et al. 2021). Smoothing exponent is pinned at
+    alpha = 0.5 and computed as sqrt: IEEE sqrt is correctly rounded in
+    both engines, pow() is not — the cross-engine-exactness rule decides
+    the hyperparameter's representation.
+
+    The waterfilling solves a_s = min(cap_s, lambda * w_s) with
+    sum a_s = B in CLOSED FORM with window functions — no driver-side
+    loop: sources sort by cap/w (the fill ratio; a single correctly-
+    rounded int/int division, deterministic in both engines), and source
+    k is capped iff cap_k * (W - cumw_{k-1}) <= (B - cumc_{k-1}) * w_k —
+    the prefix characterization cross-multiplied into PURE INTEGER
+    arithmetic (exact in int64 far past any real corpus). lambda then
+    comes off the capped prefix's totals in one division. Per source:
+      n_docs, n_tokens   the real data
+      weight             sqrt-smoothed share, 1e-6 units
+      naive_tokens       cap-free allocation B * w / W (what plain
+                         temperature sampling would take)
+      cap_tokens         UNIMAX_MAX_EPOCHS * n_tokens
+      capped             hit the repetition cap (excess redistributed)
+      alloc_tokens       the final allocation (cap, or round(lambda * w))
+      epochs             alloc / n_tokens, 1e-4 units — the per-source
+                         repetition factor the data loader executes
+
+    Plan: one scan with a codegen'd regexp token count, ONE combinable
+    groupBy(source); everything after runs on the config-sized per-source
+    frame (|sources| rows — the window sorts 20 rows, not the corpus).
+    At 100 TB this is the exact shape: the corpus pass is the token
+    census you already run, the allocation is free."""
+    from kitkat_spark.operators.textops import TOKEN_RE
+
+    par = spark.sparkContext.defaultParallelism
+    docs = load_table(spark, sf_dir, "documents").repartition(par)
+    per = (
+        docs.select(
+            "source",
+            F.size(
+                F.regexp_extract_all(F.col("text"), F.lit(TOKEN_RE), F.lit(0))
+            ).cast("long").alias("t"),
+        )
+        .groupBy("source")
+        .agg(F.count("*").alias("n_docs"), F.sum("t").alias("n_tokens"))
+    )
+    return unimax_allocate(per)
+
+
+
+# Replays the census, the sqrt-smoothed integer weights, the integer
+# cross-multiplied capped-prefix test, and the closed-form lambda — every
+# comparison exact, every division a single correctly-rounded IEEE op on
+# identically-valued operands.
+ORACLE["q_token_budget"] = f"""
+        WITH tok AS (
+            SELECT source,
+                   CAST(len(regexp_extract_all(text,
+                       '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS t
+            FROM documents
+        ), per AS (
+            SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(t) AS BIGINT) AS n_tokens
+            FROM tok GROUP BY source
+        ), wts AS (
+            SELECT *,
+                   CAST(sum(n_tokens) OVER () AS BIGINT) AS tot
+            FROM per
+        ), wtd AS (
+            SELECT *,
+                   CAST(round(sqrt(n_tokens * 1.0 / tot) * 1000000)
+                        AS BIGINT) AS w,
+                   {UNIMAX_MAX_EPOCHS} * n_tokens AS cap
+            FROM wts
+        ), full_w AS (
+            SELECT *,
+                   CAST(sum(w) OVER () AS BIGINT) AS wt,
+                   CAST({UNIMAX_BUDGET_NUM} * tot // {UNIMAX_BUDGET_DEN}
+                        AS BIGINT) AS budget,
+                   coalesce(CAST(sum(cap) OVER (
+                       ORDER BY cap * 1.0 / w, source
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       AS BIGINT), 0) AS cumc_prev,
+                   coalesce(CAST(sum(w) OVER (
+                       ORDER BY cap * 1.0 / w, source
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       AS BIGINT), 0) AS cumw_prev
+            FROM wtd
+        ), flagged AS (
+            SELECT *,
+                   cap * (wt - cumw_prev) <= (budget - cumc_prev) * w
+                       AS capped
+            FROM full_w
+        ), folded AS (
+            SELECT *,
+                   coalesce(CAST(sum(CASE WHEN capped THEN cap END)
+                       OVER () AS BIGINT), 0) AS cumc_m,
+                   coalesce(CAST(sum(CASE WHEN capped THEN w END)
+                       OVER () AS BIGINT), 0) AS cumw_m
+            FROM flagged
+        ), alloc AS (
+            SELECT *,
+                   CASE WHEN capped THEN cap
+                        ELSE CAST(round(
+                            CASE WHEN wt > cumw_m
+                                 THEN (budget - cumc_m) * 1.0 / (wt - cumw_m)
+                                 ELSE 0.0 END * w) AS BIGINT)
+                   END AS alloc_tokens
+            FROM folded
+        )
+        SELECT source, n_docs, n_tokens,
+               w / 1000000.0 AS weight,
+               CAST(round(budget * 1.0 / wt * w) AS BIGINT) AS naive_tokens,
+               cap AS cap_tokens,
+               capped,
+               alloc_tokens,
+               CAST(round(alloc_tokens * 1.0 / n_tokens * 10000) AS BIGINT)
+                   / 10000.0 AS epochs
+        FROM alloc
+    """

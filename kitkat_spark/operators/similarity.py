@@ -3048,3 +3048,96 @@ ORACLE["q_ann_rebalance"] = f"""
                (generation = 1) = cutover AS serving
         FROM gens, cut
     """
+
+
+def q_ann_gen_gc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN index generation GC — the step after q_ann_rebalance's cutover
+    (round-14 survey worklist): once generation 1 serves, generation 0's
+    posting lists are dead weight and get retired, but a GC that deletes
+    files before proving coverage is how serving indexes lose vectors. The
+    audit a compactor runs before the rm: per generation-0 bucket, every
+    vector the retiring posting list holds must be FOUND in the new
+    generation's index — a vec_id-keyed existence join between the two
+    generations' bucket assignments (content-independent: the new bucket
+    may differ, that is the point of re-training; what must survive is the
+    VECTOR). Only when every bucket is fully covered is the generation's
+    space reclaimable.
+
+    Per generation-0 bucket, exact integers:
+      n_retired   rows the dying posting list holds
+      n_covered   of those, vec_ids present anywhere in generation 1
+      covered     n_covered == n_retired — the file is safe to delete
+      reclaimable_rows  n_retired when covered, else 0 (a partial bucket
+                  reclaims NOTHING — all-or-nothing per posting list, the
+                  unit of deletion in an on-disk layout)
+
+    Plan: generation 1's assignment is the same one-pass Arrow matmul the
+    rebalance already prices; the audit is one vec_id-keyed join (no
+    vector payload moves — ids only) plus a combinable per-bucket
+    aggregate. The GC itself is then file deletes, zero data movement.
+    Composes with q_ann_rebalance exactly as delete composes with
+    q_semdedup: lifecycle ops feed each other, never re-derive."""
+    emb, n_planes = _bucketed_index(spark, sf_dir)
+    gen1_ids = (
+        emb.select(
+            "vec_id",
+            _make_sign_sig_udf(n_planes, REBALANCE_GEN_SALT)(F.col("v")).alias(
+                "b1"
+            ),
+        )
+        .filter(F.col("b1").isNotNull())
+        .select("vec_id")
+    )
+    flagged = emb.select("vec_id", "bucket").join(
+        gen1_ids.withColumn("in_g1", F.lit(True)), "vec_id", "left"
+    )
+    per_bucket = flagged.groupBy("bucket").agg(
+        F.count("*").alias("n_retired"),
+        F.sum(F.col("in_g1").isNotNull().cast("long")).alias("n_covered"),
+    )
+    covered = F.col("n_retired") == F.col("n_covered")
+    return per_bucket.select(
+        F.col("bucket").cast("long").alias("bucket"),
+        "n_retired",
+        "n_covered",
+        covered.alias("covered"),
+        F.when(covered, F.col("n_retired")).otherwise(F.lit(0)).alias(
+            "reclaimable_rows"
+        ),
+    )
+
+
+# Generation-0 occupancy with an existence check against the re-trained
+# generation's vector set — the same frozen md5 plane families as the
+# rebalance oracle; counts all exact integers. Every indexed vector is
+# re-bucketed by generation 1 (the UDF maps every non-empty vector), so
+# coverage is complete by construction and the audit exists to catch the
+# policies that would break it (a generation built from a filtered or
+# stale snapshot) — a Spark-side divergence hash-fails loudly.
+ORACLE["q_ann_gen_gc"] = f"""
+        WITH {_ANN_PARAMS_SQL}dims AS (
+            SELECT max(len(embedding)) AS d FROM embeddings
+        ), planes AS (
+            SELECT p, list_transform(generate_series(0, (SELECT d - 1 FROM dims)),
+                   d -> ('0x' || substr(md5('plane_' || p || '_' || d), 1, 15))::BIGINT
+                        / 1152921504606846976.0 * 2 - 1) AS pv
+            FROM UNNEST(generate_series(0, (SELECT np FROM params) - 1)) AS t(p)
+        ), e AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v
+            FROM embeddings WHERE len(embedding) > 0
+        ), b0 AS (
+            SELECT vec_id,
+                   sum(CASE WHEN list_dot_product(e.v, pl.pv) > 0
+                            THEN (1::BIGINT << pl.p) ELSE 0 END) AS bucket
+            FROM e, planes pl GROUP BY vec_id
+        ), audit AS (
+            SELECT CAST(bucket AS BIGINT) AS bucket,
+                   CAST(count(*) AS BIGINT) AS n_retired,
+                   CAST(count(*) AS BIGINT) AS n_covered
+            FROM b0 GROUP BY bucket
+        )
+        SELECT bucket, n_retired, n_covered,
+               TRUE AS covered,
+               n_retired AS reclaimable_rows
+        FROM audit
+    """

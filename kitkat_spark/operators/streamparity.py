@@ -2645,3 +2645,150 @@ ORACLE["q_stream_ttl_evict"] = f"""
                    AS kept
         FROM g
     """
+
+
+def q_stream_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of q_token_budget (operators/corpus.py) — the
+    UniMax-capped token-budget allocation recomputed at INGEST time
+    (round-14 survey worklist; completes the governance-twin symmetry:
+    boilerplate, per-source attribution, fertility, mix rebalance, and
+    dedup all have ingest-time twins, and the allocation table that
+    CONSUMES those signals now does too). Documents arrive on the
+    1-doc/min ingest clock; a watermarked 1-hour windowed aggregate keeps
+    per-(window, source) token-census sums in the state store; sealed
+    windows emit once, and the read-time composition rolls the sealed
+    census up per source and solves the SAME closed-form waterfilling
+    (integer cross-multiplied capped-prefix test, sqrt-smoothed integer
+    weights, one lambda division) over the sealed horizon — the budget a
+    mix planner would actually publish while ingest is still running.
+
+    The oracle is the batch q_token_budget SQL restricted to the sealed
+    horizon, so the driver hash proves both the window-state arithmetic
+    (a census row lost across the (window, source) key diverges) and the
+    allocation replay.
+
+    Scale: state is (live windows x sources) rows of two long sums —
+    watermark-bounded, corpus-size-free; the allocation runs on the
+    config-sized per-source frame exactly as in the batch op."""
+    import os
+
+    from kitkat_spark.operators.corpus import (
+        UNIMAX_BUDGET_DEN,
+        UNIMAX_BUDGET_NUM,
+        UNIMAX_MAX_EPOCHS,
+    )
+    from kitkat_spark.operators.textops import TOKEN_RE
+
+    docs = load_table(spark, sf_dir, "documents")
+    feed = docs.select(
+        "source",
+        F.size(
+            F.regexp_extract_all(F.col("text"), F.lit(TOKEN_RE), F.lit(0))
+        ).cast("long").alias("t"),
+        _doc_ingest_ts().alias("ts"),
+    )
+    path, n_rows = _replay_info(spark, sf_dir, "budget_feed", lambda: feed)
+    stream = (
+        spark.readStream.schema(feed.schema)
+        .parquet(path)
+        .withWatermark("ts", f"{DOC_WM_MINUTES} minutes")
+        .groupBy(F.window("ts", "1 hour").alias("wdw"), "source")
+        .agg(F.count("*").alias("n_docs_w"), F.sum("t").alias("n_tokens_w"))
+        .select(F.col("wdw.end").alias("w_end"), "source", "n_docs_w",
+                "n_tokens_w")
+    )
+    base = _fresh_scratch(spark, "budget_sink", sf_dir)
+    with _state_partitions(spark, n_rows):
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", os.path.join(base, "out"))
+            .option("checkpointLocation", os.path.join(base, "ckpt"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    sealed = spark.read.schema(
+        "w_end timestamp, source string, n_docs_w long, n_tokens_w long"
+    ).parquet(os.path.join(base, "out"))
+    per = sealed.groupBy("source").agg(
+        F.sum("n_docs_w").alias("n_docs"),
+        F.sum("n_tokens_w").alias("n_tokens"),
+    )
+    from kitkat_spark.operators.corpus import unimax_allocate
+
+    return unimax_allocate(per)
+
+
+
+# The batch allocation restricted to the sealed horizon (the stream feed
+# carries every document, so the horizon derives from the full doc clock).
+ORACLE["q_stream_token_budget"] = f"""
+        WITH horizon AS (
+            SELECT max(doc_id) - {DOC_WM_MINUTES} AS wm FROM documents
+        ), tok AS (
+            SELECT source,
+                   CAST(len(regexp_extract_all(text,
+                       '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS t
+            FROM documents, horizon
+            WHERE (doc_id // 60 + 1) * 60 <= horizon.wm
+        ), per AS (
+            SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(t) AS BIGINT) AS n_tokens
+            FROM tok GROUP BY source
+        ), wts AS (
+            SELECT *,
+                   CAST(sum(n_tokens) OVER () AS BIGINT) AS tot
+            FROM per
+        ), wtd AS (
+            SELECT *,
+                   CAST(round(sqrt(n_tokens * 1.0 / tot) * 1000000)
+                        AS BIGINT) AS w,
+                   {_corpus.UNIMAX_MAX_EPOCHS} * n_tokens AS cap
+            FROM wts
+        ), full_w AS (
+            SELECT *,
+                   CAST(sum(w) OVER () AS BIGINT) AS wt,
+                   CAST({_corpus.UNIMAX_BUDGET_NUM} * tot
+                        // {_corpus.UNIMAX_BUDGET_DEN} AS BIGINT) AS budget,
+                   coalesce(CAST(sum(cap) OVER (
+                       ORDER BY cap * 1.0 / w, source
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       AS BIGINT), 0) AS cumc_prev,
+                   coalesce(CAST(sum(w) OVER (
+                       ORDER BY cap * 1.0 / w, source
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       AS BIGINT), 0) AS cumw_prev
+            FROM wtd
+        ), flagged AS (
+            SELECT *,
+                   cap * (wt - cumw_prev) <= (budget - cumc_prev) * w
+                       AS capped
+            FROM full_w
+        ), folded AS (
+            SELECT *,
+                   coalesce(CAST(sum(CASE WHEN capped THEN cap END)
+                       OVER () AS BIGINT), 0) AS cumc_m,
+                   coalesce(CAST(sum(CASE WHEN capped THEN w END)
+                       OVER () AS BIGINT), 0) AS cumw_m
+            FROM flagged
+        ), alloc AS (
+            SELECT *,
+                   CASE WHEN capped THEN cap
+                        ELSE CAST(round(
+                            CASE WHEN wt > cumw_m
+                                 THEN (budget - cumc_m) * 1.0 / (wt - cumw_m)
+                                 ELSE 0.0 END * w) AS BIGINT)
+                   END AS alloc_tokens
+            FROM folded
+        )
+        SELECT source, n_docs, n_tokens,
+               w / 1000000.0 AS weight,
+               CAST(round(budget * 1.0 / wt * w) AS BIGINT) AS naive_tokens,
+               cap AS cap_tokens,
+               capped,
+               alloc_tokens,
+               CAST(round(alloc_tokens * 1.0 / n_tokens * 10000) AS BIGINT)
+                   / 10000.0 AS epochs
+        FROM alloc
+    """

@@ -578,3 +578,77 @@ def test_stream_ttl_evict_decisions_match_and_state_is_bounded(spark):
         f"eviction must bound state below the all-time distinct count "
         f"({state_rows} vs {n_fps})"
     )
+
+
+# ------------------------------------------ UniMax token-budget waterfill
+def test_token_budget_waterfilling_invariants(spark):
+    """The allocation must satisfy the waterfilling optimality conditions
+    independently of the closed-form derivation: (a) total allocation hits
+    the budget (up to per-source rounding), (b) capped sources get exactly
+    their cap, (c) uncapped allocations are proportional to weight at one
+    shared rate lambda that would NOT cap any uncapped source, and (d)
+    both arms are live on the fixture."""
+    from kitkat_spark.operators.corpus import (
+        UNIMAX_BUDGET_DEN,
+        UNIMAX_BUDGET_NUM,
+        UNIMAX_MAX_EPOCHS,
+        q_token_budget,
+    )
+
+    rows = q_token_budget(spark, SF).collect()
+    assert rows
+    T = sum(r.n_tokens for r in rows)
+    B = UNIMAX_BUDGET_NUM * T // UNIMAX_BUDGET_DEN
+    capped = [r for r in rows if r.capped]
+    free = [r for r in rows if not r.capped]
+    assert capped and free, "both cap arms must be live (never-fires rule)"
+    for r in capped:
+        assert r.alloc_tokens == r.cap_tokens == UNIMAX_MAX_EPOCHS * r.n_tokens
+    # one shared rate: alloc/weight agrees across uncapped sources
+    rates = [r.alloc_tokens / r.weight for r in free]
+    assert max(rates) - min(rates) <= 2 / min(r.weight for r in free)
+    for r in free:
+        assert r.alloc_tokens <= r.cap_tokens
+    # budget conservation up to one rounding unit per source
+    assert abs(sum(r.alloc_tokens for r in rows) - B) <= len(rows)
+    # capped sources are exactly those whose naive allocation overshoots...
+    # NOT true in general waterfilling (redistribution can newly cap a
+    # source), but every naive overshoot must certainly be capped:
+    for r in rows:
+        if r.naive_tokens > r.cap_tokens:
+            assert r.capped, r
+
+
+def test_stream_token_budget_is_batch_on_sealed_census(spark):
+    """The streaming allocation must equal the batch allocation computed
+    over only the sealed documents — same closed form, smaller census —
+    and per-source sealed token counts never exceed the batch census."""
+    from kitkat_spark.operators.corpus import q_token_budget
+    from kitkat_spark.operators.streamparity import q_stream_token_budget
+
+    sealed = {r.source: r for r in q_stream_token_budget(spark, SF).collect()}
+    batch = {r.source: r for r in q_token_budget(spark, SF).collect()}
+    assert sealed and set(sealed) <= set(batch)
+    for src, r in sealed.items():
+        assert r.n_tokens <= batch[src].n_tokens
+        assert r.alloc_tokens <= r.cap_tokens
+
+
+# ------------------------------------------- ANN generation retirement
+def test_ann_gen_gc_full_coverage_on_honest_generation(spark):
+    """Generation 1 is built from the same vector set, so every retiring
+    posting list must be fully covered and fully reclaimable; totals must
+    account for every indexed vector."""
+    from kitkat_spark.operators.similarity import (
+        _bucketed_index,
+        q_ann_gen_gc,
+    )
+
+    rows = q_ann_gen_gc(spark, SF).collect()
+    assert rows
+    emb, _ = _bucketed_index(spark, SF)
+    total = emb.count()
+    assert sum(r.n_retired for r in rows) == total
+    for r in rows:
+        assert r.covered and r.n_covered == r.n_retired
+        assert r.reclaimable_rows == r.n_retired
