@@ -2468,10 +2468,16 @@ def unimax_allocate(per: DataFrame) -> DataFrame:
     per = per.withColumn(
         "cumc_prev", F.coalesce(F.sum("cap").over(prev), F.lit(0))
     ).withColumn("cumw_prev", F.coalesce(F.sum("w").over(prev), F.lit(0)))
+    # 38-digit decimals, not int64: cap * wt reaches ~2 * n_tokens * 1e6 *
+    # |sources| and wraps int64 once a source holds ~2.3e11 tokens (~1 TB
+    # of text) — decimal(38,0) here and HUGEINT in the oracles keep the
+    # cross-multiplied test exact at the 100 TB scale the docstring
+    # claims (review finding; same fix as q_ann_rebalance)
+    dec = "decimal(38,0)"
     per = per.withColumn(
         "capped",
-        F.col("cap") * (F.col("wt") - F.col("cumw_prev"))
-        <= (F.col("budget") - F.col("cumc_prev")) * F.col("w"),
+        F.col("cap").cast(dec) * (F.col("wt") - F.col("cumw_prev"))
+        <= (F.col("budget") - F.col("cumc_prev")).cast(dec) * F.col("w"),
     )
     per = per.withColumn(
         "cumc_m",
@@ -2605,8 +2611,8 @@ ORACLE["q_token_budget"] = f"""
             FROM wtd
         ), flagged AS (
             SELECT *,
-                   cap * (wt - cumw_prev) <= (budget - cumc_prev) * w
-                       AS capped
+                   cap::HUGEINT * (wt - cumw_prev)
+                       <= (budget - cumc_prev)::HUGEINT * w AS capped
             FROM full_w
         ), folded AS (
             SELECT *,

@@ -1674,7 +1674,7 @@ ORACLE["q_passjoin_planner"] = f"""
             FROM ic JOIN pc USING (len_s, i, seg)
             GROUP BY ic.i
         )
-        SELECT k.i,
+        SELECT i,
                coalesce(k.n_keys, 0) AS n_keys,
                coalesce(k.n_postings, 0) AS n_postings,
                coalesce(k.max_postings, 0) AS max_postings,

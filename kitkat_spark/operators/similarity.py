@@ -2894,9 +2894,11 @@ def q_ann_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
                       micro-units, 4 dp)
       skew_ratio      E[scan] / uniform = sum c^2 * 2^np / n^2 (1e-6
                       units) — 1.0 is a perfectly balanced family
-      exceeds_budget  sum c^2 * 2^np * 1000 > BUDGET_MILLI * n^2 (pure
-                      int64: c <= n <= 2^31 keeps every product far
-                      inside 63 bits at any real corpus size)
+      exceeds_budget  sum c^2 * 2^np * 1000 > BUDGET_MILLI * n^2,
+                      compared in 38-digit decimal (Spark) / HUGEINT
+                      (DuckDB): the products reach ~1000 * n^2 * 2^np
+                      and would wrap int64 past n ~ 9.6e7 vectors;
+                      128-bit arithmetic keeps the test exact to n ~ 1e12
       serving         the cutover decision: generation 1 serves iff
                       generation 0 exceeds the budget AND generation 1's
                       integer numerator is strictly smaller; otherwise
@@ -2946,14 +2948,22 @@ def q_ann_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the CUTOVER decision is one boolean computed from BOTH 1-row stat
     # frames (broadcast-sized crossJoin), then stamped onto each row — a
     # pure integer comparison computed identically in both engines
+    # 38-digit decimals, not int64: num <= n^2, so num * cells * 1000
+    # reaches ~1000 * n^2 and wraps int64 silently (Spark, non-ANSI) or
+    # raises (DuckDB) past n ~ 9.6e7 vectors — decimal(38,0) here and
+    # HUGEINT (int128) in the oracle keep the comparison exact to
+    # n ~ 1e12 (review finding; same fix as unimax_allocate)
+    dec = "decimal(38,0)"
     cutover = (
         s0.select(F.col("num").alias("num0"), F.col("n").alias("n0"))
         .crossJoin(s1.select(F.col("num").alias("num1")))
         .select(
             (
                 (
-                    F.col("num0") * F.lit(1 << n_planes) * 1000
-                    > F.lit(REBALANCE_BUDGET_MILLI) * F.col("n0") * F.col("n0")
+                    F.col("num0").cast(dec) * F.lit(1 << n_planes) * 1000
+                    > F.lit(REBALANCE_BUDGET_MILLI)
+                    * F.col("n0").cast(dec)
+                    * F.col("n0")
                 )
                 & (F.col("num1") < F.col("num0"))
             ).alias("cutover")
@@ -2974,8 +2984,8 @@ def q_ann_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(1000000.0)
         ).alias("skew_ratio"),
         (
-            F.col("num") * cells * 1000
-            > F.lit(REBALANCE_BUDGET_MILLI) * F.col("n") * F.col("n")
+            F.col("num").cast(dec) * cells * 1000
+            > F.lit(REBALANCE_BUDGET_MILLI) * F.col("n").cast(dec) * F.col("n")
         ).alias("exceeds_budget"),
         ((F.col("generation") == 1) == F.col("cutover")).alias("serving"),
     )
@@ -3033,8 +3043,8 @@ ORACLE["q_ann_rebalance"] = f"""
             UNION ALL
             SELECT 1 AS generation, * FROM s1
         ), cut AS (
-            SELECT (s0.num * (SELECT nc FROM cells) * 1000
-                        > {REBALANCE_BUDGET_MILLI} * s0.n * s0.n)
+            SELECT (s0.num::HUGEINT * (SELECT nc FROM cells) * 1000
+                        > {REBALANCE_BUDGET_MILLI} * s0.n::HUGEINT * s0.n)
                    AND s1.num < s0.num AS cutover
             FROM s0, s1
         )
@@ -3043,8 +3053,9 @@ ORACLE["q_ann_rebalance"] = f"""
                    AS expected_candidates,
                CAST(round(num * (SELECT nc FROM cells) * 1.0 / (n * n)
                           * 1000000) AS BIGINT) / 1000000.0 AS skew_ratio,
-               num * (SELECT nc FROM cells) * 1000
-                   > {REBALANCE_BUDGET_MILLI} * n * n AS exceeds_budget,
+               num::HUGEINT * (SELECT nc FROM cells) * 1000
+                   > {REBALANCE_BUDGET_MILLI} * n::HUGEINT * n
+                   AS exceeds_budget,
                (generation = 1) = cutover AS serving
         FROM gens, cut
     """

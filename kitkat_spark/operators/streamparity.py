@@ -2589,11 +2589,24 @@ def q_stream_ttl_evict(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # one file per wave, written in wave order: the file source's
     # oldest-first mtime ordering + maxFilesPerTrigger=1 turns them into
-    # three in-order micro-batches of a single availableNow run
-    for lo, hi in zip(bounds, bounds[1:]):
+    # three in-order micro-batches of a single availableNow run. The
+    # mtimes are PINNED to strictly increasing per-wave values after each
+    # write — relying on write-order timestamps alone breaks on coarse-
+    # granularity filesystems, where equal mtimes let the source consume
+    # waves out of order and corrupt the per-key gap chain (review
+    # finding; the values stay within seconds of each other so the
+    # source's maxFileAge window is untouched)
+    import glob as _glob
+
+    stamped: set[str] = set()
+    for k, (lo, hi) in enumerate(zip(bounds, bounds[1:])):
         d.filter(
             (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
         ).coalesce(1).write.mode("append").parquet(src)
+        for f in _glob.glob(os.path.join(src, "*.parquet")):
+            if f not in stamped:
+                os.utime(f, (1_700_000_000 + k, 1_700_000_000 + k))
+                stamped.add(f)
     last_rows = 0
     with _state_partitions(spark, span):
         stream = (
@@ -2672,11 +2685,6 @@ def q_stream_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     config-sized per-source frame exactly as in the batch op."""
     import os
 
-    from kitkat_spark.operators.corpus import (
-        UNIMAX_BUDGET_DEN,
-        UNIMAX_BUDGET_NUM,
-        UNIMAX_MAX_EPOCHS,
-    )
     from kitkat_spark.operators.textops import TOKEN_RE
 
     docs = load_table(spark, sf_dir, "documents")
@@ -2762,8 +2770,8 @@ ORACLE["q_stream_token_budget"] = f"""
             FROM wtd
         ), flagged AS (
             SELECT *,
-                   cap * (wt - cumw_prev) <= (budget - cumc_prev) * w
-                       AS capped
+                   cap::HUGEINT * (wt - cumw_prev)
+                       <= (budget - cumc_prev)::HUGEINT * w AS capped
             FROM full_w
         ), folded AS (
             SELECT *,

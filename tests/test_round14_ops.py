@@ -408,22 +408,44 @@ def test_span_overlap_containment_dominates_jaccard(spark):
         prev = r
 
 
-def test_span_overlap_is_sharper_than_shingle_overlap(spark):
-    """The 8-token span unit must be strictly more selective than the
-    3-gram shingle unit: every span pair's shared-span count is at most
-    the same pair's shared-3-gram count (an 8-token match implies six
-    3-gram matches inside it), so the span matrix never invents overlap
-    the shingle matrix misses."""
-    from kitkat_spark.operators.corpus import q_source_overlap, q_span_overlap
+def test_span_overlap_pairs_share_shingles_too(spark):
+    """Soundness of the span unit: a shared 8-token span CONTAINS shared
+    3-grams, so every pair the span matrix reports must have nonzero
+    3-gram overlap when computed directly (membership, not a count
+    inequality — distinct-span vs distinct-shingle COUNTS are not
+    comparable in general: periodic/templated text can share more
+    distinct 8-grams than distinct 3-grams)."""
+    from pyspark.sql import functions as F
 
-    spans = {(r.src_a, r.src_b): r.n_common for r in q_span_overlap(spark, SF).collect()}
-    shingles = {
-        (r.src_a, r.src_b): r.n_common for r in q_source_overlap(spark, SF).collect()
+    from kitkat_spark.functions.text import full_shingle_hashes, tokens
+    from kitkat_spark.operators.corpus import q_span_overlap
+    from kitkat_spark.sources import load_table
+
+    spans = {
+        (r.src_a, r.src_b): r.n_common
+        for r in q_span_overlap(spark, SF).collect()
     }
-    common = set(spans) & set(shingles)
-    assert common, "expected at least one pair ranked by both units"
-    for pair in common:
-        assert spans[pair] <= shingles[pair], pair
+    assert spans, "expected span-overlap pairs on the fixture"
+    sh = (
+        load_table(spark, SF, "documents")
+        .select(
+            "source",
+            F.explode(full_shingle_hashes(tokens(F.col("text")), 3)).alias("s"),
+        )
+        .distinct()
+    )
+    a = sh.select(F.col("source").alias("src_a"), "s")
+    b = sh.select(F.col("source").alias("src_b"), "s")
+    inter = {
+        (r.src_a, r.src_b): r.n
+        for r in a.join(b, "s")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    for pair in spans:
+        assert inter.get(pair, 0) > 0, pair
 
 
 # ------------------------------------- refresh-on-arrival TTL in state
@@ -652,3 +674,35 @@ def test_ann_gen_gc_full_coverage_on_honest_generation(spark):
     for r in rows:
         assert r.covered and r.n_covered == r.n_retired
         assert r.reclaimable_rows == r.n_retired
+
+
+def test_unimax_allocate_exact_at_terabyte_census(spark):
+    """Overflow regression (review finding): the capped-prefix test runs
+    in decimal(38,0), so a census with multi-trillion-token sources —
+    where cap * weight-sum wraps int64 — still produces a coherent
+    allocation: caps respected, budget conserved, both arms as the
+    closed form dictates. (Before the fix, Spark silently wrapped the
+    int64 products here and the flags were garbage.)"""
+    from kitkat_spark.operators.corpus import (
+        UNIMAX_BUDGET_DEN,
+        UNIMAX_BUDGET_NUM,
+        unimax_allocate,
+    )
+
+    rows_in = [
+        ("big", 1000, 4_000_000_000_000),     # 4e12 tokens
+        ("mid", 1000, 600_000_000_000),
+        ("small", 1000, 40_000_000_000),
+    ]
+    per = spark.createDataFrame(
+        rows_in, "source string, n_docs long, n_tokens long"
+    )
+    out = {r.source: r for r in unimax_allocate(per).collect()}
+    T = sum(t for _, _, t in rows_in)
+    B = UNIMAX_BUDGET_NUM * T // UNIMAX_BUDGET_DEN
+    assert abs(sum(r.alloc_tokens for r in out.values()) - B) <= len(out)
+    for r in out.values():
+        assert 0 < r.alloc_tokens <= r.cap_tokens
+    # smoothing pushes budget toward the small source: it must cap while
+    # the big source stays below one epoch's worth of repetition headroom
+    assert out["small"].capped and not out["big"].capped
