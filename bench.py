@@ -280,6 +280,7 @@ HEADLINE = [
     "q_token_budget",
     "q_stream_token_budget",
     "q_ann_gen_gc",
+    "q_budget_realize",
     # Excluded on purpose (NOT a silent cap): q_cc_chain is the adversarial
     # deep-diameter CC verification query — it deliberately runs ~25 star
     # rounds on a path graph, so its wall time is per-round scheduler

@@ -2575,13 +2575,12 @@ def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
 # cross-multiplied capped-prefix test, and the closed-form lambda — every
 # comparison exact, every division a single correctly-rounded IEEE op on
 # identically-valued operands.
-ORACLE["q_token_budget"] = f"""
-        WITH tok AS (
-            SELECT source,
-                   CAST(len(regexp_extract_all(text,
-                       '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS t
-            FROM documents
-        ), per AS (
+def _unimax_ctes_sql(census: str) -> str:
+    """The UniMax allocation CTE chain (per -> alloc) over a census CTE
+    named ``tok`` with columns (source, t) — shared verbatim by
+    q_token_budget, q_stream_token_budget, and q_budget_realize so the
+    allocation arithmetic can never drift between their oracles."""
+    return census + f"""), per AS (
             SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
                    CAST(sum(t) AS BIGINT) AS n_tokens
             FROM tok GROUP BY source
@@ -2630,7 +2629,16 @@ ORACLE["q_token_budget"] = f"""
                                  ELSE 0.0 END * w) AS BIGINT)
                    END AS alloc_tokens
             FROM folded
-        )
+        )"""
+
+
+ORACLE["q_token_budget"] = _unimax_ctes_sql("""
+        WITH tok AS (
+            SELECT source,
+                   CAST(len(regexp_extract_all(text,
+                       '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS t
+            FROM documents
+        """) + """
         SELECT source, n_docs, n_tokens,
                w / 1000000.0 AS weight,
                CAST(round(budget * 1.0 / wt * w) AS BIGINT) AS naive_tokens,
@@ -2640,4 +2648,143 @@ ORACLE["q_token_budget"] = f"""
                CAST(round(alloc_tokens * 1.0 / n_tokens * 10000) AS BIGINT)
                    / 10000.0 AS epochs
         FROM alloc
+    """
+
+REALIZE_SALT = "realize1"  # acceptance-hash salt for the fractional epoch
+
+
+def q_budget_realize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget REALIZATION audit — the sampler that EXECUTES
+    q_token_budget's allocation and proves the plan survives contact with
+    actual documents (round-14 survey worklist): per source, every doc is
+    replicated floor(alloc / T_s) times (the whole epochs), and one extra
+    fractional epoch admits each doc iff md5(doc_id:source:salt) mod T_s
+    < alloc mod T_s — deterministic acceptance with probability EXACTLY
+    (alloc mod T_s) / T_s in expectation over the 60-bit hash (modulo
+    bias <= T_s / 2^60, immaterial), and byte-reproducible by the oracle,
+    so realized token counts are exact integers, not a tolerance band.
+    This is the per-doc decision a data loader actually ships (the
+    deterministic-salt acceptance of q_sample_split applied to epoch
+    scheduling); the audit columns quantify the one gap a plan-level view
+    cannot see — the fractional layer samples DOCS uniformly, but tokens
+    arrive in doc-sized lumps, so realized_tokens wobbles around
+    alloc_tokens by the token-weight of the marginal accepted docs.
+
+    Per source, all exact integers except the two quantized ratios:
+      planned_tokens    q_token_budget's alloc (capped waterfilling)
+      base_epochs       floor(alloc / T_s) whole passes over the source
+      n_extra_docs      docs admitted by the fractional layer
+      realized_tokens   base_epochs * T_s + sum of admitted docs' tokens
+      realized_epochs   realized / T_s, 1e-4 units
+      rel_err           (realized - planned) / planned, 1e-6 units — the
+                        doc-lumpiness error the loader tolerates
+
+    Plan: ONE extra scan beyond the census (the per-doc accept is a
+    codegen'd md5 + integer mod against the broadcast 20-row allocation),
+    one combinable groupBy(source). Composes with q_token_budget the way
+    q_dedup_apply composes with q_canonical_docs: plan, then execute,
+    then verify the execution against the plan."""
+    from kitkat_spark.functions.text import md5_long
+    from kitkat_spark.operators.textops import TOKEN_RE
+
+    par = spark.sparkContext.defaultParallelism
+    docs = load_table(spark, sf_dir, "documents").repartition(par)
+    plan = q_token_budget(spark, sf_dir).select(
+        "source",
+        F.col("n_tokens").alias("t_src"),
+        F.col("alloc_tokens").alias("planned_tokens"),
+        "capped",
+    )
+    d = docs.select(
+        "doc_id",
+        "source",
+        F.size(
+            F.regexp_extract_all(F.col("text"), F.lit(TOKEN_RE), F.lit(0))
+        ).cast("long").alias("t"),
+    ).join(F.broadcast(plan), "source")
+    accept = (
+        md5_long(
+            F.concat_ws(":", F.col("doc_id"), F.col("source"), F.lit(REALIZE_SALT))
+        )
+        % F.col("t_src")
+        < F.col("planned_tokens") % F.col("t_src")
+    )
+    agg = d.groupBy("source", "t_src", "planned_tokens", "capped").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(accept.cast("long")).alias("n_extra_docs"),
+        F.sum(F.when(accept, F.col("t")).otherwise(F.lit(0))).alias(
+            "extra_tokens"
+        ),
+    )
+    base = F.expr("planned_tokens div t_src")
+    realized = base * F.col("t_src") + F.col("extra_tokens")
+    return agg.select(
+        "source",
+        "n_docs",
+        F.col("t_src").alias("n_tokens"),
+        "planned_tokens",
+        "capped",
+        base.cast("long").alias("base_epochs"),
+        "n_extra_docs",
+        realized.alias("realized_tokens"),
+        (
+            F.round(realized / F.col("t_src") * 10000).cast("long")
+            / F.lit(10000.0)
+        ).alias("realized_epochs"),
+        (
+            F.round(
+                (realized - F.col("planned_tokens"))
+                / F.col("planned_tokens")
+                * 1000000
+            ).cast("long")
+            / F.lit(1000000.0)
+        ).alias("rel_err"),
+    )
+
+
+# The allocation CTE chain shared verbatim with q_token_budget's oracle,
+# then the deterministic acceptance replayed per doc: the same md5-mod
+# arithmetic (('0x' || md5-prefix)::BIGINT is md5_long), same integer
+# aggregates, same quantized ratios.
+ORACLE["q_budget_realize"] = _unimax_ctes_sql("""
+        WITH tok AS (
+            SELECT source,
+                   CAST(len(regexp_extract_all(text,
+                       '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS t
+            FROM documents
+        """) + f"""
+        , plan AS (
+            SELECT source, n_tokens AS t_src, alloc_tokens AS planned_tokens,
+                   capped
+            FROM alloc
+        ), d AS (
+            SELECT doc.doc_id, doc.source,
+                   CAST(len(regexp_extract_all(doc.text,
+                       '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS t,
+                   p.t_src, p.planned_tokens, p.capped,
+                   ('0x' || substr(md5(doc.doc_id || ':' || doc.source
+                        || ':{REALIZE_SALT}'), 1, 15))::BIGINT % p.t_src
+                       < p.planned_tokens % p.t_src AS accept
+            FROM documents doc JOIN plan p USING (source)
+        ), agg AS (
+            SELECT source, t_src, planned_tokens, capped,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(CASE WHEN accept THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_extra_docs,
+                   CAST(sum(CASE WHEN accept THEN t ELSE 0 END) AS BIGINT)
+                       AS extra_tokens
+            FROM d GROUP BY source, t_src, planned_tokens, capped
+        )
+        SELECT source, n_docs, t_src AS n_tokens, planned_tokens, capped,
+               planned_tokens // t_src AS base_epochs,
+               n_extra_docs,
+               (planned_tokens // t_src) * t_src + extra_tokens
+                   AS realized_tokens,
+               CAST(round(((planned_tokens // t_src) * t_src + extra_tokens)
+                          * 1.0 / t_src * 10000) AS BIGINT) / 10000.0
+                   AS realized_epochs,
+               CAST(round(((planned_tokens // t_src) * t_src + extra_tokens
+                           - planned_tokens) * 1.0 / planned_tokens
+                          * 1000000) AS BIGINT) / 1000000.0 AS rel_err
+        FROM agg
     """

@@ -2731,7 +2731,7 @@ def q_stream_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # The batch allocation restricted to the sealed horizon (the stream feed
 # carries every document, so the horizon derives from the full doc clock).
-ORACLE["q_stream_token_budget"] = f"""
+ORACLE["q_stream_token_budget"] = _corpus._unimax_ctes_sql(f"""
         WITH horizon AS (
             SELECT max(doc_id) - {DOC_WM_MINUTES} AS wm FROM documents
         ), tok AS (
@@ -2740,56 +2740,7 @@ ORACLE["q_stream_token_budget"] = f"""
                        '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS t
             FROM documents, horizon
             WHERE (doc_id // 60 + 1) * 60 <= horizon.wm
-        ), per AS (
-            SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
-                   CAST(sum(t) AS BIGINT) AS n_tokens
-            FROM tok GROUP BY source
-        ), wts AS (
-            SELECT *,
-                   CAST(sum(n_tokens) OVER () AS BIGINT) AS tot
-            FROM per
-        ), wtd AS (
-            SELECT *,
-                   CAST(round(sqrt(n_tokens * 1.0 / tot) * 1000000)
-                        AS BIGINT) AS w,
-                   {_corpus.UNIMAX_MAX_EPOCHS} * n_tokens AS cap
-            FROM wts
-        ), full_w AS (
-            SELECT *,
-                   CAST(sum(w) OVER () AS BIGINT) AS wt,
-                   CAST({_corpus.UNIMAX_BUDGET_NUM} * tot
-                        // {_corpus.UNIMAX_BUDGET_DEN} AS BIGINT) AS budget,
-                   coalesce(CAST(sum(cap) OVER (
-                       ORDER BY cap * 1.0 / w, source
-                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
-                       AS BIGINT), 0) AS cumc_prev,
-                   coalesce(CAST(sum(w) OVER (
-                       ORDER BY cap * 1.0 / w, source
-                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
-                       AS BIGINT), 0) AS cumw_prev
-            FROM wtd
-        ), flagged AS (
-            SELECT *,
-                   cap::HUGEINT * (wt - cumw_prev)
-                       <= (budget - cumc_prev)::HUGEINT * w AS capped
-            FROM full_w
-        ), folded AS (
-            SELECT *,
-                   coalesce(CAST(sum(CASE WHEN capped THEN cap END)
-                       OVER () AS BIGINT), 0) AS cumc_m,
-                   coalesce(CAST(sum(CASE WHEN capped THEN w END)
-                       OVER () AS BIGINT), 0) AS cumw_m
-            FROM flagged
-        ), alloc AS (
-            SELECT *,
-                   CASE WHEN capped THEN cap
-                        ELSE CAST(round(
-                            CASE WHEN wt > cumw_m
-                                 THEN (budget - cumc_m) * 1.0 / (wt - cumw_m)
-                                 ELSE 0.0 END * w) AS BIGINT)
-                   END AS alloc_tokens
-            FROM folded
-        )
+        """) + """
         SELECT source, n_docs, n_tokens,
                w / 1000000.0 AS weight,
                CAST(round(budget * 1.0 / wt * w) AS BIGINT) AS naive_tokens,

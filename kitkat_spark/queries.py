@@ -103,8 +103,8 @@ for _m in _MODULES:
 # staleness gate (tests/test_driver_staleness.py) and the round-13 verdict:
 # (a) the gate's 20 forced queries — r10 greens whose host modules changed
 # during round 13 (the gate's own output at the r13 HEAD, also listed
-# verbatim in VERDICT.md next-round #1); (b) the 19 queries NEW this
-# round (five waves) — never driver-verified, always forced — plus the one
+# verbatim in VERDICT.md next-round #1); (b) the 21 queries NEW this
+# round (six waves) — never driver-verified, always forced — plus the one
 # changed query; (c) the three r7 rotations
 # displaced last round (queued first by both the r12 tail comment and the
 # r13 verdict); (d) the full r8 block (oldest unchanged-module greens);
@@ -115,7 +115,7 @@ for _m in _MODULES:
 # q_orc_roundtrip (unchanged modules, sibling queries slotted) to r15,
 # which must also budget for the r11 greens of similarity/streamparity/
 # textops/dedup/corpus hitting the 4-round horizon with this round's
-# changes. 20 + 20 + 3 + 6 + 1 = 50.
+# changes. 20 + 21 + 3 + 5 + 1 = 50.
 _VERIFY_FIRST = [
     # -- (a) the gate's 20 forced r10 greens (changed modules) --
     "q_corpus_pipeline",
@@ -161,21 +161,21 @@ _VERIFY_FIRST = [
     "q_token_budget",        # NEW: UniMax-capped token-budget waterfilling
     "q_stream_token_budget", # NEW: the allocation recomputed at ingest
     "q_ann_gen_gc",          # NEW: generation-0 retirement coverage audit
+    "q_budget_realize",      # NEW: executes the allocation, audits realized
     "q_boilerplate_coverage",  # CHANGED: per-mille commodity threshold
     # -- (c) the three displaced r7 rotations --
     "q_range_join",
     "q_json_funcs",
     "q_embedding_quantize",
-    # -- (d) the r8 block (6 of 12; the fourth and fifth round-14 waves
-    #    displaced q_scalar_funcs / q_semi_anti_join / q_set_ops /
-    #    q_outer_join / q_percentiles / q_rollup_cube — relational.py
-    #    unchanged since their r8 green, gate-safe) --
+    # -- (d) the r8 block (5 of 12; the fourth through sixth round-14
+    #    waves displaced q_scalar_funcs / q_semi_anti_join / q_set_ops /
+    #    q_outer_join / q_percentiles / q_rollup_cube / q_minmax_by —
+    #    relational.py unchanged since their r8 green, gate-safe) --
     "q_array_map_funcs",
     "q_broadcast_join",
     "q_first_last",
     "q_hash_join",
     "q_kpl_deagg",
-    "q_minmax_by",
     # -- (e) r9 greens (1 of 13; the third round-14 operator wave displaced
     #    q_csv_roundtrip / q_hll_distinct / q_kmv_intersect /
     #    q_orc_roundtrip — sketches.py / interchange.py unchanged since
@@ -184,7 +184,7 @@ _VERIFY_FIRST = [
     # -- Re-verify-next-round tail (round 15): FIRST q_csv_roundtrip,
     # q_hll_distinct, q_kmv_intersect, q_orc_roundtrip, q_scalar_funcs,
     # q_semi_anti_join, q_set_ops, q_outer_join, q_percentiles,
-    # q_rollup_cube (displaced this
+    # q_rollup_cube, q_minmax_by (displaced this
     # round), then q_window_rank,
     # q_trend_slope, q_winsorize, q_local_supplier_volume, q_ship_priority,
     # q_skyline, q_stats_agg and q_big_orders (the eight deferred r9

@@ -706,3 +706,31 @@ def test_unimax_allocate_exact_at_terabyte_census(spark):
     # smoothing pushes budget toward the small source: it must cap while
     # the big source stays below one epoch's worth of repetition headroom
     assert out["small"].capped and not out["big"].capped
+
+
+def test_budget_realize_executes_the_plan(spark):
+    """The realization must tie out against the plan it executes: capped
+    sources realize EXACTLY (their allocation is a whole number of
+    epochs, so the fractional layer admits nobody), uncapped sources land
+    within the doc-lumpiness band (|rel_err| strictly below the largest
+    single doc's token share), and totals recompose from base epochs plus
+    admitted extras."""
+    from kitkat_spark.operators.corpus import q_budget_realize, q_token_budget
+
+    plan = {r.source: r for r in q_token_budget(spark, SF).collect()}
+    rows = q_budget_realize(spark, SF).collect()
+    assert len(rows) == len(plan)
+    for r in rows:
+        p = plan[r.source]
+        assert r.planned_tokens == p.alloc_tokens and r.capped == p.capped
+        assert r.realized_tokens == r.base_epochs * r.n_tokens + (
+            r.realized_tokens - r.base_epochs * r.n_tokens
+        )
+        if r.capped:
+            # cap = 2 epochs exactly -> no fractional layer
+            assert r.n_extra_docs == 0 and r.realized_tokens == r.planned_tokens
+            assert r.rel_err == 0.0
+        else:
+            assert 0 < r.n_extra_docs <= r.n_docs
+            # lumpiness: the error is at most ~a few docs' worth of tokens
+            assert abs(r.realized_tokens - r.planned_tokens) < r.n_tokens
