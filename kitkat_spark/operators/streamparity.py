@@ -239,6 +239,32 @@ class _state_partitions:
         return False
 
 
+def _drain_append_parquet(
+    spark: SparkSession, sdf: DataFrame, variant: str, sf_dir: str
+) -> DataFrame:
+    """Drain an append-mode availableNow streaming DataFrame to a per-call
+    parquet sink and return the read-back result (r14 optimization, guide
+    §5 driver discipline): a memory sink collects every emitted row
+    single-threaded onto the driver — ~100k rows for the dedup / interval
+    -join / session drains at sf0.1, and O(stream) at production scale —
+    while the parquet sink writes executor-side and the read-back scan
+    parallelizes downstream consumption. Same rows, same append-mode
+    sealing; the sink swap is result-invisible (drive-verified)."""
+    import os
+
+    base = _fresh_scratch(spark, variant, sf_dir)
+    q = (
+        sdf.writeStream.format("parquet")
+        .option("path", os.path.join(base, "out"))
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.schema(sdf.schema).parquet(os.path.join(base, "out"))
+
+
 def q_stream_dedup_wm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL Structured Streaming dedup, driver-verifiable: events are doubled
     (every row twice), replayed through a file-stream source with a
@@ -811,17 +837,28 @@ def q_stream_cms_wm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
         .select(F.col("w.start").alias("window_start"), "seed", "bucket", "n")
     )
-    name = f"stream_cms_wm_{_sink_suffix(path)}"
+    # parquet sink, not memory (r14 optimization, guide §5 driver
+    # discipline — the q_stream_boilerplate rationale applied here): the
+    # sealed grid is (windows x D x distinct buckets) — ~280k rows at
+    # sf0.1 — and a memory sink collects all of it single-threaded onto
+    # the driver before the probe join can even start; the parquet sink
+    # writes it executor-side and the join below reads it in parallel.
+    import os
+
+    base = _fresh_scratch(spark, "cms_sink", sf_dir)
     with _state_partitions(spark, n_rows):
         q = (
-            stream.writeStream.format("memory")
-            .queryName(name)
+            stream.writeStream.format("parquet")
+            .option("path", os.path.join(base, "out"))
+            .option("checkpointLocation", os.path.join(base, "ckpt"))
             .outputMode("append")
             .trigger(availableNow=True)
             .start()
         )
         q.awaitTermination()
-    grid = spark.table(name)
+    grid = spark.read.schema(
+        "window_start timestamp, seed int, bucket long, n long"
+    ).parquet(os.path.join(base, "out"))
     from pyspark.sql import Window as W
 
     exact = (
@@ -1674,6 +1711,16 @@ def q_stream_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     feed = pairs.select("doc_id", "fp", _doc_ingest_ts().alias("ts"))
     path, n_rows = _replay_info(spark, sf_dir, "boiler_grams", lambda: feed)
+    # read-time classify consumes the SAME (doc_id, fp, ts) rows the replay
+    # fixture materialized — read them back instead of re-running the
+    # tokenize + per-trigram md5 expansion over raw text a second time
+    # (r14 optimization, guide §1.2: the expansion was the query's single
+    # most expensive map and was paid twice per call; at 100 TB the
+    # ingest pipeline likewise classifies from the persisted gram feed,
+    # never from a re-scan of raw text)
+    feed_back = spark.read.schema("doc_id long, fp string, ts timestamp").parquet(
+        path
+    )
     stream = (
         spark.readStream.schema(feed.schema)
         .parquet(path)
@@ -1705,7 +1752,7 @@ def q_stream_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     gram_df = sealed.groupBy("fp").agg(F.sum("df_w").alias("df"))
     sealed_wins = sealed.select("w_end").distinct()
     sealed_pairs = (
-        pairs.withColumn("wdw", F.window(_doc_ingest_ts(), "1 hour"))
+        feed_back.withColumn("wdw", F.window(F.col("ts"), "1 hour"))
         .select("doc_id", "fp", F.col("wdw.end").alias("w_end"))
         .join(F.broadcast(sealed_wins), "w_end")
     )
@@ -1772,7 +1819,6 @@ ORACLE["q_stream_boilerplate"] = f"""
     """
 
 
-PASS_INCR_BATCHES = 2  # ingest waves replayed through the standing index
 
 
 def q_stream_passjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1793,16 +1839,20 @@ def q_stream_passjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     index (the stored (partner_len, seg-id, substring-hash) keys of every
     standing doc) joined by the new doc's own segments — the reverse
     direction a one-sided index silently loses (an old LONGER partner
-    can never re-probe a new shorter doc). Each ingest wave appends its
-    own segments + probes BEFORE its run, so same-batch pairs resolve
-    through the same two joins; the threshold-capped levenshtein verifies
-    in-stream after a static text join-back, verified pairs append to the
-    checkpointed sink, and multi-segment / bidirectional re-discoveries
-    of a pair (exact duplicate rows — a pair is only ever discovered in
-    the wave of its LATER member, never across waves) collapse with one
-    distinct at read time, keeping every wave STATELESS: the op's real
-    state is the standing index dirs themselves, exactly as
-    q_stream_incr_dedup's is its fingerprint index.
+    can never re-probe a new shorter doc). The ingest batch appends its
+    own segments + probes BEFORE its run, so ingest-internal pairs
+    resolve through the same two joins; the threshold-capped levenshtein
+    verifies in-stream after a static text join-back, verified pairs
+    append to the checkpointed sink, and multi-segment / bidirectional
+    re-discoveries of a pair (exact duplicate rows — lev and rel_dist
+    are functions of the pair) collapse with one distinct at read time,
+    keeping the replay STATELESS: the op's real state is the standing
+    index dirs themselves, exactly as q_stream_incr_dedup's is its
+    fingerprint index. (r14 optimization: the ingest span replays as ONE
+    availableNow batch — the earlier two-wave loop paid a full
+    streaming-query start, three fixture writes and a standing-side
+    shuffle per wave for an output the read-time distinct made
+    wave-count-invariant; guide §1.2/§2.4.)
 
     Scale: both standing structures are keyed parquet a 100 TB deployment
     partitions by (len_s, seg) — the per-batch joins shuffle ONLY on
@@ -1835,10 +1885,9 @@ def q_stream_passjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     all_docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "text", "n_chars"
     )
-    cut, mx = all_docs.agg(
-        F.expr("(max(doc_id) + 1) * 4 div 5").alias("cut"),
-        F.max("doc_id").alias("mx"),
-    ).first()
+    cut = all_docs.agg(
+        F.expr("(max(doc_id) + 1) * 4 div 5").alias("cut")
+    ).first()[0]
     # one scan + one fan-out shuffle, pinned: segments()/probes()/src all
     # consume the doc set once per wave, and a lazy lineage would re-scan
     # and re-shuffle the parquet for every one of those writes
@@ -1914,86 +1963,87 @@ def q_stream_passjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cp_texts = _replay_path(spark, sf_dir, "pj_texts", lambda: corpus)
 
-    span = int(mx) + 1 - int(cut)
-    bounds = [
-        int(cut) + (span * i) // PASS_INCR_BATCHES
-        for i in range(PASS_INCR_BATCHES + 1)
-    ]
     seg_schema = "id_s long, len_s long, i int, seg long"
     probe_schema = "id_r long, len_r long, len_s long, i int, seg long"
-    for lo, hi in zip(bounds, bounds[1:]):
-        batch = docs.filter(
-            (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
-        )
-        # the wave lands in the standing structures first, so same-batch
-        # pairs resolve through the same two joins; src doubles as the
-        # ingest half of the text store (identical rows)
-        segments(batch).write.mode("append").parquet(ing_index)
-        probes(batch).write.mode("append").parquet(ing_probes)
-        batch.write.mode("append").parquet(src)
+    # The whole ingest span lands in the standing structures BEFORE the
+    # replay run, in one write each (r14 optimization, guide §1.2/§2.4:
+    # the per-wave loop paid 3 writes + one full streaming-query start +
+    # one ~|corpus probes| static-side shuffle PER WAVE — measured 24 s
+    # steady at sf0.1, of which one whole wave round was duplicated
+    # machinery). The replay is ONE availableNow batch probing the union
+    # structures through the same two joins. Output-identical by
+    # construction: every pair involving an ingested doc is discovered
+    # through d1/d2 exactly as before (the standing side is a superset
+    # per batch, and multi-segment / bidirectional / cross-batch
+    # re-discoveries were ALWAYS collapsed by the read-time distinct —
+    # the driver oracle and the batch-equivalence test pin this). The
+    # growing-index evidence (a pair spanning corpus and ingest) is
+    # unchanged: corpus structures pre-date the call by construction.
+    ingest = docs.filter(F.col("doc_id") >= cut)
+    segments(ingest).write.mode("append").parquet(ing_index)
+    probes(ingest).write.mode("append").parquet(ing_probes)
+    ingest.write.mode("append").parquet(src)
 
-        st_index = spark.read.schema(seg_schema).parquet(
-            cp_index, ing_index
+    st_index = spark.read.schema(seg_schema).parquet(cp_index, ing_index)
+    st_probes = spark.read.schema(probe_schema).parquet(
+        cp_probes, ing_probes
+    )
+    st_texts = spark.read.schema(
+        "doc_id long, text string, n_chars long"
+    ).parquet(cp_texts, src)
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+    # direction 1: the new doc as the LONGER side probes standing
+    # segments; direction 2: the new doc's own segments meet the
+    # standing docs' stored probe keys. The replay batch is STATELESS
+    # (the op's real state is the standing index dirs themselves, as
+    # in q_stream_incr_dedup): a pair discovered through both
+    # directions is collapsed at read time, so no per-batch state
+    # store has to spin up for a candidate-sized distinct.
+    d1 = probes(stream).join(st_index, ["len_s", "i", "seg"])
+    d2 = segments(stream).join(st_probes, ["len_s", "i", "seg"])
+    cols = ["id_s", "len_s", "id_r", "len_r"]
+    cand = (
+        d1.select(*cols)
+        .unionByName(d2.select(*cols))
+        .filter(
+            (F.col("len_s") < F.col("len_r"))
+            | (F.col("id_s") < F.col("id_r"))
         )
-        st_probes = spark.read.schema(probe_schema).parquet(
-            cp_probes, ing_probes
+        .select(
+            F.least("id_s", "id_r").alias("doc_a"),
+            F.greatest("id_s", "id_r").alias("doc_b"),
+            F.greatest("len_s", "len_r").alias("mx"),
         )
-        st_texts = spark.read.schema(
-            "doc_id long, text string, n_chars long"
-        ).parquet(cp_texts, src)
-        stream = spark.readStream.schema(docs.schema).parquet(src)
-        # direction 1: the new doc as the LONGER side probes standing
-        # segments; direction 2: the new doc's own segments meet the
-        # standing docs' stored probe keys. The whole wave is STATELESS
-        # (the op's real state is the standing index dirs themselves, as
-        # in q_stream_incr_dedup): a same-batch pair discovered through
-        # both directions is collapsed at read time, so no per-wave state
-        # store has to spin up for a candidate-sized distinct.
-        d1 = probes(stream).join(st_index, ["len_s", "i", "seg"])
-        d2 = segments(stream).join(st_probes, ["len_s", "i", "seg"])
-        cols = ["id_s", "len_s", "id_r", "len_r"]
-        cand = (
-            d1.select(*cols)
-            .unionByName(d2.select(*cols))
-            .filter(
-                (F.col("len_s") < F.col("len_r"))
-                | (F.col("id_s") < F.col("id_r"))
-            )
-            .select(
-                F.least("id_s", "id_r").alias("doc_a"),
-                F.greatest("id_s", "id_r").alias("doc_b"),
-                F.greatest("len_s", "len_r").alias("mx"),
-            )
+    )
+    ta = st_texts.select(
+        F.col("doc_id").alias("doc_a"), F.col("text").alias("text_a")
+    )
+    tb = st_texts.select(
+        F.col("doc_id").alias("doc_b"), F.col("text").alias("text_b")
+    )
+    lev = F.levenshtein("text_a", "text_b", PASSJOIN_K)
+    verified = (
+        cand.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .select("doc_a", "doc_b", "mx", lev.alias("lev"))
+        .filter((F.col("lev") >= 0) & (F.col("lev") <= PASSJOIN_K))
+        .select(
+            "doc_a",
+            "doc_b",
+            "lev",
+            F.round(F.col("lev") * 1.0 / F.col("mx"), 4).alias(
+                "rel_dist"
+            ),
         )
-        ta = st_texts.select(
-            F.col("doc_id").alias("doc_a"), F.col("text").alias("text_a")
-        )
-        tb = st_texts.select(
-            F.col("doc_id").alias("doc_b"), F.col("text").alias("text_b")
-        )
-        lev = F.levenshtein("text_a", "text_b", PASSJOIN_K)
-        verified = (
-            cand.join(ta, "doc_a")
-            .join(tb, "doc_b")
-            .select("doc_a", "doc_b", "mx", lev.alias("lev"))
-            .filter((F.col("lev") >= 0) & (F.col("lev") <= PASSJOIN_K))
-            .select(
-                "doc_a",
-                "doc_b",
-                "lev",
-                F.round(F.col("lev") * 1.0 / F.col("mx"), 4).alias(
-                    "rel_dist"
-                ),
-            )
-        )
-        q = (
-            verified.writeStream.format("parquet")
-            .option("path", out)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+    )
+    q = (
+        verified.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
     # collapse multi-segment / bidirectional re-discoveries of the same
     # pair (exact duplicate rows by construction — lev and rel_dist are
     # functions of the pair)
@@ -2367,6 +2417,11 @@ def q_stream_boiler_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     feed = pairs.select("doc_id", "source", "fp", _doc_ingest_ts().alias("ts"))
     path, n_rows = _replay_info(spark, sf_dir, "boiler_src_grams", lambda: feed)
+    # same r14 optimization as q_stream_boilerplate: the read-time roll-up
+    # consumes the persisted gram feed, not a second tokenize+md5 expansion
+    feed_back = spark.read.schema(
+        "doc_id long, source string, fp string, ts timestamp"
+    ).parquet(path)
     stream = (
         spark.readStream.schema(feed.schema)
         .parquet(path)
@@ -2393,7 +2448,7 @@ def q_stream_boiler_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     gram_df = src_df.groupBy("fp").agg(F.sum("df_src").alias("df"))
     sealed_wins = sealed.select("w_end").distinct()
     sealed_pairs = (
-        pairs.withColumn("wdw", F.window(_doc_ingest_ts(), "1 hour"))
+        feed_back.withColumn("wdw", F.window(F.col("ts"), "1 hour"))
         .select("doc_id", "source", "fp", F.col("wdw.end").alias("w_end"))
         .join(F.broadcast(sealed_wins), "w_end")
     )
