@@ -291,18 +291,15 @@ def q_stream_dedup_wm(spark: SparkSession, sf_dir: str) -> DataFrame:
     path, n_rows = _replay_info(spark, sf_dir, "dedup_doubled", lambda: doubled)
     stream = spark.readStream.schema(doubled.schema).parquet(path)
     deduped = stream_dedup(stream, keys=["event_id"])
-    name = f"stream_dedup_wm_{_sink_suffix(path)}"
+    # parquet drain, not memory (r14, guide §5): ~100k distinct events at
+    # sf0.1 would be collected single-threaded onto the driver
     with _state_partitions(spark, n_rows):
-        q = (
-            deduped.select("event_id", "user_id", "event_type")
-            .writeStream.format("memory")
-            .queryName(name)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
+        return _drain_append_parquet(
+            spark,
+            deduped.select("event_id", "user_id", "event_type"),
+            "dedup_wm_sink",
+            sf_dir,
         )
-        q.awaitTermination()
-    return spark.table(name)
 
 
 def q_stream_interval_join_wm(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -322,18 +319,12 @@ def q_stream_interval_join_wm(spark: SparkSession, sf_dir: str) -> DataFrame:
     path, n_rows = _replay_info(spark, sf_dir, "interval_join", lambda: ev)
     left = spark.readStream.schema(ev.schema).parquet(path)
     right = spark.readStream.schema(ev.schema).parquet(path)
-    name = f"stream_ij_wm_{_sink_suffix(path)}"
+    # parquet drain, not memory (r14, guide §5): ~101k joined rows at
+    # sf0.1 would be collected single-threaded onto the driver
     with _state_partitions(spark, n_rows):
-        q = (
-            interval_join(left, right)
-            .writeStream.format("memory")
-            .queryName(name)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
+        return _drain_append_parquet(
+            spark, interval_join(left, right), "ij_wm_sink", sf_dir
         )
-        q.awaitTermination()
-    return spark.table(name)
 
 
 def q_stream_session_wm(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -360,18 +351,12 @@ def q_stream_session_wm(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
     path, n_rows = _replay_info(spark, sf_dir, "session_wm", lambda: ev)
     stream = spark.readStream.schema(ev.schema).parquet(path)
-    name = f"stream_session_wm_{_sink_suffix(path)}"
+    # parquet drain, not memory (r14, guide §5): ~95k sealed sessions at
+    # sf0.1 would be collected single-threaded onto the driver
     with _state_partitions(spark, n_rows):
-        q = (
-            session_counts(stream)
-            .writeStream.format("memory")
-            .queryName(name)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
+        return _drain_append_parquet(
+            spark, session_counts(stream), "session_wm_sink", sf_dir
         )
-        q.awaitTermination()
-    return spark.table(name)
 
 
 def q_stream_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -433,17 +418,11 @@ def q_stream_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("s.end").alias("session_end"), "user_id", "path")
     )
-    name = f"stream_session_paths_{_sink_suffix(path)}"
+    # parquet drain, not memory (r14, guide §5): ~95k sealed sessions at
+    # sf0.1 would be collected single-threaded onto the driver, and the
+    # read-time rollup below re-scans them in parallel from parquet
     with _state_partitions(spark, n_rows):
-        q = (
-            sealed.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    drained = spark.table(name)
+        drained = _drain_append_parquet(spark, sealed, "session_paths_sink", sf_dir)
     counts = drained.groupBy("path").agg(F.count("*").alias("n_sessions"))
     top = counts.orderBy(F.col("n_sessions").desc(), "path").limit(SP_K)
     w_rank = W.orderBy(F.col("n_sessions").desc(), "path")
