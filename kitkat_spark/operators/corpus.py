@@ -2164,6 +2164,16 @@ def q_span_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sort_array(F.collect_set("source")).alias("srcs"))
         .localCheckpoint(eager=True)
     )
+    return _span_pair_ranking(sets)
+
+
+def _span_pair_ranking(sets: DataFrame) -> DataFrame:
+    """q_span_overlap's scoring tail over a prebuilt (span key -> sorted
+    source set) table — factored out so q_span_attribution can feed it the
+    SAME span incidence it already aggregates instead of re-expanding the
+    corpus (r14, guide §1.2). The ranking depends only on set COUNTS, so
+    any injective span key (xxhash64 of token hashes, md5 of the span
+    text) produces the identical pair table."""
     sizes = (
         sets.select(F.explode("srcs").alias("source"))
         .groupBy("source")
@@ -2300,9 +2310,11 @@ def q_span_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     are usually one template or one syndicated article, and doc counts
     separate boilerplate from a single mirrored page).
 
-    Feeds from q_span_overlap itself (rank <= SPAN_PAIR_TOP), so
-    "top pair" can never drift between the two queries — the
-    q_ann_index_delete composition discipline.
+    Feeds from q_span_overlap's OWN ranking tail (_span_pair_ranking,
+    rank <= SPAN_PAIR_TOP) applied to the span incidence this query
+    already builds, so "top pair" can never drift between the two queries
+    — the q_ann_index_delete composition discipline without paying the
+    corpus expansion twice (r14).
 
     Scale: the (doc, source, span) incidence is the same distinct
     fan-out every span query pays, aggregated ONCE keyed on the span
@@ -2327,11 +2339,23 @@ def q_span_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     inc = docs.select(
         "doc_id", "source", F.explode(spans).alias("sp")
     ).select("source", F.md5("sp").alias("fp"), "sp")
-    per_src = inc.groupBy("fp", "source").agg(
-        F.count("*").alias("n_docs"), F.min("sp").alias("span")
+    # ONE corpus expansion + ONE corpus-sized shuffle for the whole query
+    # (r14, guide §1.2): per_src is pinned and feeds BOTH the pair ranking
+    # (via the derived source sets — _span_pair_ranking depends only on
+    # counts, so the md5 span key ranks identically to q_span_overlap's
+    # xxhash64 key) and the per-side attribution. Before, the top pairs
+    # came from q_span_overlap(spark, sf_dir), which re-tokenized and
+    # re-expanded the corpus a second time.
+    per_src = (
+        inc.groupBy("fp", "source")
+        .agg(F.count("*").alias("n_docs"), F.min("sp").alias("span"))
+        .localCheckpoint(eager=True)
+    )
+    sets = per_src.groupBy("fp").agg(
+        F.sort_array(F.collect_set("source")).alias("srcs")
     )
     pairs = (
-        q_span_overlap(spark, sf_dir)
+        _span_pair_ranking(sets)
         .filter(F.col("rank") <= SPAN_PAIR_TOP)
         .select(F.col("rank").alias("pair_rank"), "src_a", "src_b")
     )

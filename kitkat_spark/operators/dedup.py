@@ -1575,9 +1575,23 @@ def q_passjoin_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
     keys = ["len_s", "i", "seg"]
-    ic = passjoin_index(docs).groupBy(*keys).agg(F.count("*").alias("n_s"))
-    pc = passjoin_probe(spark, docs).groupBy(*keys).agg(
-        F.count("*").alias("n_r")
+    # key-level counts feed TWO consumers each (the per-ordinal stats and
+    # the candidate join); eager-checkpoint them so the segment/probe
+    # enumeration fan-out — the query's dominant map+shuffle — runs once,
+    # not once per consumer (r14, guide §1.2; the lazy-persist recompute
+    # race documented in tools/verify). Both tables are key-level counts
+    # (bounded by distinct index keys, far below posting volume).
+    ic = (
+        passjoin_index(docs)
+        .groupBy(*keys)
+        .agg(F.count("*").alias("n_s"))
+        .localCheckpoint(eager=True)
+    )
+    pc = (
+        passjoin_probe(spark, docs)
+        .groupBy(*keys)
+        .agg(F.count("*").alias("n_r"))
+        .localCheckpoint(eager=True)
     )
     key_stats = ic.groupBy("i").agg(
         F.count("*").alias("n_keys"),

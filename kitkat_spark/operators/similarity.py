@@ -2624,10 +2624,14 @@ def q_ann_index_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     the audit aggregates are combinable integer sums over the occupancy
     table."""
     emb, n_planes = _bucketed_index(spark, sf_dir)
+    # eager checkpoint: the drop list feeds TWO broadcast exchanges (the
+    # flag join and the survivor anti join) — left lazy, each broadcast
+    # re-executes the SemDeDup tail join to rebuild it (r14, guide §1.2)
     drops = (
         q_semdedup(spark, sf_dir)
         .filter(~F.col("is_kept"))
         .select("vec_id")
+        .localCheckpoint(eager=True)
     )
     flagged = emb.join(
         F.broadcast(drops.withColumn("tomb", F.lit(True))), "vec_id", "left"

@@ -1577,12 +1577,25 @@ def q_stream_incr_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     fp = F.md5(
         F.substring(F.lower(F.regexp_replace("text", r"\s+", " ")), 1, 200)
     )
-    d = docs.select("doc_id", fp.alias("fp"))
+    # one scan + one fingerprint pass, pinned (r14, guide §1.2 — the
+    # committed q_stream_dedup_ttl discipline): d feeds the cut agg plus
+    # one batch derivation per ingest wave, and corpus_fps feeds the
+    # stream-static anti-join of EVERY availableNow run — left lazy, each
+    # consumer re-scans documents and re-md5s the corpus
+    d = docs.select("doc_id", fp.alias("fp")).localCheckpoint(eager=True)
     cut, mx = d.agg(
         F.expr("(max(doc_id) + 1) * 4 div 5").alias("cut"),
         F.max("doc_id").alias("mx"),
     ).first()
-    corpus_fps = d.filter(F.col("doc_id") < cut).select("fp").distinct()
+    # the standing fingerprint index (a persisted table in production):
+    # pinned so each of the INCR_BATCHES query starts plans its static
+    # side over the materialized distinct, not a fresh scan+shuffle
+    corpus_fps = (
+        d.filter(F.col("doc_id") < cut)
+        .select("fp")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     span = int(mx) + 1 - int(cut)
     bounds = [
         int(cut) + (span * i) // INCR_BATCHES for i in range(INCR_BATCHES + 1)
