@@ -464,9 +464,9 @@ def q_passjoin_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# (applicationId, sf_dir, with_source) -> (sig, cand); entries for other
+# (applicationId, sf_dir) -> (sig, cand); entries for other
 # applications are evicted on access — see the docstring below
-_SIG_CACHE: dict[tuple[str, str, bool], tuple[DataFrame, DataFrame]] = {}
+_SIG_CACHE: dict[tuple[str, str], tuple[DataFrame, DataFrame]] = {}
 
 
 def lsh_signatures_and_candidates(
@@ -488,19 +488,24 @@ def lsh_signatures_and_candidates(
       "signature table" layout — tiny relative to the corpus (k longs +
       shingle hashes per doc).
 
-    ``with_source`` threads the coalesced source column ('<null>' sentinel)
-    through the signature table — the one extra byte that makes per-source
-    attribution free downstream.
+    The coalesced source column ('<null>' sentinel) is ALWAYS threaded
+    through the signature table — the one extra byte that makes
+    per-source attribution free downstream. ``with_source`` is kept for
+    caller clarity but no longer forks the build: before r14 the True and
+    False variants each built and persisted their own shingle+minhash
+    table (the query's dominant pass, guide §1.2 — a session running the
+    whole LSH family paid it twice); now one table serves every consumer
+    and the source-blind ones simply never select ``src``.
 
-    The built (sig, cand) pair is cached per (applicationId, sf_dir,
-    with_source) — the fresh minhash UDF object per call would otherwise
-    defeat Spark's CacheManager plan-dedup and a session running the whole
-    LSH family would accumulate an independent persisted signature table
-    per consumer (round-12 ADVICE). Entries keyed to any OTHER application
+    The built (sig, cand) pair is cached per (applicationId, sf_dir) —
+    the fresh minhash UDF object per call would otherwise defeat Spark's
+    CacheManager plan-dedup and a session running the whole LSH family
+    would accumulate an independent persisted signature table per
+    consumer (round-12 ADVICE). Entries keyed to any OTHER application
     are evicted on access: a cached DataFrame pins its session object, so
     without eviction a multi-session host could never garbage-collect a
     stopped session (round-13 review)."""
-    key = (spark.sparkContext.applicationId, sf_dir, with_source)
+    key = (spark.sparkContext.applicationId, sf_dir)
     # evict other applications' entries: a cached DataFrame pins its
     # (possibly stopped) session, so the cache must never outlive the
     # session boundary (round-13 review). Eviction also UNPERSISTS the
@@ -519,14 +524,13 @@ def lsh_signatures_and_candidates(
     if hit is not None:
         return hit
     par = spark.sparkContext.defaultParallelism
-    docs = load_table(spark, sf_dir, "documents").repartition(par)
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .repartition(par)
+        .withColumn("src", F.coalesce(F.col("source"), F.lit(NULL_SOURCE)))
+    )
     minhash_udf = make_minhash_udf(MINHASH_K)
-    cols = ["doc_id"]
-    if with_source:
-        docs = docs.withColumn(
-            "src", F.coalesce(F.col("source"), F.lit(NULL_SOURCE))
-        )
-        cols.append("src")
+    cols = ["doc_id", "src"]
     sig = (
         docs.select(
             *cols,
@@ -1394,34 +1398,54 @@ def q_passjoin_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     replays them with pure integer layout arithmetic (_pass_layout and
     the multi-match-aware (delta, i, d) window, cell for cell).
 
-    Plan shape at 100 TB: the retire set is a broadcast-join flag (a
-    wave too large to broadcast degrades to a keyed shuffle join on
-    doc_id — never all-pairs); the segment expansion is the 13x map-side
-    explode and the probe expansion the ~800x constant-triple broadcast
-    join both batch ops already pay; every aggregate is a combinable
-    integer sum keyed on (structure, len_s, i)."""
-    docs = (
+    Plan shape at 100 TB: the audited rows are pure functions of
+    (n_chars, retired), so the corpus collapses to its LENGTH
+    DISTRIBUTION first (one combinable count keyed on n_chars — the only
+    corpus-sized pass) and the 13x segment explode plus ~800x
+    constant-triple broadcast join expand the length domain, not the
+    corpus (r14); every aggregate is a weighted combinable integer sum
+    keyed on (structure, len_s, i). A real retire WAVE (arbitrary ids,
+    not a residue class) adds one broadcast-join flag against the corpus
+    before the distribution agg — still never all-pairs."""
+    # Every audited row is a pure function of (n_chars, retired) — the
+    # segment layout and the probe window never read doc text or ids
+    # beyond the retire flag. So collapse the corpus to its LENGTH
+    # DISTRIBUTION first (r14, guide §1.2/§2.3: don't fan out what you
+    # immediately re-aggregate): both expansions then run over
+    # ~|distinct lengths| x 2 rows weighted by cnt instead of once per
+    # document — the 13x explode and the ~800x triple join shrink from
+    # corpus-sized to length-domain-sized, and the aggregates become
+    # weighted integer sums with identical values. Pinned: the
+    # distribution feeds the audit AND the survivor re-expansion.
+    ldist = (
         load_table(spark, sf_dir, "documents")
         .select("doc_id", "n_chars")
         .filter(F.col("n_chars") >= _PASS_M)
         .withColumn(
             "retired", F.col("doc_id") % PASS_DEL_MOD == PASS_DEL_RESIDUE
         )
+        .groupBy("n_chars", "retired")
+        .agg(F.count("*").alias("cnt"))
+        .localCheckpoint(eager=True)
     )
     tdf = spark.createDataFrame(passjoin_triples(), "delta int, i int, d int")
 
     def seg_rows(df: DataFrame) -> DataFrame:
         return df.select(
             "retired",
+            "cnt",
             F.col("n_chars").alias("len_s"),
             F.explode(F.sequence(F.lit(0), F.lit(_PASS_M - 1))).alias("i"),
-        ).select(F.lit("segments").alias("structure"), "len_s", "i", "retired")
+        ).select(
+            F.lit("segments").alias("structure"), "len_s", "i", "retired", "cnt"
+        )
 
     def probe_rows(df: DataFrame) -> DataFrame:
         p_len, p_start = _pass_layout(F.col("len_s"), F.col("i"))
         return (
             df.select(
                 "retired",
+                "cnt",
                 F.col("n_chars").alias("len_r"),
                 F.lit(1).alias("one"),
             )
@@ -1430,6 +1454,7 @@ def q_passjoin_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("len_s") >= _PASS_M)
             .select(
                 "retired",
+                "cnt",
                 "len_r",
                 "len_s",
                 "i",
@@ -1439,21 +1464,27 @@ def q_passjoin_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(
                 (F.col("q") >= 0) & (F.col("q") + F.col("sl") <= F.col("len_r"))
             )
-            .select(F.lit("probes").alias("structure"), "len_s", "i", "retired")
+            .select(
+                F.lit("probes").alias("structure"), "len_s", "i", "retired", "cnt"
+            )
         )
 
-    stored = seg_rows(docs).unionByName(probe_rows(docs))
+    stored = seg_rows(ldist).unionByName(probe_rows(ldist))
     audit = stored.groupBy("structure", "len_s", "i").agg(
-        F.count("*").alias("n_before"),
-        F.sum(F.col("retired").cast("long")).alias("n_retired"),
-        F.sum((~F.col("retired")).cast("long")).alias("n_live"),
+        F.sum("cnt").alias("n_before"),
+        F.sum(F.when(F.col("retired"), F.col("cnt")).otherwise(0)).alias(
+            "n_retired"
+        ),
+        F.sum(F.when(~F.col("retired"), F.col("cnt")).otherwise(0)).alias(
+            "n_live"
+        ),
     )
-    survivors = docs.filter(~F.col("retired"))
+    survivors = ldist.filter(~F.col("retired"))
     rebuilt = (
         seg_rows(survivors)
         .unionByName(probe_rows(survivors))  # independent re-expansion
         .groupBy("structure", "len_s", "i")
-        .agg(F.count("*").alias("n_rebuilt"))
+        .agg(F.sum("cnt").alias("n_rebuilt"))
     )
     return audit.join(rebuilt, ["structure", "len_s", "i"], "full").select(
         "structure",

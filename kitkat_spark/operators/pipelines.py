@@ -592,24 +592,37 @@ def q_token_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     frequency bounds the per-doc pair fan-out at C(50,2) CONSTANT, and the
     expansion runs as a codegen'd nested-transform over each doc's sorted
     in-vocab token array — no self-join, no shuffle for pair generation;
-    the only shuffles are the vocabulary agg, the per-doc set agg, and the
-    pair count (all map-side combinable). df(a), df(b) ride in via a
-    broadcast of the 50-row vocab. The oracle replays co-occurrence with a
-    document self-join — fine at oracle scale, exactly the shuffle shape
-    the array expansion avoids."""
+    the only shuffles are the vocabulary agg and the pair count (both
+    map-side combinable): the per-doc in-vocab set is array_intersect
+    against the broadcast vocab array, not an explode + set agg (r14).
+    df(a), df(b) ride in via a broadcast of the 50-row vocab. The oracle
+    replays co-occurrence with a document self-join — fine at oracle
+    scale, exactly the shuffle shape the array expansion avoids."""
     docs = load_table(spark, sf_dir, "documents")
-    dt = docs.select(
-        "doc_id", F.explode(F.array_distinct(tokens(F.col("text")))).alias("token")
-    )
+    # ONE tokenization, pinned (r14, guide §1.2): the distinct-token
+    # array feeds the vocabulary agg, the per-doc in-vocab sets, and the
+    # doc count — lazily, each consumer re-tokenized the corpus
+    ta = docs.select(
+        "doc_id", F.array_distinct(tokens(F.col("text"))).alias("ta")
+    ).localCheckpoint(eager=True)
     vocab = (
-        dt.groupBy("token")
+        ta.select(F.explode("ta").alias("token"))
+        .groupBy("token")
         .agg(F.count("*").alias("df"))
         .orderBy(F.col("df").desc(), "token")
         .limit(PMI_VOCAB)
     )
-    in_vocab = dt.join(F.broadcast(vocab.select("token")), "token")
-    per_doc = in_vocab.groupBy("doc_id").agg(
-        F.array_sort(F.collect_set("token")).alias("ts")
+    # in-vocab sets as array_intersect against the broadcast 50-token
+    # vocab array (r14, guide §2.4 "remove shuffles outright"): identical
+    # to the former explode -> broadcast-join -> collect_set (both are the
+    # set intersection of the doc's distinct tokens with the vocab), but
+    # the corpus-sized explode shuffle into the per-doc set agg is gone —
+    # pair generation becomes a pure map over the pinned token arrays
+    vocab_arr = vocab.agg(F.array_sort(F.collect_set("token")).alias("va"))
+    per_doc = (
+        ta.crossJoin(F.broadcast(vocab_arr))
+        .select(F.array_sort(F.array_intersect("ta", "va")).alias("ts"))
+        .filter(F.size("ts") > 0)
     )
     pairs = per_doc.select(
         F.explode(
@@ -620,7 +633,9 @@ def q_token_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("p")
     ).select("p.a", "p.b")
     cooc = pairs.groupBy("a", "b").agg(F.count("*").alias("df_ab"))
-    n_docs = docs.select(F.count("*").alias("n"))
+    # one row per doc in ta (no explode/filter), so this equals the
+    # documents count without another scan
+    n_docs = ta.agg(F.count("*").alias("n"))
     va = vocab.select(F.col("token").alias("a"), F.col("df").alias("df_a"))
     vb = vocab.select(F.col("token").alias("b"), F.col("df").alias("df_b"))
     return (

@@ -815,12 +815,29 @@ def _argmax_cell(
             dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cn")), 6
         ).alias("c_cos"),
     )
-    w = W.partitionBy(id_col).orderBy(F.col("c_cos").desc(), "centroid_id")
-    return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") == 1)
-        .select(*vecs.columns, F.col("centroid_id").alias(out_col))
+    # argmax as a map-side-combinable aggregate, not a row_number window
+    # (r14, guide §2.3 "aggregate before you shuffle"): the window form
+    # shuffled ALL n x k scored rows — each still carrying the 64-double
+    # vector — into a per-id sort. Aggregate ONLY the narrow (id, score,
+    # centroid) rows (arrays in an agg buffer would demote the whole agg
+    # off codegen to ObjectHashAggregate — measured slower than the
+    # window), then join the 2-column winner table back to vecs: the
+    # partial HashAggregate collapses every id to ONE tiny row before the
+    # exchange, and the payload columns cross the network once, in the
+    # join. max(struct(c_cos, -centroid_id)) reproduces the
+    # (c_cos desc, centroid_id asc) ranking exactly.
+    scored = scored.select(
+        id_col,
+        F.struct(F.col("c_cos"), (-F.col("centroid_id")).alias("ni")).alias(
+            "sc"
+        ),
     )
+    winners = (
+        scored.groupBy(id_col)
+        .agg(F.max("sc").alias("best"))
+        .select(id_col, (-F.col("best.ni")).alias(out_col))
+    )
+    return vecs.join(winners, id_col)
 
 
 def _semdedup_assign(
@@ -896,19 +913,23 @@ def _semdedup_assign(
     vec_coarse = _argmax_cell(emb, F.broadcast(coarse), "vec_id", "coarse")
     scored = vec_coarse.join(fine_by_coarse, "coarse").select(
         "vec_id",
-        "v",
-        "nrm",
-        "centroid_id",
-        F.round(
-            dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cn")), 6
-        ).alias("c_cos"),
+        F.struct(
+            F.round(
+                dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cn")), 6
+            ).alias("c_cos"),
+            (-F.col("centroid_id")).alias("ni"),
+        ).alias("sc"),
     )
-    w = W.partitionBy("vec_id").orderBy(F.col("c_cos").desc(), "centroid_id")
-    return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") == 1)
-        .select("vec_id", "v", "nrm", F.col("centroid_id").alias("cell"))
+    # same narrow max-struct argmax as _argmax_cell (r14): identical
+    # ranking to the former (c_cos desc, centroid_id asc) window, but the
+    # fine-cell fan-out partial-aggregates to one tiny row per vector
+    # before the exchange and the vectors ride in via the final join
+    winners = (
+        scored.groupBy("vec_id")
+        .agg(F.max("sc").alias("best"))
+        .select("vec_id", (-F.col("best.ni")).alias("cell"))
     )
+    return emb.join(winners, "vec_id")
 
 
 def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -939,6 +960,11 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "embeddings").filter(F.size("embedding") > 0)
     )
     k = _semdedup_cells(emb.count())
+    # persisted: the assignment feeds FOUR consumers (both pair-join
+    # sides, the final labeling join, and the CC seed via pairs). Lazy
+    # persist (not an eager checkpoint) measured best here — the narrow
+    # max-struct argmax (r14) leaves the assignment cheap enough that
+    # the first consumer's materialization is not a recompute hazard
     indexed = _semdedup_assign(emb, k).persist()
     a = indexed.select(
         F.col("vec_id").alias("ua"), F.col("v").alias("va"),
