@@ -997,16 +997,11 @@ def q_stream_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     accepted = stream.filter(
         (u32.cast("double") / F.lit(4294967296.0)) < rates[F.col("source")]
     ).select("doc_id", "source")
-    name = f"stream_mix_rebalance_{_sink_suffix(path)}"
-    q = (
-        accepted.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(name)
+    # parquet drain, not memory (r14, guide §5): the accepted set is
+    # corpus-proportional (rate x corpus), the one streaming output here
+    # that scales with input volume rather than a bounded group domain —
+    # a memory sink would collect it single-threaded onto the driver
+    return _drain_append_parquet(spark, accepted, "mix_rebalance_sink", sf_dir)
 
 
 def q_consume_dlq(spark: SparkSession, sf_dir: str) -> DataFrame:
