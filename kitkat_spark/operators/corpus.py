@@ -1126,11 +1126,14 @@ def q_train_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     fp = F.md5(F.lower(F.regexp_replace("text", r"\s+", " ")))
-    w_fp = W.partitionBy("fp").orderBy("doc_id")
+    # one survivor per fingerprint = min(doc_id) per fp — a combinable
+    # aggregate, not a row_number window over the corpus (r14, guide
+    # §2.3): the partial agg collapses every fingerprint map-side before
+    # the exchange, and there is no per-group sort
     survivors = (
         docs.select("doc_id", fp.alias("fp"))
-        .withColumn("rn", F.row_number().over(w_fp))
-        .filter(F.col("rn") == 1)
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id")
         .withColumn("split", split_column(F.col("doc_id")))
     )
@@ -1870,13 +1873,22 @@ def q_longest_repeat(spark: SparkSession, sf_dir: str) -> DataFrame:
     spans = isl.groupBy("doc_id", "sid").agg(
         F.min("p").alias("s"), (F.max("p") + (k - 1)).alias("e")
     )
-    wr = W.partitionBy("doc_id").orderBy(
-        (F.col("e") - F.col("s")).desc(), F.col("s").asc()
-    )
+    # longest span as min(struct(s - e, s, e)) per doc (r14, guide §2.3):
+    # (e - s) desc == (s - e) asc, ties to s asc — identical ranking to
+    # the former row_number window, map-side combinable, no sort; e rides
+    # along as payload (distinct islands never share s)
     winner = (
-        spans.withColumn("rk", F.row_number().over(wr))
-        .filter(F.col("rk") == 1)
-        .drop("rk", "sid")
+        spans.groupBy("doc_id")
+        .agg(
+            F.min(
+                F.struct((F.col("s") - F.col("e")).alias("nl"), "s", "e")
+            ).alias("best")
+        )
+        .select(
+            "doc_id",
+            F.col("best.s").alias("s"),
+            F.col("best.e").alias("e"),
+        )
     )
     return winner.join(d, "doc_id").select(
         "doc_id",

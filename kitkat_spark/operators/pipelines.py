@@ -195,7 +195,7 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     (tf rows are per-doc-distinct, so count-per-token == docs containing
     the token) — the raw token stream is tokenized, exploded, and
     aggregated exactly once, then flows (doc_id, token) -> token-window ->
-    doc-window. The two-aggregation formulation re-derived the exploded
+    per-doc argmax aggregate. The two-aggregation formulation re-derived the exploded
     stream for the df groupBy (measured 1.27 s vs 0.78 s at sf0.1).
     Ties on score break on the token string — deterministic cross-engine."""
     par = spark.sparkContext.defaultParallelism
@@ -209,16 +209,25 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(total))
         .withColumn("s", score)
     )
-    w = W.partitionBy("doc_id").orderBy(F.col("s").desc(), "token")
+    # top term as min(struct(-s, token, ...)) per doc (r14, guide §2.3):
+    # s desc == -s asc, ties to token asc — identical ranking to the
+    # former row_number window; tf/df/s ride along as payload ((doc_id,
+    # token) is unique in tf, so (s, token) is tie-free per doc). The
+    # partial agg collapses each doc map-side where the window sorted the
+    # whole per-doc token stream.
     return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+        scored.groupBy("doc_id")
+        .agg(
+            F.min(
+                F.struct((-F.col("s")).alias("ns"), "token", "tf", "df", "s")
+            ).alias("best")
+        )
         .select(
             "doc_id",
-            F.col("token").alias("top_term"),
-            "tf",
-            "df",
-            F.round("s", 4).alias("tfidf"),
+            F.col("best.token").alias("top_term"),
+            F.col("best.tf").alias("tf"),
+            F.col("best.df").alias("df"),
+            F.round("best.s", 4).alias("tfidf"),
         )
     )
 
@@ -229,10 +238,10 @@ def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     probability — the n-gram-LM build step, and the shape of any Markov
     transition-matrix job.
 
-    One explode -> ONE shuffle on the first token: both the per-(t1,t2)
-    count and the per-t1 total come from the same partitionBy(t1) sort
-    (count over (t1,t2) runs as a window, not a second groupBy), then
-    row_number picks the argmax continuation. Ties break on the token."""
+    One explode -> the (t1,t2) partial-count agg, then ONE combinable
+    groupBy(t1) computes the per-t1 total AND picks the argmax
+    continuation via min(struct(-n_bigram, t2)) in the same pass — no
+    window, no per-t1 sort. Ties break on the token."""
     par = spark.sparkContext.defaultParallelism
     docs = load_table(spark, sf_dir, "documents").repartition(par)
     toks = tokens(F.col("text"))
@@ -242,18 +251,25 @@ def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("b")
     ).select(F.col("b")["0"].alias("t1"), F.col("b")["1"].alias("t2"))
     pair = bg.groupBy("t1", "t2").agg(F.count("*").alias("n_bigram"))
-    w_tot = W.partitionBy("t1")
-    w_rank = W.partitionBy("t1").orderBy(F.col("n_bigram").desc(), "t2")
+    # argmax continuation AND the per-t1 total in ONE combinable groupBy
+    # (r14, guide §2.3): min(struct(-n_bigram, t2)) == (n_bigram desc,
+    # t2 asc), sum(n_bigram) == the former w_tot window — the window+sort
+    # pass over the pair table is gone entirely
     return (
-        pair.withColumn("n_first", F.sum("n_bigram").over(w_tot))
-        .withColumn("rn", F.row_number().over(w_rank))
-        .filter((F.col("rn") == 1) & (F.col("n_first") >= BIGRAM_MIN_COUNT))
+        pair.groupBy("t1")
+        .agg(
+            F.min(
+                F.struct((-F.col("n_bigram")).alias("nn"), "t2", "n_bigram")
+            ).alias("best"),
+            F.sum("n_bigram").alias("n_first"),
+        )
+        .filter(F.col("n_first") >= BIGRAM_MIN_COUNT)
         .select(
             "t1",
-            F.col("t2").alias("next_tok"),
-            "n_bigram",
+            F.col("best.t2").alias("next_tok"),
+            F.col("best.n_bigram").alias("n_bigram"),
             "n_first",
-            F.round(F.col("n_bigram") / F.col("n_first"), 4).alias("p"),
+            F.round(F.col("best.n_bigram") / F.col("n_first"), 4).alias("p"),
         )
     )
 
@@ -942,17 +958,25 @@ def q_kn_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.greatest(F.col("c12") - F.lit(KN_DISCOUNT), F.lit(0.0)) / F.col("c1")
         + F.lit(KN_DISCOUNT) * F.col("fwd") / F.col("c1") * (F.col("bwd") / F.col("bt"))
     )
-    w_rank = W.partitionBy("t1").orderBy(F.col("p").desc(), "t2")
+    # argmax continuation as min(struct(-p, t2, c12)) per t1 (r14, guide
+    # §2.3): p desc == -p asc, ties to t2 asc — identical ranking to the
+    # former row_number window; c12 is payload (t2 unique per (t1, t2)
+    # group). Replaces the final exchange+sort with a partial-aggregated
+    # groupBy over the t2-partitioned scored table.
     return (
         scored.filter(F.col("c1") >= BIGRAM_MIN_COUNT)
         .withColumn("p", p_kn)
-        .withColumn("rn", F.row_number().over(w_rank))
-        .filter(F.col("rn") == 1)
+        .groupBy("t1")
+        .agg(
+            F.min(
+                F.struct((-F.col("p")).alias("np"), "t2", "c12", "p")
+            ).alias("best")
+        )
         .select(
             "t1",
-            F.col("t2").alias("next_tok"),
-            F.col("c12").alias("n_bigram"),
-            F.round(F.col("p"), 6).alias("p_kn"),
+            F.col("best.t2").alias("next_tok"),
+            F.col("best.c12").alias("n_bigram"),
+            F.round(F.col("best.p"), 6).alias("p_kn"),
         )
     )
 
@@ -1031,18 +1055,24 @@ def q_kn_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.greatest(F.col("c123") - F.lit(KN_DISCOUNT), F.lit(0.0)) / F.col("c12")
         + F.lit(KN_DISCOUNT) * F.col("fwd12") / F.col("c12") * p_bi
     )
-    w_rank = W.partitionBy("t1", "t2").orderBy(F.col("p").desc(), "t3")
+    # argmax continuation as min(struct(-p, t3, c123)) per history (r14,
+    # guide §2.3): same move as q_kn_bigram — identical (p desc, t3 asc)
+    # ranking, no final exchange+sort over the trigram-type table
     return (
         scored.filter(F.col("c12") >= TRIGRAM_MIN_COUNT)
         .withColumn("p", p_tri)
-        .withColumn("rn", F.row_number().over(w_rank))
-        .filter(F.col("rn") == 1)
+        .groupBy("t1", "t2")
+        .agg(
+            F.min(
+                F.struct((-F.col("p")).alias("np"), "t3", "c123", "p")
+            ).alias("best")
+        )
         .select(
             "t1",
             "t2",
-            F.col("t3").alias("next_tok"),
-            F.col("c123").alias("n_trigram"),
-            F.round(F.col("p"), 6).alias("p_kn"),
+            F.col("best.t3").alias("next_tok"),
+            F.col("best.c123").alias("n_trigram"),
+            F.round(F.col("best.p"), 6).alias("p_kn"),
         )
     )
 

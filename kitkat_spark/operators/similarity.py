@@ -105,8 +105,8 @@ def q_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the anchor set is broadcast (mining runs per training batch —
     a few thousand anchors at most), so the corpus side is ONE map-side
     pass computing cosines against every anchor; the per-anchor argmin /
-    argmax are window row_numbers over the scored stream partitioned by
-    anchor, and the final positive-negative stitch joins two
+    argmax are combinable min/max-struct aggregates over the scored
+    stream keyed on the anchor, and the final positive-negative stitch joins two
     |anchors|-row frames. The corpus is never shuffled, never joined to
     itself. Cosines are rounded to 6 before ranking so both engines rank
     the same values; ties break on cand_id."""
@@ -130,27 +130,35 @@ def q_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cosine"),
         )
     )
-    w_pos = W.partitionBy("anchor_id").orderBy(F.col("cosine").asc(), "cand_id")
-    w_neg = W.partitionBy("anchor_id").orderBy(F.col("cosine").desc(), "cand_id")
+    # hardest positive / negative as min/max struct aggregates, not
+    # row_number windows (r14, guide §2.3): the scored stream is
+    # corpus x anchors rows — the window form shuffled it all into two
+    # per-anchor sorts; the aggregates collapse each anchor to one row
+    # map-side. min(struct(cosine, cand_id)) == (cosine asc, cand_id asc);
+    # max(struct(cosine, -cand_id)) == (cosine desc, cand_id asc).
     pos = (
         scored.filter(F.col("label") == F.col("anchor_label"))
-        .withColumn("rk", F.row_number().over(w_pos))
-        .filter(F.col("rk") == 1)
+        .groupBy("anchor_id", "anchor_label")
+        .agg(F.min(F.struct("cosine", "cand_id")).alias("best"))
         .select(
             "anchor_id",
             "anchor_label",
-            F.col("cand_id").alias("pos_id"),
-            F.col("cosine").alias("pos_cos"),
+            F.col("best.cand_id").alias("pos_id"),
+            F.col("best.cosine").alias("pos_cos"),
         )
     )
     neg = (
         scored.filter(F.col("label") != F.col("anchor_label"))
-        .withColumn("rk", F.row_number().over(w_neg))
-        .filter(F.col("rk") == 1)
+        .groupBy("anchor_id")
+        .agg(
+            F.max(
+                F.struct("cosine", (-F.col("cand_id")).alias("ni"))
+            ).alias("best")
+        )
         .select(
             "anchor_id",
-            F.col("cand_id").alias("neg_id"),
-            F.col("cosine").alias("neg_cos"),
+            (-F.col("best.ni")).alias("neg_id"),
+            F.col("best.cosine").alias("neg_cos"),
         )
     )
     return pos.join(F.broadcast(neg), "anchor_id").select(
@@ -486,22 +494,13 @@ def q_ann_kmeans_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v").alias("cv"),
         F.col("nrm").alias("cn"),
     )
-    scored = emb.crossJoin(F.broadcast(cents)).select(
-        "vec_id",
-        "v",
-        "nrm",
-        "centroid_id",
-        F.round(dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cn")), 6).alias(
-            "c_cos"
-        ),
-    )
-    w = W.partitionBy("vec_id").orderBy(F.col("c_cos").desc(), "centroid_id")
-    indexed = (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") == 1)
-        .select("vec_id", "v", "nrm", F.col("centroid_id").alias("cell"))
-        .persist()
-    )
+    # the shared narrow max-struct argmax (r14, guide §2.3): identical
+    # (c_cos desc, centroid_id asc) ranking to the former row_number
+    # window, but only (id, score, centroid) rows reach the exchange —
+    # the vectors ride in once via _argmax_cell's final join
+    indexed = _argmax_cell(
+        emb.select("vec_id", "v", "nrm"), F.broadcast(cents), "vec_id", "cell"
+    ).persist()
     queries = indexed.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
@@ -1012,8 +1011,8 @@ def q_pq_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
     convention as q_ann_kmeans_ivf's centroids.
 
     Shape: slices posexplode to (vec, subspace, sub-vector) — a narrow map;
-    the codebook (M x K sub-centroids) broadcasts; argmin is one window on
-    rounded distance with centroid-id tie-break. d2 = xx - 2*xc + cc is
+    the codebook (M x K sub-centroids) broadcasts; argmin is one min-struct
+    aggregate on rounded distance with centroid-id tie-break. d2 = xx - 2*xc + cc is
     built from three dot() folds, the proven parity primitive, so the
     oracle replays the distance bit-for-bit. Output adds the per-subspace
     quantization error — summed per vector it is the reconstruction-error
@@ -1043,11 +1042,18 @@ def q_pq_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("d2"),
         )
     )
-    w = W.partitionBy("vec_id", "sub_id").orderBy("d2", "code")
+    # argmin as min(struct(d2, code)) per (vec, subspace) (r14, guide
+    # §2.3): identical (d2 asc, code asc) ranking to the former
+    # row_number window, map-side combinable, no sort
     return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") == 1)
-        .select("vec_id", "sub_id", "code", F.col("d2").alias("quant_err"))
+        scored.groupBy("vec_id", "sub_id")
+        .agg(F.min(F.struct("d2", "code")).alias("best"))
+        .select(
+            "vec_id",
+            "sub_id",
+            F.col("best.code").alias("code"),
+            F.col("best.d2").alias("quant_err"),
+        )
     )
 
 
@@ -1115,11 +1121,11 @@ def q_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("d2"),
         )
     )
-    w_enc = W.partitionBy("vec_id", "sub_id").orderBy("d2", "code")
+    # same min-struct argmin as q_pq_codebook's encode (r14, guide §2.3)
     codes = (
-        scored.withColumn("rk", F.row_number().over(w_enc))
-        .filter(F.col("rk") == 1)
-        .select("vec_id", "sub_id", "code")
+        scored.groupBy("vec_id", "sub_id")
+        .agg(F.min(F.struct("d2", "code")).alias("best"))
+        .select("vec_id", "sub_id", F.col("best.code").alias("code"))
     )
     # query-side LUT: d2(query sub-vector, each sub-centroid)
     qsub = subs.filter(F.col("vec_id") == PQ_QUERY_VEC).select(
@@ -1189,8 +1195,8 @@ def q_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nearest-centroid assignment (the IVF/k-means training-step primitive):
     every vector assigned to its most-cosine-similar centroid, centroids
     fixed deterministically as vectors vec_id < 8. The centroid table is a
-    broadcast cross join — the corpus side never shuffles; one window on
-    vec_id picks the argmax. At 100 TB this exact plan is one training
+    broadcast cross join — the corpus side never shuffles; one combinable
+    max-struct aggregate on vec_id picks the argmax. At 100 TB this exact plan is one training
     iteration of a distributed k-means / the cell-assignment pass of an IVF
     index build. Ties break on centroid_id; cosine ordering compares doubles
     produced by the identical left-to-right fold in both engines."""
@@ -1202,16 +1208,25 @@ def q_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scored = emb.crossJoin(F.broadcast(cents)).select(
         "vec_id",
-        "centroid_id",
-        F.round(dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cn")), 6).alias(
-            "cosine"
-        ),
+        F.struct(
+            F.round(
+                dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cn")), 6
+            ).alias("cosine"),
+            (-F.col("centroid_id")).alias("ni"),
+        ).alias("sc"),
     )
-    w = W.partitionBy("vec_id").orderBy(F.col("cosine").desc(), "centroid_id")
+    # argmax as max(struct(cosine, -centroid_id)) (r14, guide §2.3):
+    # identical (cosine desc, centroid_id asc) ranking to the former
+    # row_number window, but the n x k scored rows partial-aggregate to
+    # one row per vector map-side — no sort, no wide shuffle
     return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") == 1)
-        .select("vec_id", "centroid_id", "cosine")
+        scored.groupBy("vec_id")
+        .agg(F.max("sc").alias("best"))
+        .select(
+            "vec_id",
+            (-F.col("best.ni")).alias("centroid_id"),
+            F.col("best.cosine").alias("cosine"),
+        )
     )
 
 
