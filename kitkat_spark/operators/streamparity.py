@@ -163,6 +163,33 @@ _REPLAY_CACHE: dict[tuple[str, str, str], tuple[str, int]] = {}
 # target rows per state-store task (see _state_partitions)
 STATE_ROWS_PER_TASK = 16_384
 
+# target rows per task for applyInPandasWithState queries (r15): their
+# per-batch cost is dominated by the PYTHON group runner (~1-3 ms per group
+# call: per-group Arrow framing + state round-trip + fn body), which is
+# serial within a task — not by the per-partition state-store fixed cost
+# (~50-80 ms/partition/batch) that motivates the 16k budget above. With
+# ~1 row per group (the TTL fingerprint streams), the break-even between
+# "more parallel group calls" and "more per-partition fixed cost" sits
+# around a few hundred rows per task: measured on q_stream_ttl_evict at
+# sf0.1, 4 partitions (16k budget) ran the replay in ~12-15 s, 16
+# partitions in ~6-7 s, 32 in ~7-14 s (per-partition cost catches up).
+# Still capped at cluster parallelism, so it stays scale-adaptive.
+PANDAS_STATE_ROWS_PER_TASK = 320
+
+# RocksDB state store + changelog checkpointing for the custom-state
+# (applyInPandasWithState) family (r14 verdict #1): the default HDFS-backed
+# provider keeps every state map on-heap and snapshots FULL maps per
+# maintenance cycle — at 100 TB ingest the live-fingerprint index is
+# millions of rows per partition, an executor-heap liability and a
+# commit-amplification cost. RocksDB spills off-heap and changelog
+# checkpointing writes per-commit deltas instead of full snapshots. At
+# sf0.1 the two providers measure within noise of each other (interleaved
+# A/B, min-of-4: 12.54 s RocksDB vs 12.88 s HDFS on the ttl_evict replay),
+# so adopting the production-correct provider costs the bench nothing.
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
 
 def _replay_info(spark: SparkSession, sf_dir: str, variant: str, df_fn) -> tuple[str, int]:
     import os
@@ -200,16 +227,31 @@ class _state_partitions:
     checkpoint keeps whatever count it started with — resizing requires a
     new checkpoint (repartition-state via offline rewrite at 100 TB).
 
+    ``pandas_state=True`` marks an applyInPandasWithState query: partitions
+    are sized from the much smaller PANDAS_STATE_ROWS_PER_TASK budget (the
+    Python group runner, not the state store, is the per-batch cost — see
+    the constant's note), and the state store is pinned to RocksDB with
+    changelog checkpointing (ROCKSDB_PROVIDER note) for the duration.
+
     Restores the previous conf on exit, so the host session's relational
     queries are untouched."""
 
-    def __init__(self, spark: SparkSession, rows_per_batch: int | None = None):
+    def __init__(
+        self,
+        spark: SparkSession,
+        rows_per_batch: int | None = None,
+        pandas_state: bool = False,
+    ):
         self.spark = spark
+        self.pandas_state = pandas_state
         par = spark.sparkContext.defaultParallelism
         if rows_per_batch is None:
             self.n = par
         else:
-            self.n = min(par, max(4, -(-rows_per_batch // STATE_ROWS_PER_TASK)))
+            per_task = (
+                PANDAS_STATE_ROWS_PER_TASK if pandas_state else STATE_ROWS_PER_TASK
+            )
+            self.n = min(par, max(4, -(-rows_per_batch // per_task)))
 
     # Every wm query's sealed-set contract (append mode emits exactly the
     # watermark-closed windows) relies on the availableNow no-data flush
@@ -220,10 +262,17 @@ class _state_partitions:
     def __enter__(self):
         self.prev = self.spark.conf.get("spark.sql.shuffle.partitions", None)
         self.spark.conf.set("spark.sql.shuffle.partitions", str(self.n))
-        self.prev_pinned = {
-            k: self.spark.conf.get(k, None) for k in self._PINNED
-        }
-        for k, v in self._PINNED.items():
+        pinned = dict(self._PINNED)
+        if self.pandas_state:
+            pinned["spark.sql.streaming.stateStore.providerClass"] = (
+                ROCKSDB_PROVIDER
+            )
+            pinned[
+                "spark.sql.streaming.stateStore.rocksdb"
+                ".changelogCheckpointing.enabled"
+            ] = "true"
+        self.prev_pinned = {k: self.spark.conf.get(k, None) for k in pinned}
+        for k, v in pinned.items():
             self.spark.conf.set(k, v)
 
     def __exit__(self, *exc):
@@ -2278,6 +2327,7 @@ def q_stream_dedup_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
     arrival order is the ingest order the sort reconstructs."""
     import os
 
+    import numpy as np
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -2306,25 +2356,34 @@ def q_stream_dedup_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def ttl_fn(key, pdfs, state: GroupState):
-        rows = pd.concat(list(pdfs), ignore_index=True).sort_values("doc_id")
-        ids = rows["doc_id"].astype("int64")
-        prev = ids.shift(1)
-        if state.exists:
-            prev.iloc[0] = float(state.get[0])
-        gap = ids - prev  # float64: NaN marks the first-ever arrival
+        # numpy, not pandas, per group (r15): this body runs once per
+        # (key, batch) — ~1,650 calls per wave at sf0.1, serial within each
+        # task — and the pandas concat/sort/shift/astype chain measured
+        # ~1.07 ms/call vs ~0.26 ms for the integer-array equivalent.
+        # Identical arithmetic: gap = id - previous arrival (state-carried
+        # across batches), first-ever arrival has no gap (masked NULL).
+        chunks = [p["doc_id"].to_numpy() for p in pdfs]
+        ids = chunks[0] if len(chunks) == 1 else np.concatenate(chunks)
+        ids = np.sort(ids)
+        gap = np.empty(ids.shape, dtype=np.int64)
+        gap[1:] = ids[1:] - ids[:-1]
+        first_missing = not state.exists
+        gap[0] = 0 if first_missing else ids[0] - state.get[0]
+        mask = np.zeros(ids.shape, dtype=bool)
+        mask[0] = first_missing  # True = NULL prev_gap (first-ever arrival)
         expired = gap > DEDUP_TTL_DOCS
-        state.update((int(ids.iloc[-1]),))  # refresh-on-arrival
+        state.update((int(ids[-1]),))  # refresh-on-arrival
         yield pd.DataFrame(
             {
                 "doc_id": ids,
                 "fp": key[0],
-                "prev_gap": gap.astype("Int64"),
-                "kept": (gap.isna() | expired),
-                "readmitted": (gap.notna() & expired),
+                "prev_gap": pd.arrays.IntegerArray(gap, mask),
+                "kept": (mask | expired),
+                "readmitted": (~mask & expired),
             }
         )
 
-    with _state_partitions(spark, span):
+    with _state_partitions(spark, span, pandas_state=True):
         for lo, hi in zip(bounds, bounds[1:]):
             d.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi)).write.mode(
                 "append"
@@ -2581,6 +2640,7 @@ def q_stream_ttl_evict(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_stream_dedup_ttl (fp-keyed shuffle, Arrow-batched groups)."""
     import os
 
+    import numpy as np
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -2596,12 +2656,10 @@ def q_stream_ttl_evict(spark: SparkSession, sf_dir: str) -> DataFrame:
     fp = F.md5(
         F.substring(F.lower(F.regexp_replace("text", r"\s+", " ")), 1, 200)
     )
-    # pinned for the same reason as the audit twin's projection: three
-    # wave writes consume it
-    d = docs.select(
-        "doc_id", fp.alias("fp"), _doc_ingest_ts().alias("ts")
-    ).localCheckpoint(eager=True)
-    mn, mx = d.agg(F.min("doc_id"), F.max("doc_id")).first()
+    # wave bounds from a doc_id-only scan (column-pruned, no md5): the
+    # fingerprint projection now has a single consumer (the one wave write
+    # below), so the r14 localCheckpoint pin is no longer needed (r15)
+    mn, mx = docs.agg(F.min("doc_id"), F.max("doc_id")).first()
     span = int(mx) + 1 - int(mn)
     bounds = [int(mn) + (span * i) // TTL_WAVES for i in range(TTL_WAVES + 1)]
 
@@ -2611,49 +2669,71 @@ def q_stream_ttl_evict(spark: SparkSession, sf_dir: str) -> DataFrame:
         if state.hasTimedOut:
             state.remove()  # the eviction: expired entry leaves the store
             return  # no output rows; skip building an empty Arrow frame
-        rows = pd.concat(list(pdfs), ignore_index=True).sort_values("doc_id")
-        ids = rows["doc_id"].astype("int64")
-        prev = ids.shift(1)
-        if state.exists:
-            prev.iloc[0] = float(state.get[0])
-        gap = ids - prev  # NaN: no state (first arrival OR evicted entry)
-        state.update((int(ids.iloc[-1]),))  # refresh-on-arrival
+        # numpy, not pandas, per group (r15) — same move as the audit
+        # twin's ttl_fn: ~0.26 ms/call vs ~1.07 ms for the pandas chain,
+        # over ~1,650 serial calls per task per wave. Identical logic:
+        # kept = no prior state (first arrival OR evicted entry) or
+        # gap > TTL.
+        chunks = [p["doc_id"].to_numpy() for p in pdfs]
+        ids = chunks[0] if len(chunks) == 1 else np.concatenate(chunks)
+        ids = np.sort(ids)
+        kept = np.empty(ids.shape, dtype=bool)
+        kept[1:] = (ids[1:] - ids[:-1]) > DEDUP_TTL_DOCS
+        kept[0] = (not state.exists) or (
+            ids[0] - state.get[0]
+        ) > DEDUP_TTL_DOCS
+        last = int(ids[-1])
+        state.update((last,))  # refresh-on-arrival
         state.setTimeoutTimestamp(
-            (DOC_TS_BASE_S + (int(ids.iloc[-1]) + DEDUP_TTL_DOCS) * 60) * 1000
+            (DOC_TS_BASE_S + (last + DEDUP_TTL_DOCS) * 60) * 1000
         )
-        yield pd.DataFrame(
-            {
-                "doc_id": ids,
-                "fp": key[0],
-                "kept": (gap.isna() | (gap > DEDUP_TTL_DOCS)),
-            }
-        )
+        yield pd.DataFrame({"doc_id": ids, "fp": key[0], "kept": kept})
 
     # one file per wave, written in wave order: the file source's
     # oldest-first mtime ordering + maxFilesPerTrigger=1 turns them into
     # three in-order micro-batches of a single availableNow run. The
-    # mtimes are PINNED to strictly increasing per-wave values after each
+    # mtimes are PINNED to strictly increasing per-wave values after the
     # write — relying on write-order timestamps alone breaks on coarse-
     # granularity filesystems, where equal mtimes let the source consume
     # waves out of order and corrupt the per-key gap chain (review
     # finding; the values stay within seconds of each other so the
-    # source's maxFileAge window is untouched)
+    # source's maxFileAge window is untouched).
+    #
+    # r15: ONE write job instead of three filtered coalesce(1) passes —
+    # hash-repartitioning on the wave id puts each wave entirely in one
+    # task (3 distinct values can collide into fewer tasks but never
+    # split), so partitionBy("wave") still yields exactly one file per
+    # wave directory; the md5 projection is computed once, in parallel,
+    # with no localCheckpoint materialization.
     import glob as _glob
 
-    stamped: set[str] = set()
-    for k, (lo, hi) in enumerate(zip(bounds, bounds[1:])):
-        d.filter(
-            (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
-        ).coalesce(1).write.mode("append").parquet(src)
-        for f in _glob.glob(os.path.join(src, "*.parquet")):
-            if f not in stamped:
-                os.utime(f, (1_700_000_000 + k, 1_700_000_000 + k))
-                stamped.add(f)
+    # exact same wave membership as the bounds loop: wave k holds
+    # bounds[k] <= doc_id < bounds[k+1]
+    wave = F.lit(0)
+    for k in range(1, TTL_WAVES):
+        wave = F.when(F.col("doc_id") >= F.lit(bounds[k]), k).otherwise(wave)
+    wave = wave.cast("int")
+    (
+        docs.select(
+            "doc_id", fp.alias("fp"), _doc_ingest_ts().alias("ts"),
+            wave.alias("wave"),
+        )
+        .repartition(TTL_WAVES, "wave")
+        .write.mode("overwrite")
+        .partitionBy("wave")
+        .parquet(src)
+    )
+    for k in range(TTL_WAVES):
+        for f in _glob.glob(os.path.join(src, f"wave={k}", "*.parquet")):
+            os.utime(f, (1_700_000_000 + k, 1_700_000_000 + k))
     last_rows = 0
-    with _state_partitions(spark, span):
+    with _state_partitions(spark, span, pandas_state=True):
         stream = (
             spark.readStream.schema("doc_id long, fp string, ts timestamp")
             .option("maxFilesPerTrigger", 1)
+            # plain recursive file listing: the wave=k dirs are replay
+            # scaffolding, not a partition column of the stream schema
+            .option("recursiveFileLookup", "true")
             .parquet(src)
             .withWatermark("ts", f"{DOC_WM_MINUTES} minutes")
         )

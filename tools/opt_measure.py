@@ -4,7 +4,7 @@
 For each named query: time `.count()` (the bench's timed action, kept for
 round-over-round comparability) and the noop sink (guide §1.4 — computes
 every column, isolates computation from sink/driver transfer), N runs each,
-and optionally dump `.explain("formatted")` to plans/r14/<query>_<tag>.txt.
+and optionally dump `.explain("formatted")` to plans/r15/<query>_<tag>.txt.
 
 Usage:
   python tools/opt_measure.py q_a q_b ...            # time only
@@ -52,6 +52,25 @@ def pool_fold(repo: str) -> dict[str, float]:
     return best
 
 
+def _calibrate_fsync(n: int = 50) -> float:
+    """Timed small-write+fsync loop on the scratch filesystem (ADVICE r14):
+    streaming-lane wall time is dominated by checkpoint/commit fsyncs, which
+    the CPU/Spark calibrations do not capture. Returns seconds (best of 3)."""
+    import tempfile
+    import time as _t
+
+    best = float("inf")
+    for _ in range(3):
+        t0 = _t.perf_counter()
+        with tempfile.NamedTemporaryFile(dir="/tmp", delete=True) as fh:
+            for i in range(n):
+                fh.write(b"x" * 4096)
+                fh.flush()
+                os.fsync(fh.fileno())
+        best = min(best, _t.perf_counter() - t0)
+    return round(best, 4)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("queries", nargs="*")
@@ -75,7 +94,19 @@ def main() -> None:
     # same warmup discipline as bench.py
     QUERIES["q_scan_filter"](spark, sf_dir).count()
 
-    plan_dir = os.path.join(repo, "plans", "r14")
+    # window validation (r15): calib_cpu/calib_spark per bench.py, plus a
+    # disk-fsync probe (ADVICE r14: calib_spark does not capture the
+    # checkpoint-fsync I/O that dominates the streaming lane)
+    import bench as _bench
+
+    calib = {
+        "calib_cpu_s": _bench._calibrate_cpu(),
+        "calib_spark_s": _bench._calibrate_spark(spark),
+        "calib_fsync_s": _calibrate_fsync(),
+    }
+    print(json.dumps({"window": calib}), flush=True)
+
+    plan_dir = os.path.join(repo, "plans", "r15")
     os.makedirs(plan_dir, exist_ok=True)
     log = open("/tmp/opt_measure_log.jsonl", "a")
     for name in names:
